@@ -1,0 +1,77 @@
+"""Marker-based sessionization (reference W1).
+
+The reference assigns each machine event to a "cycle" by a running count of
+``Cycle_Start`` markers per machine (``src/daily_aggregator.py:32-67``):
+
+    Window.partitionBy(machine_id).orderBy(event_timestamp, tiebreak)
+    cycle_seq = sum(when(event == CYCLE_START, 1).otherwise(0)).over(w)
+
+Differences from the reference, deliberate:
+
+* The tiebreaker must be a *stable* column (a unique id from the data), not
+  ``monotonically_increasing_id()`` — the reference's choice varies with
+  partitioning (SURVEY.md §4 "non-determinism") and would break
+  oracle-differential tests.
+* At 100 TB the window is a single shuffle hash-partitioned by the session
+  key; skew (one hot machine) is handled by AQE only for joins, so the
+  session key domain must be large (machines/users), which it is. The
+  cumulative sum itself is O(n log n) sort per key group — fine while one
+  key's events fit a partition (~1e8 rows); beyond that use the two-level
+  prefix-sum strategy noted in SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def with_session_seq(
+    df: DataFrame,
+    *,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    is_marker: Column,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Add a running count of marker rows per partition → session id.
+
+    Rows before the first marker get session_seq == 0 (the reference drops
+    them with ``filter(cycle_seq > 0)``; callers decide).
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    flag = F.when(is_marker, F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn(session_col, F.sum(flag).over(w))
+
+
+def session_bounds(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts_col: str,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Per-session boundary aggregate (reference A1 + P11).
+
+    Returns one row per (keys…, session) with start/end timestamps, event
+    count, and exact integer-µs duration. Duration is computed in integer
+    microseconds (``unix_micros``) so results are bit-identical across
+    engines — the reference's double-epoch subtraction
+    (``src/daily_aggregator.py:56-62``) is FP-order sensitive.
+    """
+    out = (
+        df.filter(F.col(session_col) > 0)
+        .groupBy(*keys, session_col)
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "duration_us",
+            F.unix_micros(F.col("session_end")) - F.unix_micros(F.col("session_start")),
+        )
+        .withColumn("duration_sec", F.col("duration_us") / F.lit(1000000.0))
+    )
+    return out

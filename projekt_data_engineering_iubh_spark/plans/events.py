@@ -1,0 +1,276 @@
+"""Reference-semantics queries transplanted onto the driver's `events` table.
+
+Mapping (FIXTURES.md §2): ``ts → event_timestamp``, ``user_id → machine_id``,
+``event_type → event_name``, ``'signup' → Cycle_Start`` marker. These queries
+reproduce, one-to-one, the operator core of the reference job
+(``/root/reference/src/daily_aggregator.py``): running-count sessionization
+(W1, :33-43), session boundary aggregation (A1/P11, :51-62), hourly
+conditional rollup (A2/A3, :193-232), threshold-rule error flags
+(P12, :70-116), and the full-outer join + zero-fill (J3/P15, :234-243).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.operators.rules import (
+    rules_to_sql_predicate,
+    with_error_flag,
+)
+from projekt_data_engineering_iubh_spark.operators.sessionize import (
+    session_bounds,
+    with_session_seq,
+)
+from projekt_data_engineering_iubh_spark.plans.registry import register
+
+SESSION_MARKER = "signup"
+
+# Threshold rules over events.value, scoped by event_type — the analog of
+# config/schwellwerte.json + PARAMETER_EVENT_MAPPING (daily_aggregator.py:21-28).
+EVENT_RULES = {
+    "_comment": "underscore keys are skipped, like the reference",
+    "purchase_value_high": {"error_if_above": 300.0},
+    "error_value_range": {"error_if_outside_range": [50.0, 250.0]},
+    "click_value_low": {"error_if_below": 1.0},
+}
+EVENT_RULE_MAPPING = {
+    "purchase_value_high": {"event_type": "purchase"},
+    "error_value_range": {"event_type": "error"},
+    "click_value_low": {"event_type": "click"},
+}
+
+_SESSIONIZE_SQL = f"""
+SELECT event_id, user_id, ts, event_type,
+       CAST(SUM(CASE WHEN event_type = '{SESSION_MARKER}' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+FROM events
+"""
+
+_BOUNDS_SQL = f"""
+WITH sess AS ({_SESSIONIZE_SQL})
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_sec
+FROM sess WHERE session_seq > 0
+GROUP BY user_id, session_seq
+"""
+
+
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return with_session_seq(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        is_marker=F.col("event_type") == SESSION_MARKER,
+    )
+
+
+@register("events_sessionize", oracle=_SESSIONIZE_SQL)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: running-count marker sessionization with a stable tiebreaker."""
+    return _sessionized(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "session_seq"
+    )
+
+
+@register("events_session_stats", oracle=_BOUNDS_SQL)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + P11: per-session boundaries, counts, exact integer-µs duration."""
+    return session_bounds(
+        _sessionized(spark, sf_dir), keys=["user_id"], ts_col="ts"
+    ).select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        "session_end",
+        "n_events",
+        "duration_us",
+        "duration_sec",
+    )
+
+
+_HOURLY_SQL = """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(hour(ts) AS INTEGER) AS event_hour,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value,
+       ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 4) AS avg_purchase_value,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       ROUND(MAX(CASE WHEN event_type = 'view' THEN value END), 4) AS max_view_value,
+       ROUND(MIN(CASE WHEN event_type = 'view' THEN value END), 4) AS min_view_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _hourly_rollup(ev: DataFrame) -> DataFrame:
+    is_purchase = F.col("event_type") == "purchase"
+    is_view = F.col("event_type") == "view"
+    return ev.groupBy(
+        F.to_date("ts").alias("event_date"),
+        F.hour("ts").alias("event_hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(is_purchase, 1).otherwise(0)).alias("n_purchases"),
+        F.sum(F.when(is_purchase, F.col("value").cast("decimal(12,2)")))
+        .cast("double")
+        .alias("purchase_value"),
+        F.round(F.avg(F.when(is_purchase, F.col("value"))), 4).alias(
+            "avg_purchase_value"
+        ),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+        F.round(F.max(F.when(is_view, F.col("value"))), 4).alias("max_view_value"),
+        F.round(F.min(F.when(is_view, F.col("value"))), 4).alias("min_view_value"),
+    )
+
+
+@register("events_hourly_rollup", oracle=_HOURLY_SQL)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3: hourly conditional (long→wide) aggregation, the reference's
+    13-aggregate pivot (daily_aggregator.py:216-232) on events columns."""
+    return _hourly_rollup(load_table(spark, sf_dir, "events"))
+
+
+_ERRORS_SQL = f"""
+SELECT event_id, event_type, value,
+       CASE WHEN {rules_to_sql_predicate(EVENT_RULES, EVENT_RULE_MAPPING)}
+            THEN 1 ELSE 0 END AS is_error
+FROM events
+"""
+
+
+@register("events_threshold_errors", oracle=_ERRORS_SQL)
+def events_threshold_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: config-compiled threshold predicates → is_error flag."""
+    ev = load_table(spark, sf_dir, "events")
+    return with_error_flag(ev, EVENT_RULES, EVENT_RULE_MAPPING).select(
+        "event_id", "event_type", "value", "is_error"
+    )
+
+
+_FLAGSHIP_SQL = f"""
+WITH bounds AS ({_BOUNDS_SQL}),
+sess_hourly AS (
+  SELECT CAST(session_start AS DATE) AS event_date,
+         CAST(hour(session_start) AS INTEGER) AS event_hour,
+         COUNT(*) AS n_sessions,
+         CAST(CAST(SUM(duration_us) AS BIGINT) AS DOUBLE)
+           / (1000000.0 * COUNT(*)) AS avg_session_sec,
+         CAST(MIN(duration_us) AS DOUBLE) / 1000000.0 AS min_session_sec,
+         CAST(MAX(duration_us) AS DOUBLE) / 1000000.0 AS max_session_sec
+  FROM bounds GROUP BY 1, 2
+),
+ev_hourly AS ({_HOURLY_SQL})
+SELECT coalesce(e.event_date, s.event_date) AS event_date,
+       coalesce(e.event_hour, s.event_hour) AS event_hour,
+       coalesce(e.n_events, 0) AS n_events,
+       coalesce(e.n_users, 0) AS n_users,
+       coalesce(e.n_purchases, 0) AS n_purchases,
+       coalesce(e.purchase_value, 0.0) AS purchase_value,
+       coalesce(e.avg_purchase_value, 0.0) AS avg_purchase_value,
+       coalesce(e.n_errors, 0) AS n_errors,
+       coalesce(e.max_view_value, 0.0) AS max_view_value,
+       coalesce(e.min_view_value, 0.0) AS min_view_value,
+       coalesce(s.n_sessions, 0) AS n_sessions,
+       coalesce(s.avg_session_sec, 0.0) AS avg_session_sec,
+       coalesce(s.min_session_sec, 0.0) AS min_session_sec,
+       coalesce(s.max_session_sec, 0.0) AS max_session_sec
+FROM ev_hourly e
+FULL OUTER JOIN sess_hourly s
+  ON e.event_date = s.event_date AND e.event_hour = s.event_hour
+"""
+
+_FLAGSHIP_COUNT_COLS = ["n_events", "n_users", "n_purchases", "n_errors", "n_sessions"]
+_FLAGSHIP_DOUBLE_COLS = [
+    "purchase_value",
+    "avg_purchase_value",
+    "max_view_value",
+    "min_view_value",
+    "avg_session_sec",
+    "min_session_sec",
+    "max_session_sec",
+]
+
+
+@register("events_flagship_session_rollup", oracle=_FLAGSHIP_SQL, headline=True)
+def events_flagship_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY.md §7 phase A): sessionize → session boundary agg →
+    hourly conditional rollup → full-outer join + zero-fill. Exercises the
+    reference's entire operator core in one plan."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = with_session_seq(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        is_marker=F.col("event_type") == SESSION_MARKER,
+    )
+    bounds = session_bounds(sess, keys=["user_id"], ts_col="ts")
+    sess_hourly = bounds.groupBy(
+        F.to_date("session_start").alias("event_date"),
+        F.hour("session_start").alias("event_hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        (
+            F.sum("duration_us").cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("avg_session_sec"),
+        (F.min("duration_us") / F.lit(1000000.0)).alias("min_session_sec"),
+        (F.max("duration_us") / F.lit(1000000.0)).alias("max_session_sec"),
+    )
+    ev_hourly = _hourly_rollup(ev)
+    out = ev_hourly.join(sess_hourly, on=["event_date", "event_hour"], how="outer")
+    return out.na.fill(0, subset=_FLAGSHIP_COUNT_COLS).na.fill(
+        0.0, subset=_FLAGSHIP_DOUBLE_COLS
+    )
+
+
+_DATES_SQL = "SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events"
+
+
+@register("events_distinct_dates", oracle=_DATES_SQL)
+def events_distinct_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: DISTINCT projection (dashboard available-dates query)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(F.to_date("ts").alias("event_date")).distinct()
+
+
+_DAY_SLICE_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+"""
+
+
+@register("events_day_slice", oracle=_DAY_SLICE_SQL)
+def events_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: parameterized day-slice scan (dashboard), partition-prunable when
+    the summary is stored partitioned by date."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.to_date("ts") == F.lit("2024-01-15").cast("date")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+_JSON_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+@register("events_json_props", oracle=_JSON_SQL)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface: JSON extraction from events.props."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )

@@ -1,0 +1,786 @@
+"""Operator-breadth queries over the star schema (SURVEY.md §7 phase B).
+
+The reference exercises scans, filters, conditional aggregation, windows,
+and equi-joins; a complete engine surface additionally needs the join/agg/
+set-op/window families below. Everything is DataFrame-API (Catalyst plans
+them identically to SQL) with broadcast hints on dimension tables — the
+physical choice that matters at 100 TB, where `lineitem` shuffles dominate.
+
+Numeric-determinism policy (so DuckDB oracles hash-match exactly):
+
+* money sums go through DECIMAL(12,2) casts → exact, order-independent —
+  then cast back to DOUBLE for a stable comparable type;
+* decimal→double is only correctly-rounded in both engines while the
+  decimal's scaled integer stays below 2^53 (DuckDB converts int128 and
+  10^-scale separately, double-rounding above that); conversions that can
+  exceed it (scale-4/6 products, sums of squares) go through a VARCHAR
+  cast, which both engines round correctly at any magnitude;
+* averages of raw doubles are rounded to 4 decimals;
+* transcendentals (sqrt/ln/pow) are rounded to 6 decimals;
+* integer-valued results stay BIGINT/INT on both sides (DuckDB's HUGEINT
+  sums and BIGINT hour()/length() get explicit casts in the oracle SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.plans.registry import register
+
+DEC = "decimal(12,2)"
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# Headline analytical queries (TPC-H Q1/Q3/Q5 analogs)
+# --------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE)
+         AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_SQL, headline=True)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: wide hash aggregation with derived measures.
+    Partial aggregation (map-side combine) makes this a single shuffle of
+    4 groups regardless of input size."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("string").cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (F.lit(1) + _dec("l_tax")))
+            .cast("string")
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_SQL, headline=True)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: selective dimension filter → broadcast join →
+    aggregation → deterministic top-10 (revenue is decimal-exact, so the
+    DESC order ties out bit-identically across engines)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE)
+         AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("q5_regional_revenue", oracle=_Q5_SQL, headline=True)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 6-way join. All dimension sides are broadcast so the
+    only shuffle at scale is lineitem→orders; Catalyst + AQE handle join
+    ordering."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("string").cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Join family (J1-J3 breadth: inner / left / full outer / semi / anti / cross)
+# --------------------------------------------------------------------------
+
+_JOIN_INNER_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("join_inner_mktsegment", oracle=_JOIN_INNER_SQL)
+def join_inner_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (fact→dim, broadcast) + aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+_JOIN_LEFT_SQL = """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       CAST(coalesce(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+@register("join_left_customer_orders", oracle=_JOIN_LEFT_SQL)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join (J1/J2 semantics): unmatched left rows survive with zeroed
+    aggregates — COUNT(col) skips the NULLs the join introduces."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+_JOIN_OUTER_SQL = """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), sd AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ships
+  FROM lineitem GROUP BY 1
+)
+SELECT coalesce(od.d, sd.d) AS activity_date,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_ships, 0) AS n_ships
+FROM od FULL OUTER JOIN sd ON od.d = sd.d
+"""
+
+
+@register("join_outer_daily_activity", oracle=_JOIN_OUTER_SQL)
+def join_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join + zero-fill — the reference's J3+P15 pattern
+    (daily_aggregator.py:234-243) on order/ship date activity."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    od = o.groupBy(F.to_date("o_orderdate").alias("activity_date")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    sd = l.groupBy(F.to_date("l_shipdate").alias("activity_date")).agg(
+        F.count(F.lit(1)).alias("n_ships")
+    )
+    return od.join(sd, on="activity_date", how="outer").na.fill(
+        0, subset=["n_orders", "n_ships"]
+    )
+
+
+_JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+@register("join_semi_f_orders", oracle=_JOIN_SEMI_SQL)
+def join_semi_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): no row multiplication, right side only probed."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("join_anti_no_orders", oracle=_JOIN_ANTI_SQL)
+def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers without any order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_JOIN_CROSS_SQL = "SELECT n_name, r_name FROM nation CROSS JOIN region"
+
+
+@register("join_cross_nation_region", oracle=_JOIN_CROSS_SQL)
+def join_cross_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (tiny × tiny only — never on facts)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.crossJoin(r).select("n_name", "r_name")
+
+
+# --------------------------------------------------------------------------
+# Window family (W1 + ranking / analytic / explicit frames)
+# --------------------------------------------------------------------------
+
+_WINDOW_RANK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+       CAST(RANK() OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@register("window_rank_orders", oracle=_WINDOW_RANK_SQL)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions with a deterministic total order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_WINDOW_LAG_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_orderdate) OVER (PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_lag_lead_orders", oracle=_WINDOW_LAG_SQL)
+def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: lag / lead / first_value."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderdate").over(wf).alias("first_order_date"),
+    )
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+"""
+
+
+@register("window_running_total", oracle=_WINDOW_RUNNING_SQL)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame cumulative sum (the W1 pattern generalized);
+    decimal accumulation keeps it order-exact across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+_WINDOW_MOVING_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS moving_avg_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_moving_avg", oracle=_WINDOW_MOVING_SQL)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame (3-row moving average), exact decimal numerator."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (
+            F.sum(_dec("o_totalprice")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_price"),
+    )
+
+
+_TOPK_GROUP_SQL = """
+WITH ranked AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+              ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
+  FROM customer
+)
+SELECT c_custkey, c_nationkey, c_acctbal, rn FROM ranked WHERE rn <= 3
+"""
+
+
+@register("topk_per_group", oracle=_TOPK_GROUP_SQL)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via row_number ≤ K — the scalable top-k idiom (no
+    global sort; per-partition heaps then one shuffle of K×groups rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_TOP20_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+@register("top20_lineitems", oracle=_TOP20_SQL)
+def top20_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic top-k (Spark plans TakeOrderedAndProject —
+    no full sort materialization)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation family (A1-A4 breadth: cube / rollup / grouping sets / stats)
+# --------------------------------------------------------------------------
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_SQL)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in one pass."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_SQL)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal_sum
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (same Catalyst plan)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_STATS_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+           AS sum_sq
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, min_price, max_price, sum_price,
+       sqrt((sum_sq - (sum_price * sum_price) / n) / (n - 1)) AS stddev_price
+FROM s
+"""
+
+
+@register("agg_stats", oracle=_STATS_SQL)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Descriptive statistics with an order-exact stddev: both moments are
+    decimal-exact sums, so the double formula evaluates identically in any
+    engine (native stddev_samp is summation-order dependent)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    g = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.sum(_dec("l_extendedprice") * _dec("l_extendedprice"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_sq"),
+    )
+    n = F.col("n")
+    return g.select(
+        "l_returnflag",
+        "n",
+        "min_price",
+        "max_price",
+        "sum_price",
+        F.sqrt(
+            (F.col("sum_sq") - (F.col("sum_price") * F.col("sum_price")) / n)
+            / (n - F.lit(1))
+        ).alias("stddev_price"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB substitute for exact
+    countDistinct. No SQL oracle (sketch results are engine-specific);
+    driver records a rows-only check, tests assert the error bound."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+_UNION_SQL = """
+SELECT custkey, COUNT(*) AS n FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+) GROUP BY custkey
+"""
+
+
+@register("set_union_all", oracle=_UNION_SQL)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union) + aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.unionByName(b).groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+_INTERSECT_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+@register("set_intersect", oracle=_INTERSECT_SQL)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").intersect(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+_EXCEPT_SQL = """
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+@register("set_except", oracle=_EXCEPT_SQL)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+        .exceptAll(
+            o.filter(F.col("o_orderstatus") == "P").select(
+                F.col("o_custkey").alias("c_custkey")
+            )
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface (string / date / math)
+# --------------------------------------------------------------------------
+
+_STRING_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       substr(p_type, 1, 5) AS type_prefix,
+       concat(p_brand, ':', p_type) AS brand_type,
+       replace(p_name, 'a', '@') AS name_replaced,
+       (p_type LIKE '%STANDARD%') AS is_standard,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+FROM part
+"""
+
+
+@register("scalar_string_funcs", oracle=_STRING_SQL)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: case, length, substring, concat, replace,
+    LIKE, padding."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_name", "a", "@").alias("name_replaced"),
+        F.col("p_type").like("%STANDARD%").alias("is_standard"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+_DATE_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow,
+       date_trunc('month', o_orderdate) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+         AS days_since_start
+FROM orders
+"""
+
+
+@register("scalar_date_funcs", oracle=_DATE_SQL)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface. DuckDB's dayofweek is 0=Sunday vs
+    Spark's 1=Sunday; the oracle shifts by one."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_start"
+        ),
+    )
+
+
+_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+       round(ln(l_extendedprice + 1), 6) AS price_ln,
+       round(pow(1 + l_discount, 2), 6) AS disc_pow
+FROM lineitem
+"""
+
+
+@register("scalar_math_funcs", oracle=_MATH_SQL)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface; transcendentals rounded to 6dp (libm vs JVM
+    StrictMath can differ in the last ulp)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - F.lit(0.05)).alias("disc_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.lit(1) + F.col("l_discount"), 2), 6).alias("disc_pow"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dashboard-shaped scans (S5/S6 analogs)
+# --------------------------------------------------------------------------
+
+_DISTINCT_DATES_SQL = (
+    "SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders"
+)
+
+
+@register("distinct_orderdates", oracle=_DISTINCT_DATES_SQL)
+def distinct_orderdates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: DISTINCT date projection."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(F.to_date("o_orderdate").alias("order_date")).distinct()
+
+
+_MONTH_SLICE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@register("orders_month_slice", oracle=_MONTH_SLICE_SQL)
+def orders_month_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: time-slice scan — prunes to one partition when the table is
+    stored partitioned by month."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")

@@ -1,0 +1,525 @@
+"""Training-data pipeline operators over the `documents` table.
+
+The dedup / text-analysis surface a 100 TB LLM-data pipeline needs:
+exact + near-duplicate detection (MinHash-LSH, SimHash, n-gram Jaccard),
+quality scoring, language ID, token counting, fingerprinting. Everything is
+native Column expressions (no Python UDFs) so the hot path stays inside
+whole-stage codegen; each op has a DuckDB oracle built from the *same*
+constants/templates (functions/{hashing,text}.py) so results hash-match.
+
+Scale notes: exact dedup is one hash-shuffle on md5(text). MinHash-LSH is
+the linear-time near-dup path — signatures are embarrassingly parallel,
+candidate generation is a self-equi-join on (band_no, band_key) which
+Spark executes as one shuffle; no O(n²) stage exists. The n-gram Jaccard
+op is quadratic *within blocks* only (lang × length-band), which is how
+it survives big corpora; use it to verify LSH candidates, not to scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.functions import hashing, text as tx
+from projekt_data_engineering_iubh_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Exact deduplication (hash groupBy)
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@register("docs_dedup_exact", oracle=_EXACT_DEDUP_SQL, headline=True)
+def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep lowest doc_id. At scale the
+    md5 shuffle key is ~uniform → no skew; the full text never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+_NORM_DEDUP_SQL = f"""
+SELECT md5({tx.normalized_text_sql('text')}) AS text_hash,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+@register("docs_dedup_normalized", oracle=_NORM_DEDUP_SQL)
+def docs_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonicalization (lowercase, punctuation → space)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(tx.normalized_text(F.col("text"))).alias("text_hash")
+    ).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 16
+_LSH_BANDS = 4
+_LSH_ROWS = _MINHASH_K // _LSH_BANDS
+
+_SIG_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {tx.shingles_sql('toks')} AS sh FROM toks
+), hs AS (
+  SELECT doc_id, {hashing.hashed_shingles_sql('sh')} AS hs FROM sh
+), sig AS (
+  SELECT doc_id, {hashing.minhash_signature_sql('hs', _MINHASH_K)} AS minhash FROM hs
+)
+"""
+
+_MINHASH_SQL = _SIG_CTE + "SELECT doc_id, minhash FROM sig"
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    hs = hashing.hashed_shingles(tx.shingles(toks))
+    return d.select(
+        "doc_id", hashing.minhash_signature(hs, _MINHASH_K).alias("minhash")
+    )
+
+
+@register("docs_minhash_signatures", oracle=_MINHASH_SQL)
+def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16) over 3-word shingles — engine-portable
+    md5-based hashing, one pass, no shuffle."""
+    return _signatures(spark, sf_dir)
+
+
+_BANDS_CTE = _SIG_CTE + ", bands AS (\n" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_no, "
+    f"array_to_string(minhash[{b * _LSH_ROWS + 1}:{(b + 1) * _LSH_ROWS}], '-') AS band_key"
+    f" FROM sig"
+    for b in range(_LSH_BANDS)
+) + "\n)"
+
+_LSH_PAIRS_SQL = (
+    _BANDS_CTE
+    + f"""
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       len(list_filter(range(1, {_MINHASH_K + 1}), i -> sa.minhash[i] = sb.minhash[i]))
+         / {float(_MINHASH_K)} AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+"""
+)
+
+
+@register("docs_minhash_lsh_pairs", oracle=_LSH_PAIRS_SQL, headline=True)
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the signature (4 bands × 4
+    rows), self-join on band key, estimate Jaccard from signature overlap.
+    Linear in corpus size; the only shuffle is the band-key join."""
+    sig = _signatures(spark, sf_dir)
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_no"),
+                    F.array_join(
+                        F.transform(
+                            F.slice("minhash", b * _LSH_ROWS + 1, _LSH_ROWS),
+                            lambda x: x.cast("string"),
+                        ),
+                        "-",
+                    ).alias("band_key"),
+                )
+                for b in range(_LSH_BANDS)
+            ]
+        )
+    )
+    bands = sig.select("doc_id", band.alias("band")).select(
+        "doc_id", "band.band_no", "band.band_key"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("minhash").alias("sig_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("minhash").alias("sig_b")
+    )
+    overlap = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (overlap / F.lit(float(_MINHASH_K))).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {hashing.simhash_sql('toks')} AS simhash FROM toks
+)
+"""
+
+_SIMHASH_SQL = _SIMHASH_CTE + "SELECT doc_id, simhash FROM sh"
+
+
+def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", hashing.simhash(tx.tokens(F.col("text"))).alias("simhash")
+    )
+
+
+@register("docs_simhash", oracle=_SIMHASH_SQL)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (token-level, md5-based, portable)."""
+    return _simhashes(spark, sf_dir)
+
+
+_SIMHASH_BAND_BITS = 15
+_SIMHASH_HAMMING_MAX = 3
+
+_SIMHASH_PAIRS_SQL = (
+    _SIMHASH_CTE
+    + ", bands AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band_no,"
+        f" (simhash >> {b * _SIMHASH_BAND_BITS}) & {(1 << _SIMHASH_BAND_BITS) - 1} AS band_key"
+        f" FROM sh"
+        for b in range(4)
+    )
+    + f"""
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAMMING_MAX}
+"""
+)
+
+
+@register("docs_simhash_neardup", oracle=_SIMHASH_PAIRS_SQL)
+def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 4×15-bit band blocking, then Hamming ≤ 3 verify —
+    the classic Manku/Jain/Sarma web-dedup scheme, linear via band join."""
+    sh = _simhashes(spark, sf_dir)
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_no"),
+                    F.shiftright("simhash", b * _SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_key"),
+                )
+                for b in range(4)
+            ]
+        )
+    )
+    bands = sh.select("doc_id", "simhash", band.alias("band")).select(
+        "doc_id", "simhash", "band.band_no", "band.band_key"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= _SIMHASH_HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (block-quadratic verify path)
+# ---------------------------------------------------------------------------
+
+_JACCARD_MIN = 0.1
+
+_NGRAM_JACCARD_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars // 100 AS len_band,
+         list_distinct({tx.shingles_sql(tx.tokens_sql('text'))}) AS shset
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+         / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset)))
+         AS jaccard
+FROM s a JOIN s b
+  ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+WHERE len(a.shset) > 0 AND len(b.shset) > 0
+  AND CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+      / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset)))
+      >= {_JACCARD_MIN}
+"""
+
+
+@register("docs_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity within (lang, length-band) blocks —
+    quadratic only inside blocks; at scale this verifies LSH candidates
+    rather than scanning all pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / F.lit(100)).cast("long").alias("len_band"),
+        F.array_distinct(tx.shingles(tx.tokens(F.col("text")))).alias("shset"),
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shset"), F.col("b.shset")))
+    union = F.size(F.col("a.shset")) + F.size(F.col("b.shset")) - inter
+    jaccard = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_band") == F.col("b.len_band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter((F.size(F.col("a.shset")) > 0) & (F.size(F.col("b.shset")) > 0))
+        .filter(jaccard >= _JACCARD_MIN)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard.alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text statistics / quality / language ID / fingerprints
+# ---------------------------------------------------------------------------
+
+_PUNCT_RE = "[^a-zA-Z0-9 ]"
+_STATS_CTE = f"""
+WITH t AS (
+  SELECT doc_id, text, lang, {tx.tokens_sql('text')} AS toks FROM documents
+), st AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(length(text) AS INTEGER) AS n_chars_text,
+         CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+         CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS INTEGER)
+           AS token_chars,
+         CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS INTEGER) AS punct_count,
+         CAST(len(list_filter(toks,
+              t -> list_contains(['the','and','of','to','in','is','a'], t)))
+           AS INTEGER) AS stopword_count
+  FROM t
+)
+"""
+
+_TEXT_STATS_SQL = (
+    _STATS_CTE
+    + """
+SELECT doc_id, n_tokens, n_chars_text, n_distinct_tokens, punct_count, stopword_count,
+       CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(punct_count AS DOUBLE) / n_chars_text AS punct_ratio,
+       CAST(stopword_count AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS diversity
+FROM st WHERE n_tokens > 0
+"""
+)
+
+_EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a")
+
+
+def _stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    stopset = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).alias("token_chars"),
+        F.regexp_count("text", F.lit(_PUNCT_RE)).alias("punct_count"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stopset, t))).alias(
+            "stopword_count"
+        ),
+    )
+
+
+@register("docs_text_stats", oracle=_TEXT_STATS_SQL, headline=True)
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/punctuation/stopword statistics per document — the
+    quality-signal substrate, all JVM-side expressions."""
+    st = _stats(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    return st.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_text",
+        "n_distinct_tokens",
+        "punct_count",
+        "stopword_count",
+        (F.col("token_chars").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        (F.col("punct_count").cast("double") / F.col("n_chars_text")).alias(
+            "punct_ratio"
+        ),
+        (F.col("stopword_count").cast("double") / F.col("n_tokens")).alias(
+            "stopword_ratio"
+        ),
+        (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")).alias(
+            "diversity"
+        ),
+    )
+
+
+_QUALITY_SQL = (
+    _STATS_CTE
+    + """
+SELECT doc_id,
+       0.4 * least(1.0, n_tokens / 100.0)
+       + 0.3 * (1.0 - CAST(punct_count AS DOUBLE) / n_chars_text)
+       + 0.3 * least(1.0, 4.0 * (CAST(stopword_count AS DOUBLE) / n_tokens))
+         AS quality_score
+FROM st WHERE n_tokens > 0
+"""
+)
+
+
+@register("docs_quality_score", oracle=_QUALITY_SQL)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length, punctuation, stopword-density) —
+    the Gopher/C4-style heuristic filter, as one arithmetic expression."""
+    st = _stats(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.col("punct_count").cast("double") / F.col("n_chars_text"))
+        + F.lit(0.3)
+        * F.least(
+            F.lit(1.0),
+            F.lit(4.0) * (F.col("stopword_count").cast("double") / F.col("n_tokens")),
+        )
+    )
+    return st.select("doc_id", score.alias("quality_score"))
+
+
+_LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {tx.tokens_sql('text')} AS toks FROM documents
+)
+SELECT doc_id, lang, {tx.predicted_lang_sql('toks')} AS lang_pred,
+       CASE WHEN lang = {tx.predicted_lang_sql('toks')} THEN 1 ELSE 0 END AS is_match
+FROM t
+"""
+
+
+@register("docs_lang_id", oracle=_LANG_ID_SQL)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic family) with a
+    deterministic argmax tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    pred = tx.predicted_lang(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        F.when(F.col("lang") == pred, 1).otherwise(0).alias("is_match"),
+    )
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5({tx.normalized_text_sql('text')}) AS fingerprint,
+       {hashing.md5_hash60_sql(tx.normalized_text_sql('text'))} AS fingerprint60
+FROM documents
+"""
+
+
+@register("docs_fingerprint", oracle=_FINGERPRINT_SQL)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint (md5 of normalized text + 60-bit int)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = tx.normalized_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        hashing.md5_hash60(norm).alias("fingerprint60"),
+    )
+
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len({tx.tokens_sql('text')}) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+            AS INTEGER) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+@register("docs_token_count", oracle=_TOKEN_COUNT_SQL)
+def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace/alnum tokens + a BPE-ish regex count
+    (letter runs | digit runs | single punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tx.tokens(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).alias(
+            "bpe_ish_tokens"
+        ),
+    )

@@ -1,0 +1,247 @@
+"""Similarity-search operators over the `embeddings` table.
+
+Brute-force cosine top-k is the correctness baseline; the LSH
+(random-hyperplane) bucketing is the linear-time ANN scale path — at 100 TB
+signatures compute in one pass and candidate generation is an equi-join on
+the bucket id, never an O(n²) cross join.
+
+Determinism: every dot product casts float→double per element and folds
+strictly left-to-right (functions/vectors.py), and the LSH hyperplanes are
+md5-seeded literals generated in Python and embedded identically in the
+Spark plan and the DuckDB oracle — so similarities are bit-identical and
+rankings tie out exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.functions import vectors as vx
+from projekt_data_engineering_iubh_spark.plans.registry import register
+
+EMB_DIM = 64
+N_PLANES = 8
+
+
+def _plane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1]^EMB_DIM."""
+    out = []
+    for i in range(EMB_DIM):
+        h = int(hashlib.md5(f"plane_{j}_{i}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+PLANES = [_plane(j) for j in range(N_PLANES)]
+
+
+# ---------------------------------------------------------------------------
+# Array function surface
+# ---------------------------------------------------------------------------
+
+_ARRAY_FUNCS_SQL = f"""
+SELECT vec_id, label,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_elem,
+       CAST(embedding[len(embedding)] AS DOUBLE) AS last_elem,
+       CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+       CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+       {vx.norm_sql('embedding')} AS l2_norm
+FROM embeddings
+"""
+
+
+@register("emb_array_funcs", oracle=_ARRAY_FUNCS_SQL)
+def emb_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column function surface: size, element access, min/max, norm."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_elem"),
+        F.element_at(emb, F.size(emb)).cast("double").alias("last_elem"),
+        F.array_min(emb).cast("double").alias("min_elem"),
+        F.array_max(emb).cast("double").alias("max_elem"),
+        vx.norm(emb).alias("l2_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (the ANN correctness baseline)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 10
+_KNN_QUERIES = 5
+
+_KNN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {_KNN_QUERIES}),
+c AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {vx.cosine_sql('qe', 'embedding')} AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
+  FROM c
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= {_KNN_K}
+"""
+
+
+@register("emb_knn_brute", oracle=_KNN_SQL, headline=True)
+def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the corpus
+    (one scan, no shuffle of the big side), then per-query top-k window."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        vx.cosine(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KNN_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine near-duplicate detection (label-blocked)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_SQL = f"""
+WITH p AS (
+  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {vx.cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+),
+r AS (
+  SELECT label, vec_a, vec_b, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY label
+             ORDER BY cos_sim DESC, vec_a, vec_b) AS rn
+  FROM p
+)
+SELECT label, vec_a, vec_b, cos_sim FROM r WHERE rn = 1
+"""
+
+
+@register("emb_cosine_neardup", oracle=_NEARDUP_SQL)
+def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: most-similar pair per label block (blocked
+    pairwise cosine + top-1 window)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        vx.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) — the ANN scale path
+# ---------------------------------------------------------------------------
+
+
+def _plane_dot_spark(j: int) -> F.Column:
+    plane = F.array(*[F.lit(v) for v in PLANES[j]])
+    prods = F.zip_with(
+        F.col("embedding"), plane, lambda x, y: x.cast("double") * y
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _plane_dot_sql(j: int) -> str:
+    lits = "[" + ", ".join(repr(v) for v in PLANES[j]) + "]"
+    prods = (
+        f"list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ({lits})[i])"
+    )
+    return f"list_reduce({prods}, (x, y) -> x + y)"
+
+
+def _bucket_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"({terms})"
+
+
+_LSH_BUCKETS_SQL = f"""
+SELECT vec_id, label, CAST({_bucket_sql()} AS INTEGER) AS bucket
+FROM embeddings
+"""
+
+
+def _with_bucket(e: DataFrame) -> DataFrame:
+    bucket = None
+    for j in range(N_PLANES):
+        term = F.when(_plane_dot_spark(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return e.withColumn("bucket", bucket.cast("int"))
+
+
+@register("emb_lsh_buckets", oracle=_LSH_BUCKETS_SQL)
+def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 planes → 256 buckets).
+    One pass over the corpus; hyperplanes are md5-seeded literals shared
+    with the oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return _with_bucket(e).select("vec_id", "label", "bucket")
+
+
+_LSH_ANN_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({_bucket_sql()} AS INTEGER) AS bucket
+  FROM embeddings
+)
+SELECT x.bucket, x.vec_id AS vec_a, y.vec_id AS vec_b,
+       {vx.cosine_sql('x.embedding', 'y.embedding')} AS cos_sim
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+"""
+
+
+@register("emb_lsh_ann_pairs", oracle=_LSH_ANN_SQL)
+def emb_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN candidate pairs: equi-join on LSH bucket, exact cosine on the
+    survivors — linear-time ANN (the brute-force top-k's scale-out path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = _with_bucket(e).select("vec_id", "embedding", "bucket")
+    x = b.alias("x")
+    y = b.alias("y")
+    return x.join(
+        y,
+        (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(
+        F.col("x.bucket").alias("bucket"),
+        F.col("x.vec_id").alias("vec_a"),
+        F.col("y.vec_id").alias("vec_b"),
+        vx.cosine(F.col("x.embedding"), F.col("y.embedding")).alias("cos_sim"),
+    )

@@ -1,0 +1,48 @@
+"""Oracle-differential tests: every registered query with an oracle must
+match DuckDB exactly (row count + columns + order-insensitive values) at
+sf0.001. This replicates the driver's CORRECTNESS gate locally, fast."""
+
+from __future__ import annotations
+
+import pytest
+
+from projekt_data_engineering_iubh_spark.plans import all_queries
+from tests.oracle_harness import compare, duckdb_connection
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_QUERIES = all_queries()
+_WITH_ORACLE = sorted(n for n, q in _QUERIES.items() if q.oracle is not None)
+_ROWS_ONLY = sorted(n for n, q in _QUERIES.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_query_matches_oracle(spark, duck, name):
+    q = _QUERIES[name]
+    df = q.fn(spark, SF_DIR)
+    problems = compare(name, df, q.oracle, duck)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    q = _QUERIES[name]
+    df = q.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert e.queries().keys() >= set(_WITH_ORACLE)
+    assert set(e.oracle_sql().keys()) == set(_WITH_ORACLE)
