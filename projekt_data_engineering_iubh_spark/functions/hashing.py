@@ -70,16 +70,30 @@ def minhash_signature(hashes: Column, k: int = 16) -> Column:
     """MinHash signature (array<bigint> of length k) over pre-hashed
     shingles (see :func:`hashed_shingles`).
 
-    Empty shingle sets hash to the sentinel ``MERSENNE_P`` in every slot so
+    Implemented as ONE ``aggregate`` fold with an array<bigint> accumulator
+    updating all k slots per shingle. This matters: expressing it as k
+    separate array_min(transform(...)) calls duplicates the ``hashes``
+    subtree k times, and Spark cannot eliminate common subexpressions
+    inside interpreted higher-order functions — the md5 hashing would run
+    k× per document (observed 17× slowdown at sf0.1).
+
+    Empty shingle sets keep the sentinel ``MERSENNE_P`` in every slot so
     two empty docs collide (they are trivially duplicates).
     """
-    mins = [
-        F.when(F.size(hashes) > 0, F.array_min(
-            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
-        )).otherwise(F.lit(MERSENNE_P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
-    ]
-    return F.array(*mins)
+    a_consts = F.array(*[F.lit(a) for a, _ in MINHASH_COEFFS[:k]])
+    b_consts = F.array(*[F.lit(b) for _, b in MINHASH_COEFFS[:k]])
+    zero = F.array_repeat(F.lit(MERSENNE_P).cast("long"), k)
+
+    def step(acc: Column, h: Column) -> Column:
+        # per shingle: acc[j] = min(acc[j], (a_j*h + b_j) mod p) for all j
+        updated = F.zip_with(
+            a_consts,
+            b_consts,
+            lambda a, b: (a * h + b) % F.lit(MERSENNE_P),
+        )
+        return F.zip_with(acc, updated, lambda m, u: F.least(m, u))
+
+    return F.aggregate(hashes, zero, step)
 
 
 def minhash_signature_sql(hashes_expr: str, k: int = 16) -> str:
@@ -100,21 +114,31 @@ def minhash_signature_sql(hashes_expr: str, k: int = 16) -> str:
 def simhash(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over distinct tokens: per bit, +1 if the token's hash has the
     bit set else -1; output bit is 1 when the sum is positive. Packed into
-    one bigint (60 bits < 2^63)."""
+    one bigint (60 bits < 2^63).
+
+    Single-pass fold with an array<int> vote accumulator — per-bit
+    aggregates would recompute the token hashing ``bits`` times (see
+    :func:`minhash_signature`).
+    """
     hashes = F.array_distinct(F.transform(tokens, md5_hash60))
-    def bit_value(i: int) -> Column:
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(2**i)) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        return F.when(votes > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return F.aggregate(
-        F.array(*[bit_value(i) for i in range(bits)]),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    bit_masks = F.array(*[F.lit(2**i).cast("long") for i in range(bits)])
+    zero = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_masks,
+            lambda v, m: v
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
     )
+    packed = F.zip_with(
+        votes,
+        bit_masks,
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(packed, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def simhash_sql(tokens_expr: str, bits: int = SIMHASH_BITS) -> str:

@@ -39,12 +39,19 @@ def tokens_sql(expr: str) -> str:
 
 
 def shingles(tok: Column, w: int = 3) -> Column:
-    """w-gram word shingles; fewer than w tokens → empty array."""
-    idx = F.when(
-        F.size(tok) >= w, F.sequence(F.lit(0), F.size(tok) - F.lit(w))
-    ).otherwise(F.array().cast("array<int>"))
-    parts = lambda i: [F.get(tok, i + F.lit(j)) for j in range(w)]
-    return F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    """w-gram word shingles; fewer than w tokens → empty array.
+
+    Built from w row-level ``slice``s zipped together rather than indexed
+    ``get`` inside a ``transform`` lambda: a captured non-attribute subtree
+    inside a lambda body is re-evaluated per element in Spark's interpreted
+    higher-order functions, which would re-tokenize the document once per
+    shingle per accessed index."""
+    n = F.size(tok)
+    parts = [F.slice(tok, j + 1, n - (w - 1)) for j in range(w)]
+    z = parts[0]
+    for p in parts[1:]:
+        z = F.zip_with(z, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(n >= w, z).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_sql(tokens_expr: str, w: int = 3) -> str:

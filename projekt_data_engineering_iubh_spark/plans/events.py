@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.operators.asof import asof_join
 from projekt_data_engineering_iubh_spark.operators.rules import (
     rules_to_sql_predicate,
     with_error_flag,
@@ -257,6 +258,41 @@ def events_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.to_date("ts") == F.lit("2024-01-15").cast("date")).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS asof_ts, r.event_id AS asof_event_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@register("events_asof_join", oracle=_ASOF_SQL)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase gets the most recent
+    signup at-or-before it per user — union-and-carry composition, one
+    shuffle; DuckDB's native ASOF JOIN is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    return asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["ts", "event_id"],
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_event_id")
 
 
 _JSON_SQL = """

@@ -1,0 +1,65 @@
+"""Multimodal plumbing tests: the Spark-side contracts run for real; only
+the codec is a deterministic fake (no image libs in this container)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
+    MEDIA_SCHEMA,
+    extract_image_features,
+    fake_image_decoder,
+    sample_frames,
+    size_balanced,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG-fake-1", (11, None, None, None)),
+        (2, "image", b"\x89PNG-fake-two", (13, None, None, None)),
+        (3, "video", b"\x00\x00mp4-fake", (9, None, None, 3500)),
+        (4, "audio", b"RIFF-fake", (9, None, None, 2000)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_deterministic(spark, media):
+    feats = extract_image_features(media, decoder=fake_image_decoder)
+    rows = {r.asset_id: r for r in feats.collect()}
+    assert set(rows) == {1, 2}  # only images
+    w, h, luma = fake_image_decoder(b"\x89PNG-fake-1")
+    assert rows[1].width == w and rows[1].height == h
+    assert rows[1].mean_luma == pytest.approx(luma)
+    assert len(rows[1].phash) == 16
+    # re-run → identical (decoder is pure)
+    again = {r.asset_id: r for r in feats.collect()}
+    assert again[2].phash == rows[2].phash
+
+
+def test_missing_codec_raises_cleanly(spark, media):
+    feats = extract_image_features(media, decoder=None)
+    with pytest.raises(Exception, match="no image codec"):
+        feats.collect()
+
+
+def test_frame_sampling_prunes_payload(spark, media, tmp_path):
+    # pruning is observable only on a file source (a local relation always
+    # carries all columns) — write to parquet and plan against that
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    frames = sample_frames(spark.read.parquet(path), every_ms=1000)
+    got = sorted((r.asset_id, r.frame_ts_ms) for r in frames.collect())
+    assert got == [(3, 0), (3, 1000), (3, 2000), (3, 3000)]
+    # the binary column must be pruned from the parquet ReadSchema
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("payload" not in ln for ln in read_schema)
+
+
+def test_size_balanced_partitioning(spark, media):
+    df = size_balanced(media, 2)
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 4

@@ -1,0 +1,64 @@
+"""Source/sink tests: partitioned parquet idempotency + JDBC merge SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.sources import jdbc, parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_and_partition_pruning(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    pq.write_partitioned(orders, path, partition_by=["order_year"], mode="overwrite")
+    back = pq.read(spark, path)
+    assert back.count() == orders.count()
+    # partition filter prunes the scan to one directory
+    pruned = back.filter(F.col("order_year") == 1997)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() > 0
+
+
+def test_overwrite_partitions_is_idempotent(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "idem")
+    pq.write_partitioned(
+        orders, path, partition_by=["order_year"], mode="overwrite_partitions"
+    )
+    n1 = pq.read(spark, path).count()
+    pq.write_partitioned(
+        orders, path, partition_by=["order_year"], mode="overwrite_partitions"
+    )
+    n2 = pq.read(spark, path).count()
+    assert n1 == n2 == orders.count()
+
+    # rewriting a subset only replaces that partition
+    just_97 = orders.filter(F.col("order_year") == 1997)
+    pq.write_partitioned(
+        just_97, path, partition_by=["order_year"], mode="overwrite_partitions"
+    )
+    assert pq.read(spark, path).count() == n1
+
+
+def test_merge_sql_shape():
+    sql = jdbc.merge_sql(
+        "hourly_machine_summary",
+        "hourly_machine_summary_staging",
+        ["summary_date", "hour_of_day", "machine_id", "cycle_count"],
+        ["summary_date", "hour_of_day", "machine_id"],
+    )
+    assert sql == (
+        "INSERT INTO hourly_machine_summary "
+        "(summary_date, hour_of_day, machine_id, cycle_count) "
+        "SELECT summary_date, hour_of_day, machine_id, cycle_count "
+        "FROM hourly_machine_summary_staging "
+        "ON CONFLICT (summary_date, hour_of_day, machine_id) "
+        "DO UPDATE SET cycle_count = EXCLUDED.cycle_count"
+    )
