@@ -11,7 +11,7 @@ conditional rollup (A2/A3, :193-232), threshold-rule error flags
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from projekt_data_engineering_iubh_spark.catalog import load_table
 from projekt_data_engineering_iubh_spark.operators.asof import asof_join
@@ -293,6 +293,77 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         payload=["ts", "event_id"],
     ).select("event_id", "user_id", "ts", "asof_ts", "asof_event_id")
+
+
+_RANGE_FRAME_SQL = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+         AS n_last_5min
+FROM events
+"""
+
+
+@register("events_window_range_frame", oracle=_RANGE_FRAME_SQL)
+def events_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: events per user in the trailing
+    5 minutes, ordered by integer-µs event time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-300_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_5min")
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       (epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0 AS diff_sec
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+"""
+
+
+@register("events_range_join", oracle=_RANGE_JOIN_SQL)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (|Δts| ≤ 60s per user) via minute-bucketization: explode
+    one side into its bucket ±1, equi-join on (user, bucket), then filter
+    exactly — the linear-time pattern for interval joins (a theta-join
+    would be quadratic per user at scale)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    bucketed = ev.withColumn("bucket", F.expr("us div 60000000"))
+    exploded = bucketed.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    a = exploded.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .filter(F.abs(F.col("a.us") - F.col("b.us")) <= 60_000_000)
+        .select(
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            ((F.col("b.us") - F.col("a.us")) / F.lit(1000000.0)).alias("diff_sec"),
+        )
+        # no dedup needed: each pair matches on exactly one bucket value
+        # (the right side's own bucket), so the join emits it once
+    )
 
 
 _JSON_SQL = """

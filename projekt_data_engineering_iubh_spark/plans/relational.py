@@ -576,6 +576,30 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       median(l_extendedprice) AS median_price,
+       quantile_cont(l_extendedprice, 0.25) AS p25_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_percentiles", oracle=_PERCENTILES_SQL)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition, so results
+    are bit-identical on identical input doubles. (The 100 TB variant is
+    `percentile_approx`, engine-specific — see agg_approx_distinct for how
+    sketches are surfaced rows-only.)"""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("median_price"),
+        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+    )
+
+
 @register("agg_approx_distinct", oracle=None)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — the 100 TB substitute for exact
@@ -748,6 +772,117 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
         F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
         F.round(F.pow(F.lit(1) + F.col("l_discount"), 2), 6).alias("disc_pow"),
+    )
+
+
+_PIVOT_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("pivot_status_by_segment", oracle=_PIVOT_SQL)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an explicit value list (one pass, no second
+    scan for value discovery — required at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, subset=["O", "F", "P"])
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, measure, val FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+)
+"""
+
+
+@register("unpivot_lineitem", oracle=_UNPIVOT_SQL)
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of three measures."""
+    l = load_table(spark, sf_dir, "lineitem")
+    out = l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+    return out.withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+
+
+_CONDITIONAL_SQL = """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+       greatest(c_acctbal, 0.0) AS acctbal_floor,
+       least(c_acctbal, 5000.0) AS acctbal_cap,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 1000 THEN 'low'
+            ELSE 'high' END AS acct_band,
+       (c_acctbal IS NULL) AS bal_missing
+FROM customer
+"""
+
+
+@register("scalar_conditional_funcs", oracle=_CONDITIONAL_SQL)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar surface: coalesce / nullif / greatest / least /
+    CASE / IS NULL."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("segment_or_other"),
+        F.greatest(bal, F.lit(0.0)).alias("acctbal_floor"),
+        F.least(bal, F.lit(5000.0)).alias("acctbal_cap"),
+        F.when(bal < 0, "debt")
+        .when(bal < 1000, "low")
+        .otherwise("high")
+        .alias("acct_band"),
+        bal.isNull().alias("bal_missing"),
+    )
+
+
+_REGEXP_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_name, '([aeiou]+)', 1) AS first_vowels,
+       regexp_matches(p_name, '[0-9]') AS has_digit,
+       array_to_string(string_split(p_type, 'A'), '|') AS type_parts,
+       trim(concat('  ', p_name, '  ')) AS trimmed,
+       reverse(p_brand) AS brand_rev
+FROM part
+"""
+
+
+@register("scalar_regexp_funcs", oracle=_REGEXP_SQL)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + split/trim/reverse string surface."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([aeiou]+)", 1).alias("first_vowels"),
+        F.col("p_name").rlike("[0-9]").alias("has_digit"),
+        # arrays stringify differently across fetch paths (list vs ndarray);
+        # oracle-checked outputs stay scalar
+        F.array_join(F.split("p_type", "A"), "|").alias("type_parts"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.reverse("p_brand").alias("brand_rev"),
     )
 
 

@@ -83,7 +83,9 @@ WITH toks AS (
 )
 """
 
-_MINHASH_SQL = _SIG_CTE + "SELECT doc_id, minhash FROM sig"
+_MINHASH_SQL = _SIG_CTE + (
+    "SELECT doc_id, array_to_string(minhash, '-') AS minhash_sig FROM sig"
+)
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,8 +100,16 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("docs_minhash_signatures", oracle=_MINHASH_SQL)
 def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=16) over 3-word shingles — engine-portable
-    md5-based hashing, one pass, no shuffle."""
-    return _signatures(spark, sf_dir)
+    md5-based hashing, one pass, no shuffle. Output is the '-'-joined
+    signature string (array columns stringify inconsistently across
+    result-fetch paths)."""
+    sig = _signatures(spark, sf_dir)
+    return sig.select(
+        "doc_id",
+        F.array_join(
+            F.transform("minhash", lambda x: x.cast("string")), "-"
+        ).alias("minhash_sig"),
+    )
 
 
 _BANDS_CTE = _SIG_CTE + ", bands AS (\n" + "\n  UNION ALL\n".join(
@@ -131,7 +141,14 @@ JOIN sig sb ON sb.doc_id = doc_b
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: band the signature (4 bands × 4
     rows), self-join on band key, estimate Jaccard from signature overlap.
-    Linear in corpus size; the only shuffle is the band-key join."""
+    Linear in corpus size; the only shuffle is the band-key join.
+
+    The full signature rides along on the band rows so the pair's overlap
+    is computed inside the self-join itself: both join sides are the same
+    plan shuffled on the same key, which Spark executes once and reuses
+    (ReusedExchange). Re-joining signatures onto candidate pairs afterwards
+    would evaluate the signature computation two more times.
+    """
     sig = _signatures(spark, sf_dir)
     band = F.explode(
         F.array(
@@ -150,35 +167,31 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    bands = sig.select("doc_id", band.alias("band")).select(
-        "doc_id", "band.band_no", "band.band_key"
+    bands = sig.select("doc_id", "minhash", band.alias("band")).select(
+        "doc_id", "minhash", "band.band_no", "band.band_key"
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    overlap = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), F.col("minhash").alias("sig_a")
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), F.col("minhash").alias("sig_b")
-    )
-    overlap = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.minhash").alias("sig_a"),
+            F.col("b.minhash").alias("sig_b"),
         )
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .distinct()
         .select(
             "doc_a",
             "doc_b",

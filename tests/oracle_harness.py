@@ -33,7 +33,7 @@ def _canon_value(v: Any) -> Any:
         if math.isnan(v):
             return "<NaN>"
         return repr(v)  # full precision — comparison is exact by design
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(str(_canon_value(x)) for x in v) + "]"
     try:
         if pd.isna(v):

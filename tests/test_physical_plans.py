@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the optimizations that matter at 100 TB must
+actually appear in the executed plan, not just in intent.
+
+Plan strings come from queryExecution().executedPlan() (pre-execution,
+AQE-wrapped) — enough to see scans, pushed filters, and join strategies.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from projekt_data_engineering_iubh_spark.plans import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_prunes_unused_columns(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read
+    # 7 needed columns reach the scan; keys/partkeys are pruned
+    assert all("l_partkey" not in ln and "l_orderkey" not in ln for ln in read)
+    assert any("l_quantity" in ln for ln in read)
+
+
+def test_month_slice_pushes_filter_to_scan(spark):
+    plan = plan_of(spark, "orders_month_slice")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("o_orderdate" in ln for ln in pushed)
+
+
+def test_q3_q5_broadcast_dimensions(spark):
+    for name in ("q3_shipping_priority", "q5_regional_revenue"):
+        assert "BroadcastHashJoin" in plan_of(spark, name), name
+
+
+def test_top20_uses_take_ordered(spark):
+    # global top-k must not materialize a full sort
+    assert "TakeOrderedAndProject" in plan_of(spark, "top20_lineitems")
+
+
+def test_lsh_pairs_is_equi_join(spark):
+    # the LSH candidate join must be an equi-join (hash/sort-merge), never
+    # a nested-loop/cartesian — that's the whole point of banding
+    plan = plan_of(spark, "docs_minhash_lsh_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in plan_of(spark, "join_semi_f_orders")
+    assert "LeftAnti" in plan_of(spark, "join_anti_no_orders")
+
+
+def test_flagship_single_scan_branches(spark):
+    # both rollup branches read the same parquet — the scan must appear,
+    # and no Python UDFs (BatchEvalPython) may sneak into the plan
+    plan = plan_of(spark, "events_flagship_session_rollup")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "docs_text_stats",
+        "docs_minhash_signatures",
+        "emb_knn_brute",
+        "events_sessionize",
+    ],
+)
+def test_no_python_udfs_on_hot_paths(spark, name):
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
