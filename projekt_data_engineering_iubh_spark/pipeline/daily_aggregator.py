@@ -307,9 +307,11 @@ def run(
 
     * enriched events → append, partitioned by event date (a daily rerun
       appends duplicates, like the reference DB table — see note in D4);
-    * hourly summary → **dynamic partition overwrite** on summary_date:
-      re-running a day replaces exactly that day's partitions, which is the
-      idempotent merge the reference documents but never implemented (D1).
+    * hourly summary → **dynamic partition overwrite** on
+      (summary_date, machine_id): re-running a machine-day replaces exactly
+      that pair — the idempotent merge the reference documents but never
+      implemented (D1), at the granularity its per-machine daily files
+      actually arrive in.
     """
     events_err_cached = None
     raw = read_events_csv(spark, input_csv)
@@ -328,9 +330,12 @@ def run(
             .parquet(f"{output_dir}/processed_machine_events")
         )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # partition by (date, machine): a rerun of one machine-day replaces
+        # exactly that pair — partitioning by date alone would clobber other
+        # machines' rows for the same day when jobs run per machine-file
         (
             summary.write.mode("overwrite")
-            .partitionBy("summary_date")
+            .partitionBy("summary_date", "machine_id")
             .parquet(f"{output_dir}/hourly_machine_summary")
         )
         n_events = spark.read.parquet(
@@ -343,3 +348,50 @@ def run(
     finally:
         events_err_cached.unpersist()
         cycle_times.unpersist()
+
+
+def validate_input_filename(name: str) -> str | None:
+    """CLI arg validation (reference P19, daily_aggregator.py:292-301):
+    bare ``*.csv`` filename — returns an error string or None."""
+    if not name or "/" in name or "\\" in name or not name.lower().endswith(".csv"):
+        return f"invalid file name {name!r}: expected a bare *.csv filename"
+    return None
+
+
+def main(argv: list[str]) -> int:
+    """``python -m …pipeline.daily_aggregator <file.csv> [data_dir] [out_dir]``
+
+    The reference's spark-submit entry point (§3 entry 1), against parquet
+    sinks: file lives under ``data_dir`` (default ./raw_data), outputs
+    under ``out_dir`` (default ./warehouse), rules from
+    ``SCHWELLWERTE_PATH`` env or built-in defaults.
+    """
+    import os
+
+    from projekt_data_engineering_iubh_spark.pipeline.config import load_rules
+    from projekt_data_engineering_iubh_spark.session import get_spark
+
+    if len(argv) < 2:
+        print("usage: daily_aggregator.py <file.csv> [data_dir] [out_dir]")
+        return 1
+    err = validate_input_filename(argv[1])
+    if err:
+        print(err)
+        return 1
+    data_dir = argv[2] if len(argv) > 2 else "./raw_data"
+    out_dir = argv[3] if len(argv) > 3 else "./warehouse"
+    rules_path = os.environ.get("SCHWELLWERTE_PATH")
+    rules = load_rules(rules_path) if rules_path else load_rules(None)
+    spark = get_spark(f"daily_aggregator_{argv[1]}")
+    try:
+        counts = run(spark, os.path.join(data_dir, argv[1]), out_dir, rules)
+        print(counts)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(main(sys.argv))
