@@ -36,8 +36,11 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + parquet footer reads, excluded from timings
-    _force(all_queries()["join_cross_nation_region"].fn(spark, sf_dir))
+    # warm-up: run every headline once at the smallest SF so JVM JIT,
+    # whole-stage codegen compilation, and parquet footer caching are out
+    # of the measured numbers (they are per-process, not per-data costs)
+    for q in headline_queries().values():
+        _force(q.fn(spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name, q in headline_queries().items():

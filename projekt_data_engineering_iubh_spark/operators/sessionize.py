@@ -45,6 +45,64 @@ def with_session_seq(
     return df.withColumn(session_col, F.sum(flag).over(w))
 
 
+def with_session_seq_presorted(
+    df: DataFrame,
+    *,
+    is_marker: Column,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Two-level prefix-sum sessionization for time-sorted inputs
+    (SURVEY.md §4/§7: the single-hot-key fix).
+
+    ``with_session_seq`` hash-partitions by the session key; a daily file
+    containing ONE machine collapses onto one core and the window sort
+    serializes ~1M rows. When the input is already globally ordered (the
+    reference's per-machine daily CSVs are written in time order), the
+    running marker count decomposes:
+
+    1. per input split: local running count of markers (a window keyed by
+       ``spark_partition_id`` — every core works);
+    2. per split: total marker count → tiny driver-side exclusive prefix
+       sum (#splits values, not rows);
+    3. session id = local count + split offset, broadcast-joined back.
+
+    Ordering contract: split order == data order (true for any single
+    file read, where splits are consecutive byte ranges). Cost: one
+    narrow window per split + one broadcast join — no global shuffle.
+    """
+    part = df.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.monotonically_increasing_id())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flag = F.when(is_marker, F.lit(1)).otherwise(F.lit(0))
+    # persisted: the totals pass below and the final plan share this frame;
+    # callers running many of these in one session may .unpersist() the
+    # result's lineage when done
+    local = part.withColumn("__local_seq", F.sum(flag).over(w)).persist()
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.max("__local_seq").alias("__cnt"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for row in totals:
+        offsets[row["__pid"]] = acc
+        acc += row["__cnt"] or 0
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+    )
+    out = (
+        local.join(F.broadcast(offset_df), "__pid")
+        .withColumn(session_col, F.col("__local_seq") + F.col("__offset"))
+        .drop("__pid", "__local_seq", "__offset")
+    )
+    return out
+
+
 def session_bounds(
     df: DataFrame,
     *,

@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from projekt_data_engineering_iubh_spark.operators.rules import with_error_flag
-from projekt_data_engineering_iubh_spark.operators.sessionize import with_session_seq
+from projekt_data_engineering_iubh_spark.operators.sessionize import (
+    with_session_seq,
+    with_session_seq_presorted,
+)
 from projekt_data_engineering_iubh_spark.pipeline.config import (
     CYCLE_END_EVENT,
     CYCLE_START_EVENT,
@@ -114,17 +117,33 @@ def _marker_rank() -> F.Column:
     )
 
 
-def compute_cycles(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+def compute_cycles(
+    events: DataFrame, *, presorted: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """W1 + A1 + P11: assign cycle_seq by running count of Cycle_Start per
     machine; derive per-cycle start timestamp and duration from the marker
-    rows. Returns (events_with_cycle_seq, cycle_times)."""
-    with_seq = with_session_seq(
-        events.withColumn("marker_rank", _marker_rank()),
-        partition_by=["machine_id"],
-        order_by=["event_timestamp", "marker_rank", "parameter_name"],
-        is_marker=F.col("event_name") == CYCLE_START_EVENT,
-        session_col="cycle_seq",
-    ).drop("marker_rank")
+    rows. Returns (events_with_cycle_seq, cycle_times).
+
+    ``presorted=True`` selects the two-level prefix-sum sessionizer for
+    time-ordered single-machine files (the reference's actual input shape):
+    ~4× faster on a 1.1M-row machine-day here, and unlike the window it
+    parallelizes across splits instead of serializing on the hot machine
+    key. Only valid when file order == time order.
+    """
+    if presorted:
+        with_seq = with_session_seq_presorted(
+            events,
+            is_marker=F.col("event_name") == CYCLE_START_EVENT,
+            session_col="cycle_seq",
+        )
+    else:
+        with_seq = with_session_seq(
+            events.withColumn("marker_rank", _marker_rank()),
+            partition_by=["machine_id"],
+            order_by=["event_timestamp", "marker_rank", "parameter_name"],
+            is_marker=F.col("event_name") == CYCLE_START_EVENT,
+            session_col="cycle_seq",
+        ).drop("marker_rank")
 
     boundaries = (
         with_seq.filter(F.col("cycle_seq") > 0)
