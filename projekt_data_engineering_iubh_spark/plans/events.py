@@ -260,6 +260,69 @@ def events_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAP_FUNCS_SQL = """
+SELECT event_id,
+       array_to_string(json_keys(props), ',') AS prop_keys,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+
+
+@register("events_map_funcs", oracle=_MAP_FUNCS_SQL)
+def events_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: from_json → map, map_keys, element access
+    (keys stringified for cross-engine comparison)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        m.getItem("k").alias("k_value"),
+    )
+
+
+_SALTED_AGG_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max
+FROM events GROUP BY event_type
+"""
+
+
+@register("events_salted_agg", oracle=_SALTED_AGG_SQL)
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage salted aggregation (operators/skew.py): 16
+    random sub-keys per group aggregated in parallel, partials combined —
+    result identical to a plain groupBy (the oracle), which is the point."""
+    from projekt_data_engineering_iubh_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(12,2)")
+    )
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        [
+            ("n", "event_type", "count"),
+            ("value_sum_dec", "value_dec", "sum"),
+            ("value_min", "value", "min"),
+            ("value_max", "value", "max"),
+        ],
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("value_sum_dec").cast("double").alias("value_sum"),
+        "value_min",
+        "value_max",
+    )
+
+
 _ASOF_SQL = """
 SELECT l.event_id, l.user_id, l.ts,
        r.ts AS asof_ts, r.event_id AS asof_event_id

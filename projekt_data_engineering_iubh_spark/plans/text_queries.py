@@ -89,11 +89,36 @@ _MINHASH_SQL = _SIG_CTE + (
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures via explode → codegen'd md5 → k min-aggregates.
+
+    The array-fold formulation (functions/hashing.py::minhash_signature)
+    is correct but runs md5 inside an interpreted lambda (~660µs/doc).
+    Exploding shingles moves the hashing into whole-stage codegen and the
+    k universal hashes into vectorized projections; partial aggregation
+    min-combines map-side, so the shuffle carries only docs × k longs.
+    Same constants → identical signatures (the DuckDB oracle is unchanged).
+    """
     d = load_table(spark, sf_dir, "documents")
     toks = tx.tokens(F.col("text"))
-    hs = hashing.hashed_shingles(tx.shingles(toks))
-    return d.select(
-        "doc_id", hashing.minhash_signature(hs, _MINHASH_K).alias("minhash")
+    exploded = d.select(
+        "doc_id", F.explode_outer(tx.shingles(toks)).alias("s")
+    )
+    h = (hashing.md5_hash60(F.col("s")) % F.lit(hashing.MERSENNE_P)).alias("h")
+    hashed = exploded.select("doc_id", h)
+    p = F.lit(hashing.MERSENNE_P).cast("long")
+    mins = [
+        F.coalesce(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % p), p
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(hashing.MINHASH_COEFFS[:_MINHASH_K])
+    ]
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[f"mh{i}" for i in range(_MINHASH_K)]).alias("minhash"),
+        )
     )
 
 
@@ -137,18 +162,9 @@ JOIN sig sb ON sb.doc_id = doc_b
 )
 
 
-@register("docs_minhash_lsh_pairs", oracle=_LSH_PAIRS_SQL, headline=True)
-def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: band the signature (4 bands × 4
-    rows), self-join on band key, estimate Jaccard from signature overlap.
-    Linear in corpus size; the only shuffle is the band-key join.
-
-    The full signature rides along on the band rows so the pair's overlap
-    is computed inside the self-join itself: both join sides are the same
-    plan shuffled on the same key, which Spark executes once and reuses
-    (ReusedExchange). Re-joining signatures onto candidate pairs afterwards
-    would evaluate the signature computation two more times.
-    """
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs with signature-estimated Jaccard (see the registered
+    query below for the design notes)."""
     sig = _signatures(spark, sf_dir)
     band = F.explode(
         F.array(
@@ -198,6 +214,21 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (overlap / F.lit(float(_MINHASH_K))).alias("est_jaccard"),
         )
     )
+
+
+@register("docs_minhash_lsh_pairs", oracle=_LSH_PAIRS_SQL, headline=True)
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the signature (4 bands × 4
+    rows), self-join on band key, estimate Jaccard from signature overlap.
+    Linear in corpus size; the only shuffle is the band-key join.
+
+    The full signature rides along on the band rows so the pair's overlap
+    is computed inside the self-join itself: both join sides are the same
+    plan shuffled on the same key, which Spark executes once and reuses
+    (ReusedExchange). Re-joining signatures onto candidate pairs afterwards
+    would evaluate the signature computation two more times.
+    """
+    return _lsh_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -512,6 +543,92 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         hashing.md5_hash60(norm).alias("fingerprint60"),
+    )
+
+
+_WORD_COUNT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+)
+SELECT tok AS word, COUNT(*) AS n, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM t, unnest(toks) AS u(tok)
+GROUP BY tok
+HAVING COUNT(*) >= 5
+"""
+
+
+@register("docs_word_count", oracle=_WORD_COUNT_SQL)
+def docs_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode + aggregate: corpus term frequencies (words seen ≥5 times).
+    The explode is map-side; the only shuffle carries (word, partial
+    counts) after partial aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+
+
+_DEDUP_APPLY_SQL = f"""
+WITH exact_keep AS (
+  SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+),
+toks AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {tx.shingles_sql('toks')} AS sh FROM toks
+), hs AS (
+  SELECT doc_id, {hashing.hashed_shingles_sql('sh')} AS hs FROM sh
+), sig AS (
+  SELECT doc_id, {hashing.minhash_signature_sql('hs', 16)} AS minhash FROM hs
+), bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, minhash, {b} AS band_no,"
+    f" array_to_string(minhash[{b * 4 + 1}:{(b + 1) * 4}], '-') AS band_key FROM sig"
+    for b in range(4)
+  )}
+),
+near_drop AS (
+  SELECT DISTINCT b.doc_id AS drop_id
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE len(list_filter(range(1, 17), i -> a.minhash[i] = b.minhash[i])) / 16.0 >= 0.5
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN exact_keep ON d.doc_id = exact_keep.keep_id
+WHERE d.doc_id NOT IN (SELECT drop_id FROM near_drop)
+"""
+
+
+@register("docs_dedup_apply", oracle=_DEDUP_APPLY_SQL)
+def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied dedup: corpus minus exact duplicates (keep lowest
+    doc_id per content hash) minus near-duplicates (LSH candidates with
+    signature-estimated Jaccard ≥ 0.5, keep-first policy: the higher
+    doc_id of a pair drops). This is the operator a training-data
+    pipeline actually runs; the pair queries are its diagnostics."""
+    d = load_table(spark, sf_dir, "documents")
+    exact_keep = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    near = (
+        _lsh_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select(F.col("doc_b").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        d.join(
+            exact_keep.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+        .join(near, d.doc_id == near.drop_id, "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
     )
 
 
