@@ -110,12 +110,24 @@ def simulate_day(
 
 
 def write_csv(result: SimResult, path: str | Path) -> Path:
+    """Write the simulated day atomically (temp file + rename).
+
+    Atomicity matters when the target directory is watched by a Structured
+    Streaming file source: the engine polls continuously and will read a
+    half-written file, silently losing the not-yet-flushed tail of that
+    batch (observed: ~5k rows vanished from an hourly window). Rename
+    within the same directory is atomic on POSIX.
+    """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "w", newline="") as f:
+    # leading dot: Spark file sources ignore hidden files, so the temp name
+    # is invisible to a watching stream even before the rename
+    tmp = path.parent / f".{path.name}.tmp"
+    with open(tmp, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(HEADER)
         w.writerows(result.rows)
+    tmp.rename(path)
     return path
 
 

@@ -99,15 +99,27 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= {_KNN_K}
 @register("emb_knn_brute", oracle=_KNN_SQL, headline=True)
 def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set against the corpus
-    (one scan, no shuffle of the big side), then per-query top-k window."""
-    e = load_table(spark, sf_dir, "embeddings")
+    (one scan, no shuffle of the big side), then per-query top-k window.
+
+    Norms are hoisted to per-vector columns before the join — a cosine per
+    pair would refold each vector's norm inside an interpreted lambda,
+    tripling the per-pair work. Identical arithmetic (same fold per
+    vector), so the oracle is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", vx.norm(F.col("embedding"))
+    )
     q = e.filter(F.col("vec_id") < _KNN_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        vx.cosine(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+        (
+            vx.dot(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -140,7 +152,9 @@ SELECT label, vec_a, vec_b, cos_sim FROM r WHERE rn = 1
 def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: most-similar pair per label block (blocked
     pairwise cosine + top-1 window)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", vx.norm(F.col("embedding"))
+    )
     a = e.alias("a")
     b = e.alias("b")
     pairs = a.join(
@@ -151,7 +165,10 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.label").alias("label"),
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        vx.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        (
+            vx.dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("label").orderBy(
         F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b")
@@ -231,8 +248,10 @@ FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 def emb_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN candidate pairs: equi-join on LSH bucket, exact cosine on the
     survivors — linear-time ANN (the brute-force top-k's scale-out path)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    b = _with_bucket(e).select("vec_id", "embedding", "bucket")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", vx.norm(F.col("embedding"))
+    )
+    b = _with_bucket(e).select("vec_id", "embedding", "nrm", "bucket")
     x = b.alias("x")
     y = b.alias("y")
     return x.join(
@@ -243,5 +262,8 @@ def emb_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.bucket").alias("bucket"),
         F.col("x.vec_id").alias("vec_a"),
         F.col("y.vec_id").alias("vec_b"),
-        vx.cosine(F.col("x.embedding"), F.col("y.embedding")).alias("cos_sim"),
+        (
+            vx.dot(F.col("x.embedding"), F.col("y.embedding"))
+            / (F.col("x.nrm") * F.col("y.nrm"))
+        ).alias("cos_sim"),
     )

@@ -41,13 +41,17 @@ def hourly_rollup_stream(
 
 
 def write_idempotent_hourly(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
-    """foreachBatch sink: per-partition overwrite keyed by window start date
-    — the streaming analog of the batch job's idempotent summary write."""
+    """foreachBatch sink: per-partition overwrite keyed by (date, hour) of
+    the window start. The hour must be part of the key because append mode
+    emits different hours of the same date in different batches — a
+    date-grained overwrite would clobber previously emitted hours (see
+    pipeline_stream.write_summary_batch)."""
     spark = batch_df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         batch_df.withColumn("summary_date", F.to_date(F.col("hour_window.start")))
+        .withColumn("hour_of_day", F.hour(F.col("hour_window.start")))
         .write.mode("overwrite")
-        .partitionBy("summary_date")
+        .partitionBy("summary_date", "hour_of_day")
         .parquet(output_dir)
     )
