@@ -260,6 +260,75 @@ def events_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAP_SESSION_SQL = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              OR lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS gap_session
+FROM g
+"""
+
+
+@register("events_gap_sessionize", oracle=_GAP_SESSION_SQL)
+def events_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative sum over inactivity
+    > 30 min) — the idle-timeout complement to the reference's
+    marker-based W1; streaming analog is ``session_window``."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(w)
+    # two projections: a window function can't nest inside another
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("is_new").over(w).alias("gap_session"),
+    )
+
+
+_HAVING_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+"""
+
+
+@register("agg_having", oracle=_HAVING_SQL)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING): heavy-hitter customers."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
 _MAP_FUNCS_SQL = """
 SELECT event_id,
        array_to_string(json_keys(props), ',') AS prop_keys,
