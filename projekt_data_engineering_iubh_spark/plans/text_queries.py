@@ -194,6 +194,18 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda eq: eq,
         )
     )
+    # dedup without a distinct: a pair agreeing on several bands would be
+    # emitted once per band, so keep only the FIRST agreeing band — earlier
+    # bands' agreement is decidable from the carried signatures (band_key
+    # is the '-'-join of that slice, so slice equality ⇔ key equality)
+    def earlier_bands_disagree() -> F.Column:
+        cond = F.lit(True)
+        for bprev in range(_LSH_BANDS - 1):
+            sa = F.slice(F.col("a.minhash"), bprev * _LSH_ROWS + 1, _LSH_ROWS)
+            sb = F.slice(F.col("b.minhash"), bprev * _LSH_ROWS + 1, _LSH_ROWS)
+            cond = cond & ((F.col("a.band_no") <= bprev) | (sa != sb))
+        return cond
+
     return (
         a.join(
             b,
@@ -201,13 +213,13 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(earlier_bands_disagree())
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.minhash").alias("sig_a"),
             F.col("b.minhash").alias("sig_b"),
         )
-        .distinct()
         .select(
             "doc_a",
             "doc_b",
