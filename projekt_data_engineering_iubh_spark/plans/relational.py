@@ -524,6 +524,30 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINDOW_DIST_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("window_distribution_funcs", oracle=_WINDOW_DIST_SQL)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist — exact rational formulas, identical across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 _TOPK_GROUP_SQL = """
 WITH ranked AS (
   SELECT c_custkey, c_nationkey, c_acctbal,
@@ -714,6 +738,48 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q17_SQL = """
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem
+JOIN pa USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#11' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+@register("q17_small_quantity", oracle=_Q17_SQL)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + re-join — how Catalyst executes it
+    anyway; the per-part average is an exact decimal sum over count."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    pa = l.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        l.join(pa, "l_partkey")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations
 # --------------------------------------------------------------------------
@@ -738,6 +804,27 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return a.unionByName(b).groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+_UNION_DISTINCT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+@register("set_union_distinct", oracle=_UNION_DISTINCT_SQL)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set union with dedup) — the distinct counterpart of
+    set_union_all."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.unionByName(b).distinct()
 
 
 _INTERSECT_SQL = """
