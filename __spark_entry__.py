@@ -23,6 +23,9 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from projekt_data_engineering_iubh_spark.plans import all_queries  # noqa: E402
+from projekt_data_engineering_iubh_spark.plans.registry import (  # noqa: E402
+    driver_queries,
+)
 from projekt_data_engineering_iubh_spark.session import prepare_session  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -52,8 +55,16 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _wrap(q.fn) for name, q in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    The driver verifies the first 50 entries only, so this is the CURATED
+    registry (plans/registry.py::driver_queries, budget-enforced by
+    tests/test_registry_budget.py): overlapping idioms are tag-unioned or
+    column-folded into one entry each; the handful of redundant variants
+    (e.g. top20_lineitems vs q3's ORDER BY+LIMIT tail) stay locally
+    oracle-verified via tests/test_oracle_differential.py.
+    """
+    return {name: _wrap(q.fn) for name, q in driver_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -61,5 +72,7 @@ def oracle_sql() -> dict[str, str]:
     no oracle (engine-specific sketches, streaming) are omitted → the
     driver records a weaker rows-only check."""
     return {
-        name: q.oracle for name, q in all_queries().items() if q.oracle is not None
+        name: q.oracle
+        for name, q in driver_queries().items()
+        if q.oracle is not None
     }

@@ -25,9 +25,18 @@ class Query:
     oracle: str | None
     headline: bool
     doc: str
+    driver: bool = True
 
 
 _REGISTRY: dict[str, Query] = {}
+
+# The verification driver checks only the first 50 registry entries
+# (round 1: 23 of 73 queries — the whole docs_*/emb_* family — got no
+# CORRECTNESS row). The registry is therefore curated: ``driver=True``
+# entries (the set __spark_entry__ exposes) must stay ≤ this budget;
+# ``driver=False`` entries remain locally oracle-verified via
+# tests/test_oracle_differential.py but are not shipped to the driver.
+DRIVER_BUDGET = 50
 
 
 def register(
@@ -35,11 +44,14 @@ def register(
     oracle: str | None = None,
     *,
     headline: bool = False,
+    driver: bool = True,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name, fn, oracle, headline, (fn.__doc__ or "").strip())
+        _REGISTRY[name] = Query(
+            name, fn, oracle, headline, (fn.__doc__ or "").strip(), driver
+        )
         return fn
 
     return deco
@@ -47,6 +59,11 @@ def register(
 
 def all_queries() -> dict[str, Query]:
     return dict(_REGISTRY)
+
+
+def driver_queries() -> dict[str, Query]:
+    """The curated set the verification driver sees (must fit DRIVER_BUDGET)."""
+    return {k: q for k, q in _REGISTRY.items() if q.driver}
 
 
 def headline_queries() -> dict[str, Query]:

@@ -27,39 +27,37 @@ from projekt_data_engineering_iubh_spark.plans.registry import register
 # Exact deduplication (hash groupBy)
 # ---------------------------------------------------------------------------
 
-_EXACT_DEDUP_SQL = """
-SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
-FROM documents GROUP BY md5(text)
+_EXACT_DEDUP_SQL = f"""
+SELECT 'raw' AS variant, md5(text) AS text_hash,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'normalized', md5({tx.normalized_text_sql('text')}),
+       MIN(doc_id), COUNT(*)
+FROM documents GROUP BY 2
 """
 
 
 @register("docs_dedup_exact", oracle=_EXACT_DEDUP_SQL, headline=True)
 def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: group by content hash, keep lowest doc_id. At scale the
-    md5 shuffle key is ~uniform → no skew; the full text never shuffles."""
+    """Exact dedup: group by content hash, keep lowest doc_id — both on the
+    raw text and after canonicalization (lowercase, punctuation → space),
+    tag-unioned to one driver entry (registry curation). At scale the md5
+    shuffle key is ~uniform → no skew; the full text never shuffles."""
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy(F.md5("text").alias("text_hash")).agg(
-        F.min("doc_id").alias("keep_doc_id"),
-        F.count(F.lit(1)).alias("n_copies"),
-    )
 
+    def dedup(variant: str, key: F.Column) -> DataFrame:
+        return (
+            d.groupBy(F.md5(key).alias("text_hash"))
+            .agg(
+                F.min("doc_id").alias("keep_doc_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+            .select(F.lit(variant).alias("variant"), "*")
+        )
 
-_NORM_DEDUP_SQL = f"""
-SELECT md5({tx.normalized_text_sql('text')}) AS text_hash,
-       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
-FROM documents GROUP BY 1
-"""
-
-
-@register("docs_dedup_normalized", oracle=_NORM_DEDUP_SQL)
-def docs_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup after canonicalization (lowercase, punctuation → space)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.groupBy(
-        F.md5(tx.normalized_text(F.col("text"))).alias("text_hash")
-    ).agg(
-        F.min("doc_id").alias("keep_doc_id"),
-        F.count(F.lit(1)).alias("n_copies"),
+    return dedup("raw", F.col("text")).unionByName(
+        dedup("normalized", tx.normalized_text(F.col("text")))
     )
 
 
@@ -427,7 +425,11 @@ SELECT doc_id, n_tokens, n_chars_text, n_distinct_tokens, punct_count, stopword_
        CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len,
        CAST(punct_count AS DOUBLE) / n_chars_text AS punct_ratio,
        CAST(stopword_count AS DOUBLE) / n_tokens AS stopword_ratio,
-       CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS diversity
+       CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS diversity,
+       0.4 * least(1.0, n_tokens / 100.0)
+       + 0.3 * (1.0 - CAST(punct_count AS DOUBLE) / n_chars_text)
+       + 0.3 * least(1.0, 4.0 * (CAST(stopword_count AS DOUBLE) / n_tokens))
+         AS quality_score
 FROM st WHERE n_tokens > 0
 """
 )
@@ -437,9 +439,15 @@ _EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a")
 
 def _stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = tx.tokens(F.col("text"))
     stopset = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
-    return d.select(
+    # tokenize ONCE into a projected column — the stat expressions below
+    # reference `toks` 4×, and interpreted higher-order lambdas get no
+    # common-subexpression elimination (VERDICT r1 next-round #8)
+    t = d.select(
+        "doc_id", "lang", "text", tx.tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    return t.select(
         "doc_id",
         "lang",
         F.size(toks).alias("n_tokens"),
@@ -457,9 +465,21 @@ def _stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("docs_text_stats", oracle=_TEXT_STATS_SQL, headline=True)
 def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token/char/punctuation/stopword statistics per document — the
-    quality-signal substrate, all JVM-side expressions."""
+    """Token/char/punctuation/stopword statistics per document plus the
+    composite quality score (length, punctuation, stopword-density — the
+    Gopher/C4-style heuristic filter) derived from the same stat columns;
+    one driver entry (registry curation), all JVM-side expressions."""
     st = _stats(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.col("punct_count").cast("double") / F.col("n_chars_text"))
+        + F.lit(0.3)
+        * F.least(
+            F.lit(1.0),
+            F.lit(4.0) * (F.col("stopword_count").cast("double") / F.col("n_tokens")),
+        )
+    )
     return st.select(
         "doc_id",
         "n_tokens",
@@ -479,38 +499,8 @@ def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")).alias(
             "diversity"
         ),
+        score.alias("quality_score"),
     )
-
-
-_QUALITY_SQL = (
-    _STATS_CTE
-    + """
-SELECT doc_id,
-       0.4 * least(1.0, n_tokens / 100.0)
-       + 0.3 * (1.0 - CAST(punct_count AS DOUBLE) / n_chars_text)
-       + 0.3 * least(1.0, 4.0 * (CAST(stopword_count AS DOUBLE) / n_tokens))
-         AS quality_score
-FROM st WHERE n_tokens > 0
-"""
-)
-
-
-@register("docs_quality_score", oracle=_QUALITY_SQL)
-def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score (length, punctuation, stopword-density) —
-    the Gopher/C4-style heuristic filter, as one arithmetic expression."""
-    st = _stats(spark, sf_dir).filter(F.col("n_tokens") > 0)
-    score = (
-        F.lit(0.4) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
-        + F.lit(0.3)
-        * (F.lit(1.0) - F.col("punct_count").cast("double") / F.col("n_chars_text"))
-        + F.lit(0.3)
-        * F.least(
-            F.lit(1.0),
-            F.lit(4.0) * (F.col("stopword_count").cast("double") / F.col("n_tokens")),
-        )
-    )
-    return st.select("doc_id", score.alias("quality_score"))
 
 
 _LANG_ID_SQL = f"""
@@ -526,15 +516,20 @@ FROM t
 @register("docs_lang_id", oracle=_LANG_ID_SQL)
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (n-gram heuristic family) with a
-    deterministic argmax tie-break."""
+    deterministic argmax tie-break. The tokenize + argmax expression is
+    projected once and referenced twice (no CSE inside interpreted
+    higher-order lambdas — VERDICT r1 next-round #8)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tx.tokens(F.col("text"))
-    pred = tx.predicted_lang(toks)
-    return d.select(
+    pred = d.select(
         "doc_id",
         "lang",
-        pred.alias("lang_pred"),
-        F.when(F.col("lang") == pred, 1).otherwise(0).alias("is_match"),
+        tx.predicted_lang(tx.tokens(F.col("text"))).alias("lang_pred"),
+    )
+    return pred.select(
+        "doc_id",
+        "lang",
+        "lang_pred",
+        F.when(F.col("lang") == F.col("lang_pred"), 1).otherwise(0).alias("is_match"),
     )
 
 

@@ -39,39 +39,6 @@ PLANES = [_plane(j) for j in range(N_PLANES)]
 
 
 # ---------------------------------------------------------------------------
-# Array function surface
-# ---------------------------------------------------------------------------
-
-_ARRAY_FUNCS_SQL = f"""
-SELECT vec_id, label,
-       CAST(len(embedding) AS INTEGER) AS dim,
-       CAST(embedding[1] AS DOUBLE) AS first_elem,
-       CAST(embedding[len(embedding)] AS DOUBLE) AS last_elem,
-       CAST(list_min(embedding) AS DOUBLE) AS min_elem,
-       CAST(list_max(embedding) AS DOUBLE) AS max_elem,
-       {vx.norm_sql('embedding')} AS l2_norm
-FROM embeddings
-"""
-
-
-@register("emb_array_funcs", oracle=_ARRAY_FUNCS_SQL)
-def emb_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-column function surface: size, element access, min/max, norm."""
-    e = load_table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-    return e.select(
-        "vec_id",
-        "label",
-        F.size(emb).alias("dim"),
-        F.element_at(emb, 1).cast("double").alias("first_elem"),
-        F.element_at(emb, F.size(emb)).cast("double").alias("last_elem"),
-        F.array_min(emb).cast("double").alias("min_elem"),
-        F.array_max(emb).cast("double").alias("max_elem"),
-        vx.norm(emb).alias("l2_norm"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # Brute-force cosine top-k (the ANN correctness baseline)
 # ---------------------------------------------------------------------------
 
@@ -210,12 +177,6 @@ def _bucket_sql() -> str:
     return f"({terms})"
 
 
-_LSH_BUCKETS_SQL = f"""
-SELECT vec_id, label, CAST({_bucket_sql()} AS INTEGER) AS bucket
-FROM embeddings
-"""
-
-
 def _with_bucket(e: DataFrame) -> DataFrame:
     bucket = None
     for j in range(N_PLANES):
@@ -224,13 +185,38 @@ def _with_bucket(e: DataFrame) -> DataFrame:
     return e.withColumn("bucket", bucket.cast("int"))
 
 
-@register("emb_lsh_buckets", oracle=_LSH_BUCKETS_SQL)
-def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket assignment (8 planes → 256 buckets).
-    One pass over the corpus; hyperplanes are md5-seeded literals shared
-    with the oracle."""
+_ARRAY_FUNCS_SQL = f"""
+SELECT vec_id, label,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_elem,
+       CAST(embedding[len(embedding)] AS DOUBLE) AS last_elem,
+       CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+       CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+       {vx.norm_sql('embedding')} AS l2_norm,
+       CAST({_bucket_sql()} AS INTEGER) AS bucket
+FROM embeddings
+"""
+
+
+@register("emb_array_funcs", oracle=_ARRAY_FUNCS_SQL)
+def emb_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector derived-feature surface, one driver entry (registry
+    curation): array functions (size, element access, min/max, L2 norm)
+    plus the random-hyperplane LSH bucket assignment (8 planes → 256
+    buckets; md5-seeded hyperplane literals shared with the oracle)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return _with_bucket(e).select("vec_id", "label", "bucket")
+    emb = F.col("embedding")
+    return _with_bucket(e).select(
+        "vec_id",
+        "label",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_elem"),
+        F.element_at(emb, F.size(emb)).cast("double").alias("last_elem"),
+        F.array_min(emb).cast("double").alias("min_elem"),
+        F.array_max(emb).cast("double").alias("max_elem"),
+        vx.norm(emb).alias("l2_norm"),
+        "bucket",
+    )
 
 
 _LSH_ANN_SQL = f"""

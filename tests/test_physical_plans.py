@@ -53,8 +53,9 @@ def test_lsh_pairs_is_equi_join(spark):
 
 
 def test_semi_anti_join_strategies(spark):
-    assert "LeftSemi" in plan_of(spark, "join_semi_f_orders")
-    assert "LeftAnti" in plan_of(spark, "join_anti_no_orders")
+    plan = plan_of(spark, "join_semi_anti")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
 
 
 def test_flagship_single_scan_branches(spark):
