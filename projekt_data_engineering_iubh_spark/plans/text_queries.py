@@ -164,17 +164,20 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs with signature-estimated Jaccard (see the registered
     query below for the design notes)."""
     sig = _signatures(spark, sf_dir)
+    # band_key is xxhash64(band_no, slice) — a single bigint join key
+    # instead of the '-'-joined string (shrinks the shuffle rows by the
+    # string key and skips the per-row string build; VERDICT r1 #7). The
+    # oracle joins on the string key: the candidate SETS agree because
+    # slice equality ⇔ key equality on both sides (64-bit collisions
+    # across ~4n keys are negligible, and a collision would also need the
+    # doc pair to survive the est_jaccard comparison identically).
     band = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band_no"),
-                    F.array_join(
-                        F.transform(
-                            F.slice("minhash", b * _LSH_ROWS + 1, _LSH_ROWS),
-                            lambda x: x.cast("string"),
-                        ),
-                        "-",
+                    F.xxhash64(
+                        F.lit(b), F.slice("minhash", b * _LSH_ROWS + 1, _LSH_ROWS)
                     ).alias("band_key"),
                 )
                 for b in range(_LSH_BANDS)
@@ -257,10 +260,47 @@ _SIMHASH_SQL = _SIMHASH_CTE + "SELECT doc_id, simhash FROM sh"
 
 
 def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash via explode → codegen'd md5 → 60 bit-vote aggregates.
+
+    Same reformulation as :func:`_signatures` (VERDICT r1 next-round #5):
+    the array-fold form (functions/hashing.py::simhash, kept as the
+    library/API surface) runs md5 + a 60-slot zip_with inside an
+    interpreted lambda per token. Exploding distinct tokens moves the
+    hashing into whole-stage codegen; the 60 bit-vote sums
+    partial-aggregate map-side, so the shuffle carries 61 longs per doc.
+    Measured at sf0.1/local[32]: fold 1.00s, explode+distinct 2.94s (the
+    extra (doc_id, h) shuffle dominates), this shape 0.83s.
+
+    Per-bit vote: popcount form — vote_i > 0 ⇔ 2·Σ((h>>i)&1) > n. Dedup
+    is ``array_distinct`` on *tokens* (the oracle dedups *hashes*): they
+    differ only if two distinct tokens of one doc collide in the 60-bit
+    md5 space (~n²/2⁶¹ per doc — negligible, same argument as the
+    xxhash64 band keys in the MinHash LSH join). ``explode_outer`` keeps
+    empty/null docs: their single null-hash row yields null vote sums →
+    every bit 0 → simhash 0, same as the fold and the oracle.
+    """
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", hashing.simhash(tx.tokens(F.col("text"))).alias("simhash")
+    toks = tx.tokens(F.col("text"))
+    exploded = d.select(
+        "doc_id", F.explode_outer(F.array_distinct(toks)).alias("tok")
     )
+    hashed = exploded.select(
+        "doc_id", hashing.md5_hash60(F.col("tok")).alias("h")
+    )
+    bits = hashing.SIMHASH_BITS
+    s_cols = [
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1).cast("long"))).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    g = hashed.groupBy("doc_id").agg(F.count("h").alias("n"), *s_cols)
+    packed = None
+    for i in range(bits):
+        term = (
+            F.when(F.lit(2) * F.col(f"s{i}") > F.col("n"), F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        packed = term if packed is None else packed + term
+    return g.select("doc_id", packed.alias("simhash"))
 
 
 @register("docs_simhash", oracle=_SIMHASH_SQL)
@@ -314,11 +354,37 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sh.select("doc_id", "simhash", band.alias("band")).select(
         "doc_id", "simhash", "band.band_no", "band.band_key"
     )
+    # no join hint: at test scale Catalyst broadcasts the 2-per-doc band
+    # rows (the expensive explode→md5→groupBy prefix is still computed
+    # once — AQE reuses the hashpartitioning(doc_id) stage on both
+    # sides); past the broadcast threshold it switches to a shuffled
+    # join on the band key by itself. Runtime here is dominated by the
+    # OUTPUT (~271k pairs at sf0.1: the corpus has large near-dup
+    # clusters, and pair enumeration is inherently quadratic in cluster
+    # size — like docs_ngram_jaccard this is a diagnostic; the applied
+    # path is docs_dedup_apply's keep-first policy).
     a = bands.alias("a")
     b = bands.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
+
+    # dedup without a distinct exchange: a pair agreeing on several bands
+    # is kept only at its FIRST agreeing band — earlier bands' agreement
+    # is decidable from the carried simhashes (same trick as the MinHash
+    # LSH join)
+    def earlier_bands_disagree() -> F.Column:
+        cond = F.lit(True)
+        for bprev in range(3):
+            ka = F.shiftright("a.simhash", bprev * _SIMHASH_BAND_BITS).bitwiseAND(
+                F.lit(mask)
+            )
+            kb = F.shiftright("b.simhash", bprev * _SIMHASH_BAND_BITS).bitwiseAND(
+                F.lit(mask)
+            )
+            cond = cond & ((F.col("a.band_no") <= bprev) | (ka != kb))
+        return cond
+
     return (
         a.join(
             b,
@@ -327,12 +393,12 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(hamming <= _SIMHASH_HAMMING_MAX)
+        .filter(earlier_bands_disagree())
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .distinct()
     )
 
 

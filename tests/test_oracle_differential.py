@@ -41,8 +41,14 @@ def test_rows_only_query_runs(spark, name):
 
 def test_entry_smoke(spark):
     import __spark_entry__ as e
+    from projekt_data_engineering_iubh_spark.plans.registry import driver_queries
 
     df = e.entry(spark)
     assert df.count() > 0
-    assert e.queries().keys() >= set(_WITH_ORACLE)
-    assert set(e.oracle_sql().keys()) == set(_WITH_ORACLE)
+    # the driver contract exposes the CURATED set (≤ DRIVER_BUDGET);
+    # everything else stays locally verified via the tests above
+    dq = driver_queries()
+    assert set(e.queries().keys()) == set(dq)
+    assert set(e.oracle_sql().keys()) == {
+        n for n, q in dq.items() if q.oracle is not None
+    }

@@ -1,5 +1,6 @@
-"""Sketch aggregates: rows-only queries still need local accuracy bounds
-(the driver can't oracle engine-specific sketches)."""
+"""Sketch aggregates: the HLL estimate is engine-specific, so the driver
+contract carries (exact count, within-error-bound boolean) — pin the
+boolean locally so a sketch regression can't hide behind the contract."""
 
 from __future__ import annotations
 
@@ -12,5 +13,6 @@ def test_approx_distinct_within_hll_error(spark):
     rows = all_queries()["agg_approx_distinct"].fn(spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        # approx_count_distinct default rsd = 0.05; allow 3 sigma
-        assert abs(r.approx_parts - r.exact_parts) <= max(3, 0.15 * r.exact_parts), r
+        assert r.exact_parts > 0, r
+        # rsd=0.02 sketch vs 5% tolerance: deterministic for fixed input
+        assert r.within_5pct, r
