@@ -33,7 +33,14 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: attach the latest ``payload`` columns from ``right``
     whose ``right_ts`` <= ``left_ts``, per ``on`` key. Left rows with no
-    earlier right row get NULLs."""
+    earlier right row get NULLs.
+
+    Ties: when several right rows share (key, right_ts), the window order
+    falls back to the payload columns themselves (ascending, lexicographic
+    in ``payload`` order), so the carried match is the MAX payload tuple —
+    deterministic regardless of partitioning. Identical (key, ts, payload)
+    duplicates are interchangeable by construction.
+    """
     on = list(on)
     lcols = left.columns
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
@@ -57,7 +64,14 @@ def asof_join(
     )
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
+        .orderBy(
+            "__ts",
+            "__side",
+            # deterministic tiebreak for equal (key, ts) right rows: the
+            # last (= carried) row is the max payload tuple. Left rows
+            # (all-null payload) are mutually interchangeable here.
+            *[F.col(f"__p_{p}").asc_nulls_first() for p in payload],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -66,27 +66,48 @@ def with_session_seq_presorted(
        sum (#splits values, not rows);
     3. session id = local count + split offset, broadcast-joined back.
 
-    Ordering contract: split order == data order (true for any single
-    file read, where splits are consecutive byte ranges). Cost: one
-    narrow window per split + one broadcast join — no global shuffle.
+    Ordering contract: split order == data order — true for a SINGLE
+    file read (splits are consecutive byte ranges packed in order) but
+    NOT for multi-file directories, whose listing order is size-based;
+    the totals pass below enforces this (one distinct source file, or no
+    file scan at all for in-memory frames, where ordering is the
+    caller's contract). Cost: one narrow window per split + one
+    broadcast join — no global shuffle.
     """
-    part = df.withColumn("__pid", F.spark_partition_id())
+    part = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__file", F.input_file_name()
+    )
     w = (
         Window.partitionBy("__pid")
         .orderBy(F.monotonically_increasing_id())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flag = F.when(is_marker, F.lit(1)).otherwise(F.lit(0))
-    # persisted: the totals pass below and the final plan share this frame;
-    # callers running many of these in one session may .unpersist() the
-    # result's lineage when done
+    # persisted only for the totals pass; released right after — the
+    # final plan recomputes the narrow per-split window (deterministic:
+    # split packing and in-split row order are plan-time properties)
+    # instead of pinning the whole frame in memory for its lifetime
     local = part.withColumn("__local_seq", F.sum(flag).over(w)).persist()
-    totals = (
-        local.groupBy("__pid")
-        .agg(F.max("__local_seq").alias("__cnt"))
-        .orderBy("__pid")
-        .collect()
-    )
+    try:
+        totals = (
+            local.groupBy("__pid")
+            .agg(
+                F.max("__local_seq").alias("__cnt"),
+                F.countDistinct("__file").alias("__nf"),
+                F.min("__file").alias("__f"),
+            )
+            .orderBy("__pid")
+            .collect()
+        )
+    finally:
+        local.unpersist()
+    files = {row["__f"] for row in totals if row["__f"]}
+    if len(files) > 1 or any((row["__nf"] or 0) > 1 for row in totals):
+        raise ValueError(
+            "with_session_seq_presorted requires a single time-ordered input "
+            f"file (got {len(files)} source files); multi-file inputs have "
+            "size-ordered splits — use with_session_seq instead"
+        )
     offsets, acc = {}, 0
     for row in totals:
         offsets[row["__pid"]] = acc
@@ -98,7 +119,7 @@ def with_session_seq_presorted(
     out = (
         local.join(F.broadcast(offset_df), "__pid")
         .withColumn(session_col, F.col("__local_seq") + F.col("__offset"))
-        .drop("__pid", "__local_seq", "__offset")
+        .drop("__pid", "__local_seq", "__offset", "__file")
     )
     return out
 

@@ -22,6 +22,18 @@ errors (:70-116), enriched-event output (:173-188), hourly summary
 4. **Exact durations** — cycle time is integer-µs difference / 1e6 (not a
    double-epoch subtraction), then rounded to 3dp like the reference.
 
+Two further OUTPUT-SCHEMA deviations, also deliberate:
+
+5. **``total_error_count`` is kept** in the hourly summary — the
+   reference computes it (:256) and then drops it from the final select
+   (:256-265); keeping it costs nothing (same aggregation pass) and the
+   serving layer uses it.
+6. **``value`` is rounded to 2dp** in the enriched-event output — the
+   reference writes the raw float and lets Postgres ``NUMERIC(7,2)``
+   round on insert (:173-188 + init_db.sql); the parquet sink has no
+   column type to do that, so the rounding is applied in the plan to
+   keep both sinks byte-equivalent.
+
 Scale: the only shuffles are the per-machine window sort and the two
 hourly aggregations; the cycle-times side of both joins is broadcast
 (8× smaller than events, per the fixed cycle shape). One machine-day is
