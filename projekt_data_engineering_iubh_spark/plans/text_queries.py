@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from projekt_data_engineering_iubh_spark.catalog import load_table
 from projekt_data_engineering_iubh_spark.functions import hashing, text as tx
+from projekt_data_engineering_iubh_spark.operators.connected_components import (
+    connected_components,
+)
 from projekt_data_engineering_iubh_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -655,10 +658,7 @@ def docs_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_APPLY_SQL = f"""
-WITH exact_keep AS (
-  SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)
-),
-toks AS (
+WITH RECURSIVE toks AS (
   SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
 ), sh AS (
   SELECT doc_id, {tx.shingles_sql('toks')} AS sh FROM toks
@@ -673,42 +673,54 @@ toks AS (
     for b in range(4)
   )}
 ),
-near_drop AS (
-  SELECT DISTINCT b.doc_id AS drop_id
+edges AS (
+  SELECT a.doc_id AS s, b.doc_id AS d
   FROM bands a JOIN bands b
     ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
   WHERE len(list_filter(range(1, 17), i -> a.minhash[i] = b.minhash[i])) / 16.0 >= 0.5
+),
+und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, u.d FROM reach r JOIN und u ON r.dst = u.s
 )
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d
-JOIN exact_keep ON d.doc_id = exact_keep.keep_id
-WHERE d.doc_id NOT IN (SELECT drop_id FROM near_drop)
+JOIN (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src) c
+  ON d.doc_id = c.doc_id AND d.doc_id = c.cluster_id
 """
 
 
 @register("docs_dedup_apply", oracle=_DEDUP_APPLY_SQL)
 def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The applied dedup: corpus minus exact duplicates (keep lowest
-    doc_id per content hash) minus near-duplicates (LSH candidates with
-    signature-estimated Jaccard ≥ 0.5, keep-first policy: the higher
-    doc_id of a pair drops). This is the operator a training-data
-    pipeline actually runs; the pair queries are its diagnostics."""
+    """The applied dedup: one representative (min doc_id) per CONNECTED
+    COMPONENT of the near-dup graph — LSH candidate pairs with
+    signature-estimated Jaccard ≥ 0.5; exact duplicates have identical
+    signatures, so every exact-dup pair is an edge and exact dedup is
+    subsumed. This is the operator a training-data pipeline actually
+    runs; the pair queries are its diagnostics.
+
+    Transitive correctness (round-2 change): the former keep-first pair
+    policy kept BOTH 1 and 2 for pairs (1,3),(2,3) even though all three
+    are transitively duplicates. Clustering is iterative min-label
+    propagation (operators/connected_components.py) — rounds = graph
+    diameter (quasi-clique near-dup clusters → a handful), each round
+    equi-joins on ids only. The oracle expresses the same fixpoint as a
+    recursive CTE."""
     d = load_table(spark, sf_dir, "documents")
-    exact_keep = d.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("keep_id")
+    edges = _lsh_pairs(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(
+        d.select("doc_id"),
+        edges,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+        component_col="cluster_id",
     )
-    near = (
-        _lsh_pairs(spark, sf_dir)
-        .filter(F.col("est_jaccard") >= 0.5)
-        .select(F.col("doc_b").alias("drop_id"))
-        .distinct()
-    )
-    return (
-        d.join(
-            exact_keep.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
-        )
-        .join(near, d.doc_id == near.drop_id, "left_anti")
-        .select("doc_id", "lang", "source", "n_chars")
+    keep = comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return d.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 
