@@ -46,3 +46,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def spread(df: DataFrame, *key: str, n: int | None = None) -> DataFrame:
+    """Small-file rescue for CPU-heavy map-side pipelines.
+
+    The driver tables are single-row-group parquet files, so a scan
+    decodes in ONE task and everything narrow downstream (interpreted
+    HOFs, explode→md5, plane-dot folds) serializes on one core until the
+    first exchange. Shuffling the small base rows first costs little and
+    unlocks full parallelism for the expensive expressions (measured:
+    MinHash signature pipeline 0.99s → 0.66s at sf0.1/local[32]).
+
+    With ``key``, the shuffle is hash partitioning on those columns, so a
+    later groupBy on the same key needs no second exchange.
+
+    At real scale scans produce many splits and this becomes the
+    guard's no-op: inputs already at least as parallel as the target are
+    returned unchanged (never coalesced).
+    """
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *key) if key else df.repartition(n)

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.catalog import load_table, spread
 from projekt_data_engineering_iubh_spark.functions import hashing, text as tx
 from projekt_data_engineering_iubh_spark.operators.connected_components import (
     connected_components,
@@ -47,6 +47,9 @@ def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw text and after canonicalization (lowercase, punctuation → space),
     tag-unioned to one driver entry (registry curation). At scale the md5
     shuffle key is ~uniform → no skew; the full text never shuffles."""
+    # no spread() here: the groupBy shuffles anyway, and an extra
+    # round-robin exchange of the full text costs more than the serial
+    # map-side md5 saves (measured 0.44s -> 1.05s)
     d = load_table(spark, sf_dir, "documents")
 
     def dedup(variant: str, key: F.Column) -> DataFrame:
@@ -99,7 +102,11 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-combines map-side, so the shuffle carries only docs × k longs.
     Same constants → identical signatures (the DuckDB oracle is unchanged).
     """
-    d = load_table(spark, sf_dir, "documents")
+    # keyless spread: partitioning by doc_id would elide the groupBy
+    # exchange below — but that exchange is what AQE reuses across the
+    # two sides of the LSH band self-join, and eliding it also drops
+    # map-side partial aggregation of the exploded rows
+    d = spread(load_table(spark, sf_dir, "documents"))
     # tokenize once into a projected column: shingles() references its
     # token input ~5× (size + 3 slices + guard), and the tokenizer ends
     # in an interpreted filter HOF that gets no CSE (measured 1.11s →
@@ -286,7 +293,7 @@ def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty/null docs: their single null-hash row yields null vote sums →
     every bit 0 → simhash 0, same as the fold and the oracle.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = tx.tokens(F.col("text"))
     exploded = d.select(
         "doc_id", F.explode_outer(F.array_distinct(toks)).alias("tok")
@@ -439,7 +446,7 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity within (lang, length-band) blocks —
     quadratic only inside blocks; at scale this verifies LSH candidates
     rather than scanning all pairs."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id", "lang", "n_chars", tx.tokens(F.col("text")).alias("toks")
     )
@@ -514,7 +521,7 @@ _EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a")
 
 
 def _stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     stopset = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
     # tokenize ONCE into a projected column — the stat expressions below
     # reference `toks` 4×, and interpreted higher-order lambdas get no
@@ -595,7 +602,7 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic argmax tie-break. The tokenize + argmax expression is
     projected once and referenced twice (no CSE inside interpreted
     higher-order lambdas — VERDICT r1 next-round #8)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     pred = d.select(
         "doc_id",
         "lang",
@@ -620,7 +627,7 @@ FROM documents
 @register("docs_fingerprint", oracle=_FINGERPRINT_SQL)
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical content fingerprint (md5 of normalized text + 60-bit int)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     norm = tx.normalized_text(F.col("text"))
     return d.select(
         "doc_id",
@@ -645,7 +652,7 @@ def docs_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode + aggregate: corpus term frequencies (words seen ≥5 times).
     The explode is map-side; the only shuffle carries (word, partial
     counts) after partial aggregation."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -737,7 +744,7 @@ FROM documents
 def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace/alnum tokens + a BPE-ish regex count
     (letter runs | digit runs | single punctuation)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(tx.tokens(F.col("text"))).alias("ws_tokens"),

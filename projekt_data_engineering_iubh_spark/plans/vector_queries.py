@@ -18,7 +18,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.catalog import load_table, spread
 from projekt_data_engineering_iubh_spark.functions import vectors as vx
 from projekt_data_engineering_iubh_spark.plans.registry import register
 
@@ -110,7 +110,7 @@ def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair would refold each vector's norm inside an interpreted lambda,
     tripling the per-pair work. Identical arithmetic (same fold per
     vector), so the oracle is unchanged."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
+    e = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
         "nrm", vx.norm(F.col("embedding"))
     )
     q = e.filter(F.col("vec_id") < _KNN_QUERIES).select(
@@ -183,7 +183,7 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair count tracks bucket occupancy, not block size². Pairs
     agreeing on both bands are kept at their first agreeing band (same
     dedup-without-distinct trick as the MinHash LSH join)."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
+    e = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
         "nrm", vx.norm(F.col("embedding"))
     )
     b = _with_bucket(e)
@@ -263,7 +263,7 @@ def emb_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation): array functions (size, element access, min/max, L2 norm)
     plus the random-hyperplane LSH bucket assignment (8 planes → 256
     buckets; md5-seeded hyperplane literals shared with the oracle)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     emb = F.col("embedding")
     return _with_bucket(e).select(
         "vec_id",
@@ -293,7 +293,7 @@ FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 def emb_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN candidate pairs: equi-join on LSH bucket, exact cosine on the
     survivors — linear-time ANN (the brute-force top-k's scale-out path)."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
+    e = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
         "nrm", vx.norm(F.col("embedding"))
     )
     b = _with_bucket(e).select("vec_id", "embedding", "nrm", "bucket")
