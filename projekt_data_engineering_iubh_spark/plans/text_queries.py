@@ -752,3 +752,108 @@ def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bpe_ish_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms + deterministic train/test split (local-only: past the
+# 50-entry driver budget; oracle-verified by tests/test_oracle_differential)
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP = 5
+_TFIDF_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+), tf AS (
+  SELECT doc_id, tok AS word, COUNT(*) AS tf
+  FROM t, unnest(toks) AS u(tok) GROUP BY doc_id, tok
+), df AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), r AS (
+  SELECT doc_id, word, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, word) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT doc_id, word, score, rnk FROM r WHERE rnk <= {_TFIDF_TOP}
+"""
+
+
+@register("docs_tfidf_top_terms", oracle=_TFIDF_SQL, driver=False)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document, TF-IDF family scoring.
+
+    The idf factor is the LINEAR surrogate N/df rather than ln(N/df):
+    IEEE 754 does not require correctly-rounded transcendentals, so ln()
+    can differ by 1 ULP between the JVM and DuckDB and break exact
+    cross-engine comparison (the round-1 ROUND(AVG) lesson); tf·(N/df)
+    is pure exact-double arithmetic and preserves a monotone idf
+    weighting. Plan shape: explode → (doc, word) counts (map-side
+    partial agg), word→df aggregation, broadcast df + scalar N back onto
+    tf, per-doc top-k window. The only full-width shuffles carry (doc_id,
+    word, counts) longs."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size as a broadcast 1-row cross join (not a build-time
+    # .count() action — keeps plan construction lazy)
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf").cast("double") * (F.col("n") / F.col("df"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOP)
+        .select("doc_id", "word", "score", "rnk")
+    )
+
+
+_SPLIT_PCT_TRAIN = 80
+_SPLIT_SALT = "split_v1"
+
+_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN {hashing.md5_hash60_sql(
+           "concat('" + _SPLIT_SALT + "', CAST(doc_id AS VARCHAR))")} % 100
+            < {_SPLIT_PCT_TRAIN}
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("docs_train_test_split", oracle=_SPLIT_SQL, driver=False)
+def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (80/20).
+
+    The assignment is a pure function of (salt, doc_id) — stable across
+    runs, engines, partitionings, and corpus growth (a document never
+    changes side when new docs arrive), which is what training pipelines
+    need from a split. Because the hash is independent of every feature,
+    the split is automatically stratified in expectation over any column
+    (per-lang fractions converge to 80/20). One narrow projection; no
+    shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    h = hashing.md5_hash60(
+        F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(h % 100 < _SPLIT_PCT_TRAIN, "train").otherwise("test").alias(
+            "split"
+        ),
+    )

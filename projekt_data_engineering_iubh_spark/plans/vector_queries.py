@@ -312,3 +312,130 @@ def emb_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("x.nrm") * F.col("y.nrm"))
         ).alias("cos_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN (coarse quantizer + in-cell search; local-only: past the
+# 50-entry driver budget; oracle-verified by tests/test_oracle_differential)
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+_IVF_K = 10
+_IVF_QUERIES = 5
+
+
+def _centroid(j: int) -> list[float]:
+    """Deterministic pseudo-random centroid in [-1, 1]^EMB_DIM (the coarse
+    quantizer a real IVF would get from k-means; fixed seeds keep both
+    engines and every run identical)."""
+    out = []
+    for i in range(EMB_DIM):
+        h = int(hashlib.md5(f"centroid_{j}_{i}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+CENTROIDS = [_centroid(j) for j in range(N_CENTROIDS)]
+
+
+def _dist_spark(j: int) -> F.Column:
+    c = F.array(*[F.lit(v) for v in CENTROIDS[j]])
+    sq = F.zip_with(
+        F.col("embedding"),
+        c,
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _dist_sql(j: int) -> str:
+    lits = "[" + ", ".join(repr(v) for v in CENTROIDS[j]) + "]"
+    sq = (
+        f"list_transform(range(1, len(embedding) + 1), "
+        f"i -> (CAST(embedding[i] AS DOUBLE) - ({lits})[i])"
+        f" * (CAST(embedding[i] AS DOUBLE) - ({lits})[i]))"
+    )
+    return f"list_reduce({sq}, (x, y) -> x + y)"
+
+
+def _with_cell(e: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, strict
+    left-to-right fold on both engines → bit-identical distances; ties
+    break to the lowest centroid index via first-position-of-min).
+
+    The 16 distance folds are projected into ONE array column first and
+    the argmin reads that column — referencing the fold expression from
+    the argmin directly would re-evaluate it per comparison (no CSE in
+    interpreted higher-order functions)."""
+    dists = e.withColumn(
+        "_dists", F.array(*[_dist_spark(j) for j in range(N_CENTROIDS)])
+    )
+    return dists.withColumn(
+        "cell",
+        (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1).cast("int"),
+    ).drop("_dists")
+
+
+_IVF_SQL = f"""
+WITH c AS (
+  SELECT vec_id, embedding,
+         [{", ".join(_dist_sql(j) for j in range(N_CENTROIDS))}] AS d
+  FROM embeddings
+), cells AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cell
+  FROM c
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, cell FROM cells
+  WHERE vec_id < {_IVF_QUERIES}
+), cand AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, q.cell,
+         {vx.cosine_sql('qe', 'e.embedding')} AS cos_sim
+  FROM q JOIN cells e ON e.cell = q.cell AND e.vec_id != q.query_id
+), r AS (
+  SELECT query_id, neighbor_id, cell, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
+  FROM cand
+)
+SELECT query_id, neighbor_id, cell, cos_sim, rn FROM r WHERE rn <= {_IVF_K}
+"""
+
+
+@register("emb_ivf_ann", oracle=_IVF_SQL, driver=False)
+def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize every vector to its nearest centroid,
+    then search only the query's own cell (nprobe=1) with exact cosine +
+    per-query top-k. The inverted-file counterpart to the random-hyperplane
+    LSH path: at scale the corpus is stored partitioned by cell, a query
+    probes 1/N_CENTROIDS of the data, and the candidate join is an
+    equi-join on the cell id — never an all-pairs scan."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", vx.norm(F.col("embedding"))
+    )
+    cells = _with_cell(e)
+    q = cells.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cell").alias("qcell"),
+    )
+    cand = cells.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (
+            vx.dot(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_K)
+    )

@@ -18,10 +18,16 @@ def test_driver_set_fits_budget():
     )
 
 
+# round-2 additions past the full 50-entry budget: locally
+# oracle-verified (test_oracle_differential.py), deliberately not shipped
+# to the driver — every pre-existing family member must stay driver-checked
+LOCAL_ONLY_FAMILY = {"docs_tfidf_top_terms", "docs_train_test_split", "emb_ivf_ann"}
+
+
 def test_llm_pipeline_family_is_driver_checked():
     dq = driver_queries()
     family = [n for n in all_queries() if n.startswith(("docs_", "emb_"))]
-    missing = [n for n in family if n not in dq]
+    missing = [n for n in family if n not in dq and n not in LOCAL_ONLY_FAMILY]
     assert family and not missing, f"docs_*/emb_* outside driver window: {missing}"
 
 
