@@ -13,6 +13,7 @@ from projekt_data_engineering_iubh_spark.pipeline.config import (
     PARAMETER_EVENT_MAPPING,
 )
 from projekt_data_engineering_iubh_spark.pipeline.generate_data import (
+    SimResult,
     simulate_day,
     write_csv,
 )
@@ -86,3 +87,92 @@ def test_streaming_pipeline_end_to_end(spark, tmp_path):
         assert got[k] == v, k
     # errors flowed through: the 2.5h day should flag some
     assert sum(v[1] for v in got.values()) > 0
+
+
+def test_streaming_pipeline_multidrop_advancing_time(spark, tmp_path):
+    """Multi-drop live scenario (the single-drop test is blind to state
+    carried wrongly across micro-batches and to re-emission instability):
+    chronological chunks of one day arrive as separate files with
+    ADVANCING event-time ranges, draining between drops. Checks
+    (a) final per-hour counts equal the batch ground truth over all
+    closed windows, and (b) a window value never changes after its first
+    emission (append mode must emit each finalized window exactly once)."""
+    import datetime as dt
+
+    drop_dir = tmp_path / "incoming"
+    drop_dir.mkdir()
+    res = simulate_day("M_multi", "2024-08-02", hours=4.0, seed=11)
+    # 4 chronological chunks, cycle-aligned (8 rows per cycle)
+    n = len(res.rows)
+    cut = [0, n // 4 // 8 * 8, n // 2 // 8 * 8, 3 * n // 4 // 8 * 8, n]
+    chunks = [res.rows[cut[i] : cut[i + 1]] for i in range(4)]
+    assert all(chunks)
+
+    out = str(tmp_path / "summary")
+    q = ps.start_pipeline(
+        spark,
+        str(drop_dir),
+        out,
+        DEFAULT_RULES,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    def snapshot():
+        try:
+            return {
+                (str(r.summary_date), r.hour_of_day, r.machine_id): (
+                    r.n_events,
+                    r.total_error_count,
+                )
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:  # no output yet
+            return {}
+
+    seen: dict = {}
+    try:
+        for i, chunk in enumerate(chunks):
+            part = SimResult(rows=chunk, error_rates=res.error_rates)
+            write_csv(part, drop_dir / f"chunk_{i}.csv")
+            q.processAllAvailable()
+            snap = snapshot()
+            # (b) re-emission stability: previously emitted windows keep
+            # their first-emitted values
+            for k, v in seen.items():
+                assert snap.get(k) == v, f"window {k} changed after emission"
+            seen = snap
+        # close the remaining windows: much-later nudge row
+        nudge = simulate_day("M_nudge2", "2024-08-02", hours=0.01, seed=12)
+        nudge.rows = [[r[0].replace("T00:", "T09:"), *r[1:]] for r in nudge.rows[:8]]
+        write_csv(nudge, drop_dir / "nudge.csv")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = snapshot()
+    assert got, "stream produced no summary rows"
+
+    # (a) batch ground truth over the union of all chunk files
+    events = da.cleanse(
+        da.read_events_csv(spark, str(drop_dir / "chunk_*.csv"))
+    )
+    flagged = with_error_flag(events, DEFAULT_RULES, PARAMETER_EVENT_MAPPING)
+    batch = {
+        (str(r.d), r.h, r.machine_id): (r.n_events, r.total_error_count)
+        for r in (
+            flagged.groupBy(
+                F.to_date("event_timestamp").alias("d"),
+                F.hour("event_timestamp").alias("h"),
+                "machine_id",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("is_error").alias("total_error_count"),
+            )
+            .collect()
+        )
+    }
+    # every M_multi window is closed by the 09:00 nudge → exact equality
+    multi_got = {k: v for k, v in got.items() if k[2] == "M_multi"}
+    multi_batch = {k: v for k, v in batch.items() if k[2] == "M_multi"}
+    assert multi_got == multi_batch
