@@ -77,3 +77,14 @@ def test_flagship_single_scan_branches(spark):
 def test_no_python_udfs_on_hot_paths(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spread_is_noop_when_parallel_enough(spark):
+    from projekt_data_engineering_iubh_spark.catalog import load_table, spread
+
+    d = load_table(spark, SF_DIR, "documents")
+    wide = d.repartition(64)
+    # already >= target: returned unchanged (never coalesced)
+    assert spread(wide, n=32) is wide
+    # narrow input: repartitioned up to the target
+    assert spread(d, n=16).rdd.getNumPartitions() == 16
