@@ -733,6 +733,63 @@ def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {tx.shingles_sql('toks')} AS sh FROM toks
+), hs AS (
+  SELECT doc_id, {hashing.hashed_shingles_sql('sh')} AS hs FROM sh
+), sig AS (
+  SELECT doc_id, {hashing.minhash_signature_sql('hs', 16)} AS minhash FROM hs
+), bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, minhash, {b} AS band_no,"
+    f" array_to_string(minhash[{b * 4 + 1}:{(b + 1) * 4}], '-') AS band_key FROM sig"
+    for b in range(4)
+  )}
+),
+edges AS (
+  SELECT a.doc_id AS s, b.doc_id AS d
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE len(list_filter(range(1, 17), i -> a.minhash[i] = b.minhash[i])) / 16.0 >= 0.5
+),
+und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, u.d FROM reach r JOIN und u ON r.dst = u.s
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM comp
+"""
+
+
+@register("docs_dedup_clusters", oracle=_DEDUP_CLUSTERS_SQL, driver=False)
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic view of the transitive dedup: every document's near-dup
+    cluster (min-doc_id representative) and the cluster's size — the
+    intermediate docs_dedup_apply acts on, exposed for corpus analysis
+    (duplication-rate histograms, cluster inspection)."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = _lsh_pairs(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(
+        d.select("doc_id"),
+        edges,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+        component_col="cluster_id",
+    )
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
 _TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
        CAST(len({tx.tokens_sql('text')}) AS INTEGER) AS ws_tokens,

@@ -21,7 +21,12 @@ def test_driver_set_fits_budget():
 # round-2 additions past the full 50-entry budget: locally
 # oracle-verified (test_oracle_differential.py), deliberately not shipped
 # to the driver — every pre-existing family member must stay driver-checked
-LOCAL_ONLY_FAMILY = {"docs_tfidf_top_terms", "docs_train_test_split", "emb_ivf_ann"}
+LOCAL_ONLY_FAMILY = {
+    "docs_tfidf_top_terms",
+    "docs_train_test_split",
+    "docs_dedup_clusters",
+    "emb_ivf_ann",
+}
 
 
 def test_llm_pipeline_family_is_driver_checked():
