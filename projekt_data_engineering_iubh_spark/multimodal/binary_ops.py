@@ -137,3 +137,65 @@ def sample_frames(
 def size_balanced(media: DataFrame, partitions: int) -> DataFrame:
     """Range-partition by payload size so decode tasks are even."""
     return media.repartitionByRange(partitions, F.col("meta.n_bytes"))
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, width int, height int, thumb_width int, "
+    "thumb_height int, thumbnail binary"
+)
+
+Resizer = Callable[[bytes, int], "tuple[int, int, int, int, bytes]"]
+
+
+def fake_image_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, int, bytes]:
+    """Deterministic stand-in for a real resize codec: derives source
+    dims like :func:`fake_image_decoder`, scales the longer side to
+    ``max_side`` preserving aspect ratio, and emits a digest-derived
+    thumbnail payload whose length encodes the thumb area."""
+    w, h, _ = fake_image_decoder(payload)
+    scale = max_side / max(w, h)
+    tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+    d = hashlib.md5(payload + b"|thumb").digest()
+    thumb = (d * ((tw * th) // len(d) + 1))[: tw * th]
+    return w, h, tw, th, thumb
+
+
+def resize_images(
+    media: DataFrame, *, max_side: int = 128, resizer: Resizer | None = None
+) -> DataFrame:
+    """Thumbnail generation (Arrow-batched mapInPandas), the write-side
+    twin of :func:`extract_image_features`: emits derived
+    (dims, thumbnail bytes) rows; source payloads are read once per
+    partition and never re-shuffled. Raises NotImplementedError at
+    execution time when no resizer is injected (no PIL in this
+    container); tests inject :func:`fake_image_resizer`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if resizer is None:
+                raise NotImplementedError(
+                    "no image codec in this environment; inject a resizer "
+                    "(e.g. PIL-based) or fake_image_resizer for tests"
+                )
+            out = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "thumb_width": [],
+                "thumb_height": [],
+                "thumbnail": [],
+            }
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, tw, th, thumb = resizer(bytes(payload), max_side)
+                out["asset_id"].append(asset_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["thumb_width"].append(tw)
+                out["thumb_height"].append(th)
+                out["thumbnail"].append(thumb)
+            yield pd.DataFrame(out)
+
+    imgs = media.filter(F.col("media_type") == "image").select(
+        "asset_id", "payload"
+    )
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)

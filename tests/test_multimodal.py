@@ -10,6 +10,8 @@ from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
     MEDIA_SCHEMA,
     extract_image_features,
     fake_image_decoder,
+    fake_image_resizer,
+    resize_images,
     sample_frames,
     size_balanced,
 )
@@ -63,3 +65,33 @@ def test_size_balanced_partitioning(spark, media):
     df = size_balanced(media, 2)
     assert df.rdd.getNumPartitions() == 2
     assert df.count() == 4
+
+
+def test_resize_images_deterministic(spark, media):
+    out = {
+        r.asset_id: r
+        for r in resize_images(
+            media, max_side=32, resizer=fake_image_resizer
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # images only
+    for r in out.values():
+        assert max(r.thumb_width, r.thumb_height) == 32
+        assert len(r.thumbnail) == r.thumb_width * r.thumb_height
+        # aspect ratio preserved within integer truncation
+        assert abs(
+            r.width / r.height - r.thumb_width / r.thumb_height
+        ) < 0.1
+    # deterministic across runs
+    again = {
+        r.asset_id: r.thumbnail
+        for r in resize_images(
+            media, max_side=32, resizer=fake_image_resizer
+        ).collect()
+    }
+    assert {k: v.thumbnail for k, v in out.items()} == again
+
+
+def test_resize_missing_codec_raises_cleanly(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|no image codec"):
+        resize_images(media).collect()
