@@ -1,0 +1,74 @@
+"""JSON-lines source/sink — the raw-corpus format LLM pipelines ingest.
+
+Scale rules baked in:
+
+* REQUIRED explicit schema — schema inference reads the whole dataset
+  once before the real job (a 2× scan at 100 TB) and silently widens
+  types on dirty data;
+* ``PERMISSIVE`` parse mode with a ``_corrupt_record`` column: a single
+  malformed line in a TB-scale crawl must quarantine, not kill the job.
+  ``bad_records()`` splits them out so the pipeline can count/inspect;
+* JSONL is splittable (newline-delimited, uncompressed or with a
+  splittable codec), so scans parallelize per block — unlike multi-line
+  JSON arrays which force one task per file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """Read JSONL with an explicit schema; malformed lines land in
+    ``_corrupt_record`` (all data columns null) instead of failing."""
+    # fresh StructType: .add() mutates the caller's schema in place
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def good_records(df: DataFrame) -> DataFrame:
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def bad_records(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """The quarantine lane: raw text of every malformed line.
+
+    Deliberately a SEPARATE text-scan + ``from_json`` probe rather than a
+    filter on the main read's ``_corrupt_record``: Spark disallows plans
+    that reference only the corrupt column
+    ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]) and the
+    documented workaround — caching the parsed frame — is exactly what a
+    100 TB ingest cannot do. The validity probe is
+    ``get_json_object(value, '$')``, which is NULL exactly for
+    unparseable lines (``from_json`` can't serve here: PERMISSIVE mode
+    yields an all-null struct for malformed input, indistinguishable
+    from ``{}``); the text scan reads only this lane's query."""
+    del schema  # signature kept symmetric with read(); probe is schemaless
+    txt = spark.read.text(path)
+    return (
+        txt.filter(F.get_json_object("value", "$").isNull())
+        .select(F.col("value").alias(CORRUPT_COL))
+    )
+
+
+def write(df: DataFrame, path: str, *, partitions: int | None = None) -> None:
+    """Write JSONL (one object per line); optional coalesce for few
+    large output files vs many small ones."""
+    out = df.coalesce(partitions) if partitions else df
+    out.write.mode("overwrite").json(path)

@@ -62,3 +62,36 @@ def test_merge_sql_shape():
         "ON CONFLICT (summary_date, hour_of_day, machine_id) "
         "DO UPDATE SET cycle_count = EXCLUDED.cycle_count"
     )
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from projekt_data_engineering_iubh_spark.sources import jsonl
+
+    raw = tmp_path / "docs.jsonl"
+    raw.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "guten tag", "lang": "de"}\n'
+        "{not json at all}\n"
+        '{"doc_id": 4, "text": null, "lang": "fr"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    df = jsonl.read(spark, str(raw), schema)
+    good = jsonl.good_records(df)
+    assert {r.doc_id for r in good.collect()} == {1, 2, 4}
+    bad = jsonl.bad_records(spark, str(raw), schema).collect()
+    assert len(bad) == 1 and "not json" in bad[0][0]
+
+    out = tmp_path / "out"
+    jsonl.write(good, str(out), partitions=1)
+    back = jsonl.good_records(jsonl.read(spark, str(out), schema))
+    assert sorted((r.doc_id, r.text, r.lang) for r in back.collect()) == sorted(
+        (r.doc_id, r.text, r.lang) for r in good.collect()
+    )
