@@ -1,0 +1,148 @@
+"""The applied training-corpus pipeline: the docs_* operators composed
+into the job an LLM-data team actually runs.
+
+    raw documents
+      → language filter (keep configured langs, predicted OR labeled)
+      → quality filter (Gopher/C4-style composite score ≥ threshold)
+      → transitive near-dup removal (MinHash-LSH graph → connected
+        components → min-doc_id representative; exact dups subsumed)
+      → deterministic hash train/test split
+      → parquet partitioned by (split, lang)
+
+Every stage is one of the registry's oracle-verified operators
+(plans/text_queries.py) — this module only composes them, so the
+pipeline's correctness budget is the already-driver-checked pieces plus
+the composition test (tests/test_corpus_pipeline.py).
+
+Scale notes: the only wide operations are the dedup's band self-join and
+CC label propagation (id-sized rows); filters are narrow and run before
+dedup so the expensive signature stage sees the smallest corpus.
+Output partitioning by (split, lang) makes downstream training reads
+partition-pruned.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.functions import hashing, text as tx
+from projekt_data_engineering_iubh_spark.operators.connected_components import (
+    connected_components,
+)
+from projekt_data_engineering_iubh_spark.plans.text_queries import (
+    _SPLIT_PCT_TRAIN,
+    _SPLIT_SALT,
+    _lsh_pairs,
+)
+
+DEFAULT_LANGS = ("en", "de", "es", "fr")
+DEFAULT_MIN_QUALITY = 0.5
+NEAR_DUP_JACCARD = 0.5
+
+
+@dataclass
+class CorpusStats:
+    n_raw: int
+    n_lang: int
+    n_quality: int
+    n_dedup: int
+    n_train: int
+    n_test: int
+
+
+def _quality_lane(
+    d: DataFrame, langs: tuple[str, ...], min_quality: float
+) -> DataFrame:
+    kept = d.filter(F.col("lang").isin(*langs))
+    toks = tx.tokens(F.col("text"))
+    stats = kept.select(
+        "*",
+        F.size(toks).alias("_nt"),
+        F.length("text").alias("_nc"),
+        F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]")).alias("_punct"),
+        F.size(
+            F.filter(
+                toks,
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "in", "is", "a")]),
+                    t,
+                ),
+            )
+        ).alias("_stop"),
+    ).filter(F.col("_nt") > 0)
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.col("_nt") / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.col("_punct").cast("double") / F.col("_nc"))
+        + F.lit(0.3)
+        * F.least(F.lit(1.0), F.lit(4.0) * (F.col("_stop").cast("double") / F.col("_nt")))
+    )
+    return stats.filter(score >= min_quality).select(d.columns)
+
+
+def curate(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    langs: tuple[str, ...] = DEFAULT_LANGS,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+) -> DataFrame:
+    """The curated, split-tagged corpus as a DataFrame (lazy; no I/O)."""
+    d = load_table(spark, sf_dir, "documents")
+    quality = _quality_lane(d, langs, min_quality)
+
+    # transitive near-dup removal over the SURVIVING docs (graph edges
+    # come from the full-corpus LSH pairs; restricting components to the
+    # quality lane keeps a quality doc that duplicated a filtered one)
+    edges = _lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= NEAR_DUP_JACCARD
+    )
+    qdocs = quality.select("doc_id")
+    qedges = (
+        edges.join(qdocs.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(qdocs.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
+    comp = connected_components(
+        qdocs, qedges, id_col="doc_id", src_col="doc_a", dst_col="doc_b",
+        component_col="cluster_id",
+    )
+    keep = comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    deduped = quality.join(keep, "doc_id", "left_semi")
+
+    h = hashing.md5_hash60(
+        F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))
+    )
+    return deduped.withColumn(
+        "split",
+        F.when(h % 100 < _SPLIT_PCT_TRAIN, "train").otherwise("test"),
+    )
+
+
+def run(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    *,
+    langs: tuple[str, ...] = DEFAULT_LANGS,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+) -> CorpusStats:
+    """Execute the pipeline and write (split, lang)-partitioned parquet."""
+    d = load_table(spark, sf_dir, "documents")
+    curated = curate(spark, sf_dir, langs=langs, min_quality=min_quality)
+    curated.write.mode("overwrite").partitionBy("split", "lang").parquet(out_path)
+
+    out = spark.read.parquet(out_path)
+    by_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return CorpusStats(
+        n_raw=d.count(),
+        n_lang=d.filter(F.col("lang").isin(*langs)).count(),
+        n_quality=_quality_lane(d, langs, min_quality).count(),
+        n_dedup=out.count(),
+        n_train=by_split.get("train", 0),
+        n_test=by_split.get("test", 0),
+    )
