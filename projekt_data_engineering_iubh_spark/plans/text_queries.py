@@ -916,3 +916,83 @@ def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+
+
+_CORPUS_LANGS = ("en", "de", "es", "fr")
+_CORPUS_MIN_QUALITY = 0.5
+
+# end-to-end oracle for pipeline/corpus.py::curate — quality gate,
+# transitive LSH dedup restricted to the quality lane, hash split
+_CORPUS_SQL = f"""
+WITH RECURSIVE qtoks AS (
+  SELECT doc_id, text, lang, {tx.tokens_sql('text')} AS toks FROM documents
+), qstat AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(length(text) AS INTEGER) AS n_chars_text,
+         CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS INTEGER) AS punct_count,
+         CAST(len(list_filter(toks,
+              t -> list_contains(['the','and','of','to','in','is','a'], t)))
+           AS INTEGER) AS stopword_count
+  FROM qtoks
+), qual AS (
+  SELECT doc_id FROM qstat
+  WHERE n_tokens > 0
+    AND lang IN ({", ".join(f"'{l}'" for l in _CORPUS_LANGS)})
+    AND 0.4 * least(1.0, n_tokens / 100.0)
+        + 0.3 * (1.0 - CAST(punct_count AS DOUBLE) / n_chars_text)
+        + 0.3 * least(1.0, 4.0 * (CAST(stopword_count AS DOUBLE) / n_tokens))
+        >= {_CORPUS_MIN_QUALITY}
+), stoks AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+), ssh AS (
+  SELECT doc_id, {tx.shingles_sql('toks')} AS sh FROM stoks
+), shs AS (
+  SELECT doc_id, {hashing.hashed_shingles_sql('sh')} AS hs FROM ssh
+), ssig AS (
+  SELECT doc_id, {hashing.minhash_signature_sql('hs', 16)} AS minhash FROM shs
+), sbands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, minhash, {b} AS band_no,"
+    f" array_to_string(minhash[{b * 4 + 1}:{(b + 1) * 4}], '-') AS band_key FROM ssig"
+    for b in range(4)
+  )}
+), edges AS (
+  SELECT a.doc_id AS s, b.doc_id AS d
+  FROM sbands a JOIN sbands b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE len(list_filter(range(1, 17), i -> a.minhash[i] = b.minhash[i])) / 16.0 >= 0.5
+    AND a.doc_id IN (SELECT doc_id FROM qual)
+    AND b.doc_id IN (SELECT doc_id FROM qual)
+), und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM qual
+  UNION
+  SELECT r.src, u.d FROM reach r JOIN und u ON r.dst = u.s
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       CASE WHEN {hashing.md5_hash60_sql(
+           "concat('split_v1', CAST(d.doc_id AS VARCHAR))")} % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+FROM documents d
+JOIN comp ON d.doc_id = comp.doc_id AND d.doc_id = comp.cluster_id
+"""
+
+
+@register("docs_corpus_curated", oracle=_CORPUS_SQL, driver=False)
+def docs_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLIED corpus pipeline (pipeline/corpus.py::curate) as an
+    oracle-verified query: language + quality gates, transitive LSH
+    near-dup removal restricted to the quality lane, deterministic hash
+    split — the end-to-end artifact the individual docs_* queries are
+    diagnostics for. Local-only (past the driver budget); the oracle
+    expresses the full composition, recursive-CTE clustering included."""
+    from projekt_data_engineering_iubh_spark.pipeline import corpus
+
+    return corpus.curate(
+        spark,
+        sf_dir,
+        langs=_CORPUS_LANGS,
+        min_quality=_CORPUS_MIN_QUALITY,
+    ).select("doc_id", "lang", "source", "n_chars", "split")

@@ -25,6 +25,7 @@ LOCAL_ONLY_FAMILY = {
     "docs_tfidf_top_terms",
     "docs_train_test_split",
     "docs_dedup_clusters",
+    "docs_corpus_curated",
     "emb_ivf_ann",
 }
 
