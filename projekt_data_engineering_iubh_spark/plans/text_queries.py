@@ -149,12 +149,26 @@ def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BANDS_CTE = _SIG_CTE + ", bands AS (\n" + "\n  UNION ALL\n".join(
-    f"  SELECT doc_id, {b} AS band_no, "
-    f"array_to_string(minhash[{b * _LSH_ROWS + 1}:{(b + 1) * _LSH_ROWS}], '-') AS band_key"
-    f" FROM sig"
-    for b in range(_LSH_BANDS)
-) + "\n)"
+# Empty shingle sets (docs with <3 tokens) carry the all-MERSENNE_P
+# sentinel signature (functions/hashing.py::minhash_signature). Banding
+# them would put EVERY short doc in one shared bucket: est_jaccard 1.0
+# between unrelated documents, and a single quadratic hot bucket in the
+# self-join at scale. They are excluded from candidate generation and
+# stay singletons in the transitive dedup (the CC vertex set is all
+# docs). Non-empty signatures always have minhash[1] < p (each slot is
+# min((a*h+b) mod p) ≤ p-1), so `minhash[1] < p` is the exact, portable
+# "has shingles" predicate on both engines.
+def _bands_branches_sql(sig_rel: str, carry_minhash: bool = False) -> str:
+    carry = " minhash," if carry_minhash else ""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT doc_id,{carry} {b} AS band_no, "
+        f"array_to_string(minhash[{b * _LSH_ROWS + 1}:{(b + 1) * _LSH_ROWS}], '-') AS band_key"
+        f" FROM {sig_rel} WHERE minhash[1] < {hashing.MERSENNE_P}"
+        for b in range(_LSH_BANDS)
+    )
+
+
+_BANDS_CTE = _SIG_CTE + ", bands AS (\n" + _bands_branches_sql("sig") + "\n)"
 
 _LSH_PAIRS_SQL = (
     _BANDS_CTE
@@ -177,7 +191,12 @@ JOIN sig sb ON sb.doc_id = doc_b
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs with signature-estimated Jaccard (see the registered
     query below for the design notes)."""
-    sig = _signatures(spark, sf_dir)
+    # sentinel exclusion: see _bands_branches_sql. Docs with empty
+    # shingle sets never enter candidate generation (they'd otherwise
+    # share one band bucket and pair quadratically with est_jaccard 1.0).
+    sig = _signatures(spark, sf_dir).filter(
+        F.element_at(F.col("minhash"), 1) < F.lit(hashing.MERSENNE_P)
+    )
     # band_key is xxhash64(band_no, slice) — a single bigint join key
     # instead of the '-'-joined string (shrinks the shuffle rows by the
     # string key and skips the per-row string build; VERDICT r1 #7). The
@@ -676,11 +695,7 @@ WITH RECURSIVE toks AS (
 ), sig AS (
   SELECT doc_id, {hashing.minhash_signature_sql('hs', 16)} AS minhash FROM hs
 ), bands AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, minhash, {b} AS band_no,"
-    f" array_to_string(minhash[{b * 4 + 1}:{(b + 1) * 4}], '-') AS band_key FROM sig"
-    for b in range(4)
-  )}
+  {_bands_branches_sql("sig", carry_minhash=True)}
 ),
 edges AS (
   SELECT a.doc_id AS s, b.doc_id AS d
@@ -743,11 +758,7 @@ WITH RECURSIVE toks AS (
 ), sig AS (
   SELECT doc_id, {hashing.minhash_signature_sql('hs', 16)} AS minhash FROM hs
 ), bands AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, minhash, {b} AS band_no,"
-    f" array_to_string(minhash[{b * 4 + 1}:{(b + 1) * 4}], '-') AS band_key FROM sig"
-    for b in range(4)
-  )}
+  {_bands_branches_sql("sig", carry_minhash=True)}
 ),
 edges AS (
   SELECT a.doc_id AS s, b.doc_id AS d
@@ -952,11 +963,7 @@ WITH RECURSIVE qtoks AS (
 ), ssig AS (
   SELECT doc_id, {hashing.minhash_signature_sql('hs', 16)} AS minhash FROM shs
 ), sbands AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, minhash, {b} AS band_no,"
-    f" array_to_string(minhash[{b * 4 + 1}:{(b + 1) * 4}], '-') AS band_key FROM ssig"
-    for b in range(4)
-  )}
+  {_bands_branches_sql("ssig", carry_minhash=True)}
 ), edges AS (
   SELECT a.doc_id AS s, b.doc_id AS d
   FROM sbands a JOIN sbands b
