@@ -118,9 +118,18 @@ LIMIT 10
 
 @register("q3_shipping_priority", oracle=_Q3_SQL, headline=True)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 analog: selective dimension filter → broadcast join →
-    aggregation → deterministic top-10 (revenue is decimal-exact, so the
-    DESC order ties out bit-identically across engines)."""
+    """TPC-H Q3 analog: selective filters → join → aggregation →
+    deterministic top-10 (revenue is decimal-exact, so the DESC order
+    ties out bit-identically across engines).
+
+    Broadcast policy (r2 VERDICT fix): every table here is
+    sf-proportional — the o_orderdate < 1998 filter retains ~97% of
+    orders, and even customer×BUILDING is 1/5 of an sf-scaled table —
+    so NO side carries a broadcast hint (a hint is unconditional and
+    becomes a multi-GB broadcast at 100×). Catalyst's size-based
+    planning and AQE's runtime SMJ→BHJ conversion broadcast whichever
+    side actually fits the threshold at the running scale, and shuffle
+    when none does; tests/test_physical_plans.py pins both regimes."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -132,8 +141,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -160,9 +169,15 @@ GROUP BY n_name
 
 @register("q5_regional_revenue", oracle=_Q5_SQL, headline=True)
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 analog: 6-way join. All dimension sides are broadcast so the
-    only shuffle at scale is lineitem→orders; Catalyst + AQE handle join
-    ordering."""
+    """TPC-H Q5 analog: 6-way join.
+
+    Broadcast policy (r2 VERDICT fix): hints only on the FIXED-cardinality
+    dimensions — nation (25 rows) and region (5 rows) are constant at any
+    scale factor, so their broadcast is always safe. customer, supplier,
+    orders, lineitem all grow with sf; hinting any of them (r2 broadcast
+    unfiltered customer) is a guaranteed multi-GB broadcast at 100×.
+    Unhinted, Catalyst/AQE still broadcast them at small scale (size-based)
+    and fall back to shuffle joins when they outgrow the threshold."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -175,9 +190,9 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -276,7 +291,9 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # no broadcast hint: part is sf-proportional (same policy as q3/q5);
+        # AQE broadcasts it while it fits, shuffles when it doesn't
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", disc_price))
             .cast("string")
@@ -711,7 +728,8 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(pa, "l_partkey")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # no hint on the brand-filtered part (sf-proportional; q3/q5 policy)
+        .join(p, l.l_partkey == p.p_partkey)
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -968,13 +986,14 @@ GROUP BY c_mktsegment
 @register("pivot_status_by_segment", oracle=_PIVOT_SQL)
 def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long→wide pivot with an explicit value list (one pass, no second
-    scan for value discovery — required at scale), over an inner broadcast
-    fact→dim join; total count + decimal spend per segment ride the same
-    aggregation (absorbs the former join_inner_mktsegment entry)."""
+    scan for value discovery — required at scale), over an inner fact→dim
+    join (unhinted: customer is sf-proportional, q3/q5 broadcast policy);
+    total count + decimal spend per segment ride the same aggregation
+    (absorbs the former join_inner_mktsegment entry)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     piv = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(

@@ -34,9 +34,45 @@ def test_month_slice_pushes_filter_to_scan(spark):
     assert pushed and any("o_orderdate" in ln for ln in pushed)
 
 
-def test_q3_q5_broadcast_dimensions(spark):
+def test_q3_q5_broadcast_small_sides_at_test_scale(spark):
+    # at sf0.001 every filtered side fits the size-based threshold, so
+    # Catalyst/AQE still picks broadcast joins without any hint
     for name in ("q3_shipping_priority", "q5_regional_revenue"):
         assert "BroadcastHashJoin" in plan_of(spark, name), name
+
+
+def test_q3_q5_no_fact_broadcast_at_scale(spark):
+    # 100 TB regime: no sf-proportional table fits any broadcast
+    # threshold. Mimic by disabling size-based auto-broadcast — what
+    # remains broadcast is exactly the explicit hints, which must feed
+    # only from FIXED-cardinality dimensions (q5: nation 25 rows, region
+    # 5 rows), never from orders/customer/supplier/lineitem/part
+    # (r2 VERDICT: hinted fact-sized broadcasts OOM at 100×).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q3 = plan_of(spark, "q3_shipping_priority")
+        # q3 has no fixed-size dimension: nothing may be force-broadcast
+        assert "BroadcastExchange" not in q3
+        assert "SortMergeJoin" in q3 or "ShuffledHashJoin" in q3
+
+        q5 = plan_of(spark, "q5_regional_revenue")
+        bhj = [ln for ln in q5.splitlines() if "BroadcastHashJoin" in ln]
+        assert bhj, "nation/region hints must survive"
+        for ln in bhj:
+            # broadcast joins key only on nation/region equi-keys
+            assert "n_nationkey" in ln or "n_regionkey" in ln, ln
+            assert "o_custkey" not in ln and "o_orderkey" not in ln, ln
+        # the fact-fact joins (lineitem⋈orders, orders⋈customer) shuffle
+        shuffled = [
+            ln
+            for ln in q5.splitlines()
+            if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+        ]
+        assert any("o_orderkey" in ln for ln in shuffled)
+        assert any("o_custkey" in ln for ln in shuffled)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_top20_uses_take_ordered(spark):
