@@ -12,11 +12,15 @@ Design for 100 TB of media:
 * partition by size: ``repartitionByRange`` on ``meta.n_bytes`` keeps any
   single task from receiving all the 4K videos.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
-``decode_image`` raises ``NotImplementedError`` unless a decoder callable
-is injected; tests inject :func:`fake_image_decoder`, which is
-deterministic from the payload bytes. The Spark-side plumbing — schema,
-Arrow batching, UDF signatures — is identical either way.
+Codec resolution: an injected decoder/resizer callable wins; otherwise a
+Pillow-backed default is used when Pillow is importable
+(:func:`default_image_decoder` / :func:`default_image_resizer`);
+otherwise the operator raises ``NotImplementedError`` at execution time.
+This container has no PIL/ffmpeg/soundfile, so tests inject
+:func:`fake_image_decoder` / :func:`fake_image_resizer` (deterministic
+from the payload bytes) and the Pillow path is exercised by a test that
+skips when Pillow is absent. The Spark-side plumbing — schema, Arrow
+batching, UDF signatures — is identical either way.
 """
 
 from __future__ import annotations
@@ -76,9 +80,12 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode image payloads and emit feature rows (Arrow-batched).
 
-    Raises NotImplementedError at execution time when no decoder is
-    available — inject one (or the fake) explicitly.
+    Decoder resolution: an injected callable wins; otherwise the
+    Pillow-backed default when Pillow is importable; otherwise the
+    operator raises NotImplementedError at execution time.
     """
+    if decoder is None:
+        decoder = default_image_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -147,17 +154,82 @@ RESIZED_SCHEMA = (
 Resizer = Callable[[bytes, int], "tuple[int, int, int, int, bytes]"]
 
 
+def _fit_longer_side(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving thumb dims with the longer side EXACTLY max_side.
+
+    The longer side is assigned max_side directly (never scaled through
+    floating point — int(L * (max_side/L)) can truncate to max_side-1
+    from FP rounding); only the shorter side is scaled, with round().
+    """
+    if w >= h:
+        return max_side, max(1, round(h * max_side / w))
+    return max(1, round(w * max_side / h)), max_side
+
+
 def fake_image_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, int, bytes]:
     """Deterministic stand-in for a real resize codec: derives source
     dims like :func:`fake_image_decoder`, scales the longer side to
     ``max_side`` preserving aspect ratio, and emits a digest-derived
     thumbnail payload whose length encodes the thumb area."""
     w, h, _ = fake_image_decoder(payload)
-    scale = max_side / max(w, h)
-    tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+    tw, th = _fit_longer_side(w, h, max_side)
     d = hashlib.md5(payload + b"|thumb").digest()
     thumb = (d * ((tw * th) // len(d) + 1))[: tw * th]
     return w, h, tw, th, thumb
+
+
+# --- real codec (optional): Pillow-backed decode/resize -------------------
+# Pillow is not installed in this container; when it IS importable the
+# operators below become the default codec, with the injectable fakes
+# still available for deterministic tests.
+
+
+def pillow_image_decoder(payload: bytes) -> tuple[int, int, float]:
+    """PIL-backed decoder with the same (width, height, mean_luma)
+    contract as :func:`fake_image_decoder`."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        w, h = im.size
+        hist = im.convert("L").histogram()
+    n = sum(hist)
+    mean = sum(i * c for i, c in enumerate(hist)) / n if n else 0.0
+    return w, h, mean / 255.0
+
+
+def pillow_image_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, int, bytes]:
+    """PIL-backed resizer with the same contract as
+    :func:`fake_image_resizer` (longer side exactly max_side, PNG bytes)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        w, h = im.size
+        tw, th = _fit_longer_side(w, h, max_side)
+        buf = io.BytesIO()
+        im.resize((tw, th)).save(buf, format="PNG")
+    return w, h, tw, th, buf.getvalue()
+
+
+def default_image_decoder() -> Decoder | None:
+    """The Pillow decoder when importable, else None (caller must inject)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return None
+    return pillow_image_decoder
+
+
+def default_image_resizer() -> Resizer | None:
+    """The Pillow resizer when importable, else None (caller must inject)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return None
+    return pillow_image_resizer
 
 
 def resize_images(
@@ -166,9 +238,12 @@ def resize_images(
     """Thumbnail generation (Arrow-batched mapInPandas), the write-side
     twin of :func:`extract_image_features`: emits derived
     (dims, thumbnail bytes) rows; source payloads are read once per
-    partition and never re-shuffled. Raises NotImplementedError at
-    execution time when no resizer is injected (no PIL in this
-    container); tests inject :func:`fake_image_resizer`."""
+    partition and never re-shuffled. Resizer resolution mirrors
+    :func:`extract_image_features`: injected > Pillow default >
+    NotImplementedError at execution time (no PIL in this container);
+    tests inject :func:`fake_image_resizer`."""
+    if resizer is None:
+        resizer = default_image_resizer()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

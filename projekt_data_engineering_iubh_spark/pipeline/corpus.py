@@ -33,9 +33,12 @@ from projekt_data_engineering_iubh_spark.operators.connected_components import (
     connected_components,
 )
 from projekt_data_engineering_iubh_spark.plans.text_queries import (
+    _PUNCT_RE,
     _SPLIT_PCT_TRAIN,
     _SPLIT_SALT,
     _lsh_pairs,
+    quality_score_expr,
+    stopword_count_expr,
 )
 
 DEFAULT_LANGS = ("en", "de", "es", "fr")
@@ -56,28 +59,22 @@ class CorpusStats:
 def _quality_lane(
     d: DataFrame, langs: tuple[str, ...], min_quality: float
 ) -> DataFrame:
+    # the score and its inputs come from text_queries' shared helpers —
+    # the SAME expressions behind the oracle-verified docs_text_stats
+    # query and the _CORPUS_SQL oracle, so the shipped corpus cannot
+    # drift from the verified score (r2 ADVICE: the former inline copy
+    # duplicated the regex/stopwords/weights in a third place)
     kept = d.filter(F.col("lang").isin(*langs))
     toks = tx.tokens(F.col("text"))
     stats = kept.select(
         "*",
         F.size(toks).alias("_nt"),
         F.length("text").alias("_nc"),
-        F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]")).alias("_punct"),
-        F.size(
-            F.filter(
-                toks,
-                lambda t: F.array_contains(
-                    F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "in", "is", "a")]),
-                    t,
-                ),
-            )
-        ).alias("_stop"),
+        F.regexp_count("text", F.lit(_PUNCT_RE)).alias("_punct"),
+        stopword_count_expr(toks).alias("_stop"),
     ).filter(F.col("_nt") > 0)
-    score = (
-        F.lit(0.4) * F.least(F.lit(1.0), F.col("_nt") / F.lit(100.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.col("_punct").cast("double") / F.col("_nc"))
-        + F.lit(0.3)
-        * F.least(F.lit(1.0), F.lit(4.0) * (F.col("_stop").cast("double") / F.col("_nt")))
+    score = quality_score_expr(
+        F.col("_nt"), F.col("_nc"), F.col("_punct"), F.col("_stop")
     )
     return stats.filter(score >= min_quality).select(d.columns)
 

@@ -504,6 +504,40 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PUNCT_RE = "[^a-zA-Z0-9 ]"
+_EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a")
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOPWORDS) + "]"
+
+# The composite quality score (C4/Gopher-style: length, punctuation,
+# stopword density; weights 0.4/0.3/0.3). SINGLE source of truth — the
+# Column form, the SQL template, and the corpus pipeline's quality lane
+# (pipeline/corpus.py) all come from these two functions, so the shipped
+# corpus can never drift from the oracle-verified docs_text_stats score.
+
+
+def quality_score_expr(
+    n_tokens: F.Column, n_chars: F.Column, punct: F.Column, stop: F.Column
+) -> F.Column:
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct.cast("double") / n_chars)
+        + F.lit(0.3)
+        * F.least(F.lit(1.0), F.lit(4.0) * (stop.cast("double") / n_tokens))
+    )
+
+
+def quality_score_sql(nt: str, nc: str, punct: str, stop: str) -> str:
+    return (
+        f"0.4 * least(1.0, {nt} / 100.0)\n"
+        f"       + 0.3 * (1.0 - CAST({punct} AS DOUBLE) / {nc})\n"
+        f"       + 0.3 * least(1.0, 4.0 * (CAST({stop} AS DOUBLE) / {nt}))"
+    )
+
+
+def stopword_count_expr(toks: F.Column) -> F.Column:
+    stopset = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stopset, t)))
+
+
 _STATS_CTE = f"""
 WITH t AS (
   SELECT doc_id, text, lang, {tx.tokens_sql('text')} AS toks FROM documents
@@ -516,7 +550,7 @@ WITH t AS (
            AS token_chars,
          CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS INTEGER) AS punct_count,
          CAST(len(list_filter(toks,
-              t -> list_contains(['the','and','of','to','in','is','a'], t)))
+              t -> list_contains({_STOPWORDS_SQL}, t)))
            AS INTEGER) AS stopword_count
   FROM t
 )
@@ -524,26 +558,21 @@ WITH t AS (
 
 _TEXT_STATS_SQL = (
     _STATS_CTE
-    + """
+    + f"""
 SELECT doc_id, n_tokens, n_chars_text, n_distinct_tokens, punct_count, stopword_count,
        CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len,
        CAST(punct_count AS DOUBLE) / n_chars_text AS punct_ratio,
        CAST(stopword_count AS DOUBLE) / n_tokens AS stopword_ratio,
        CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS diversity,
-       0.4 * least(1.0, n_tokens / 100.0)
-       + 0.3 * (1.0 - CAST(punct_count AS DOUBLE) / n_chars_text)
-       + 0.3 * least(1.0, 4.0 * (CAST(stopword_count AS DOUBLE) / n_tokens))
+       {quality_score_sql('n_tokens', 'n_chars_text', 'punct_count', 'stopword_count')}
          AS quality_score
 FROM st WHERE n_tokens > 0
 """
 )
 
-_EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a")
-
 
 def _stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
-    stopset = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
     # tokenize ONCE into a projected column — the stat expressions below
     # reference `toks` 4×, and interpreted higher-order lambdas get no
     # common-subexpression elimination (VERDICT r1 next-round #8)
@@ -561,9 +590,7 @@ def _stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
         ).alias("token_chars"),
         F.regexp_count("text", F.lit(_PUNCT_RE)).alias("punct_count"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stopset, t))).alias(
-            "stopword_count"
-        ),
+        stopword_count_expr(toks).alias("stopword_count"),
     )
 
 
@@ -574,15 +601,11 @@ def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher/C4-style heuristic filter) derived from the same stat columns;
     one driver entry (registry curation), all JVM-side expressions."""
     st = _stats(spark, sf_dir).filter(F.col("n_tokens") > 0)
-    score = (
-        F.lit(0.4) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
-        + F.lit(0.3)
-        * (F.lit(1.0) - F.col("punct_count").cast("double") / F.col("n_chars_text"))
-        + F.lit(0.3)
-        * F.least(
-            F.lit(1.0),
-            F.lit(4.0) * (F.col("stopword_count").cast("double") / F.col("n_tokens")),
-        )
+    score = quality_score_expr(
+        F.col("n_tokens"),
+        F.col("n_chars_text"),
+        F.col("punct_count"),
+        F.col("stopword_count"),
     )
     return st.select(
         "doc_id",
@@ -943,16 +966,14 @@ WITH RECURSIVE qtoks AS (
          CAST(length(text) AS INTEGER) AS n_chars_text,
          CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS INTEGER) AS punct_count,
          CAST(len(list_filter(toks,
-              t -> list_contains(['the','and','of','to','in','is','a'], t)))
+              t -> list_contains({_STOPWORDS_SQL}, t)))
            AS INTEGER) AS stopword_count
   FROM qtoks
 ), qual AS (
   SELECT doc_id FROM qstat
   WHERE n_tokens > 0
     AND lang IN ({", ".join(f"'{l}'" for l in _CORPUS_LANGS)})
-    AND 0.4 * least(1.0, n_tokens / 100.0)
-        + 0.3 * (1.0 - CAST(punct_count AS DOUBLE) / n_chars_text)
-        + 0.3 * least(1.0, 4.0 * (CAST(stopword_count AS DOUBLE) / n_tokens))
+    AND {quality_score_sql('n_tokens', 'n_chars_text', 'punct_count', 'stopword_count')}
         >= {_CORPUS_MIN_QUALITY}
 ), stoks AS (
   SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents

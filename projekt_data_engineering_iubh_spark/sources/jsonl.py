@@ -41,6 +41,14 @@ def read(
 
 
 def good_records(df: DataFrame) -> DataFrame:
+    """All schema-conforming rows, corrupt column dropped.
+
+    Caveat: ``good_records(df).count()`` fails — Catalyst prunes every
+    column but the filter's ``_corrupt_record``, tripping the same
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction documented on
+    :func:`bad_records`. Count via an aggregate over a data column
+    (e.g. ``select(count('some_col'))`` with ``isNotNull`` semantics in
+    mind) or count after a materializing write."""
     return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
 
@@ -54,15 +62,31 @@ def bad_records(
     that reference only the corrupt column
     ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]) and the
     documented workaround — caching the parsed frame — is exactly what a
-    100 TB ingest cannot do. The validity probe is
-    ``get_json_object(value, '$')``, which is NULL exactly for
-    unparseable lines (``from_json`` can't serve here: PERMISSIVE mode
-    yields an all-null struct for malformed input, indistinguishable
-    from ``{}``); the text scan reads only this lane's query."""
+    100 TB ingest cannot do.
+
+    A line is quarantined when ``get_json_object(value, '$')`` is NULL
+    (syntactically unparseable) OR the line is a top-level JSON SCALAR
+    (``42``, ``"x"``, ``true`` parse fine under get_json_object but are
+    corrupt in the struct read — they don't start with ``{`` or ``[``).
+    Blank lines are excluded: the main read skips them entirely, so
+    they belong to neither lane. With those rules ``good_records +
+    bad_records`` partitions the non-blank input, with two documented
+    exceptions visible only to the schema-aware main read: (1) a valid
+    object whose field TYPES mismatch the schema (a string where a
+    long is declared), and (2) a top-level ARRAY whose elements aren't
+    schema-conforming objects — Spark unwraps arrays of objects into
+    one row per element, so arrays can't be classified schemalessly.
+    Count both lanes when reconciling. (``from_json`` can't close the
+    gap: PERMISSIVE mode yields an all-null struct for malformed
+    input, indistinguishable from ``{}``.)"""
     del schema  # signature kept symmetric with read(); probe is schemaless
     txt = spark.read.text(path)
     return (
-        txt.filter(F.get_json_object("value", "$").isNull())
+        txt.filter(F.trim(F.col("value")) != "")
+        .filter(
+            F.get_json_object("value", "$").isNull()
+            | ~F.col("value").rlike(r"^\s*[\[{]")
+        )
         .select(F.col("value").alias(CORRUPT_COL))
     )
 

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
     MEDIA_SCHEMA,
+    _fit_longer_side,
+    default_image_decoder,
     extract_image_features,
     fake_image_decoder,
     fake_image_resizer,
@@ -42,6 +44,8 @@ def test_image_features_deterministic(spark, media):
 
 
 def test_missing_codec_raises_cleanly(spark, media):
+    if default_image_decoder() is not None:
+        pytest.skip("Pillow installed: the default codec takes over")
     feats = extract_image_features(media, decoder=None)
     with pytest.raises(Exception, match="no image codec"):
         feats.collect()
@@ -93,5 +97,46 @@ def test_resize_images_deterministic(spark, media):
 
 
 def test_resize_missing_codec_raises_cleanly(spark, media):
+    if default_image_decoder() is not None:
+        pytest.skip("Pillow installed: the default codec takes over")
     with pytest.raises(Exception, match="NotImplementedError|no image codec"):
         resize_images(media).collect()
+
+
+def test_fit_longer_side_exact_invariant():
+    # FP-truncation regression (r2 ADVICE): int(L * (max_side/L)) can
+    # yield max_side-1 (e.g. L=41, max_side=32) — the longer side must be
+    # assigned exactly, both orientations, across a dense sweep
+    assert _fit_longer_side(41, 20, 32) == (32, 16)
+    assert _fit_longer_side(20, 41, 32) == (16, 32)
+    for longer in range(1, 400):
+        for shorter in (1, longer // 2 + 1, longer):
+            for max_side in (7, 32, 128):
+                tw, th = _fit_longer_side(longer, shorter, max_side)
+                assert max(tw, th) == max_side, (longer, shorter, max_side)
+                tw, th = _fit_longer_side(shorter, longer, max_side)
+                assert max(tw, th) == max_side, (shorter, longer, max_side)
+
+
+def test_pillow_codec_real_decode(spark):
+    # real-codec path: same schema/contract as the fakes; skipped when
+    # Pillow is absent (this container has no image libs)
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (41, 20), (200, 100, 50)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", payload, (len(payload), None, None, None))], MEDIA_SCHEMA
+    )
+    feats = {r.asset_id: r for r in extract_image_features(media).collect()}
+    assert feats[1].width == 41 and feats[1].height == 20
+    assert 0.0 < feats[1].mean_luma < 1.0
+
+    out = {r.asset_id: r for r in resize_images(media, max_side=32).collect()}
+    assert (out[1].thumb_width, out[1].thumb_height) == (32, 16)
+    with Image.open(io.BytesIO(bytes(out[1].thumbnail))) as t:
+        assert t.size == (32, 16)

@@ -74,6 +74,9 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
         '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
         '{"doc_id": 2, "text": "guten tag", "lang": "de"}\n'
         "{not json at all}\n"
+        "42\n"  # valid JSON scalar, NOT an object -> corrupt in struct read
+        '[{"doc_id": 9}]\n'  # array of objects: Spark UNWRAPS into rows
+        "\n"  # blank: skipped by the main read, belongs to neither lane
         '{"doc_id": 4, "text": null, "lang": "fr"}\n'
     )
     schema = T.StructType(
@@ -85,9 +88,18 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     )
     df = jsonl.read(spark, str(raw), schema)
     good = jsonl.good_records(df)
-    assert {r.doc_id for r in good.collect()} == {1, 2, 4}
+    good_rows = good.collect()
+    assert {r.doc_id for r in good_rows} == {1, 2, 4, 9}
     bad = jsonl.bad_records(spark, str(raw), schema).collect()
-    assert len(bad) == 1 and "not json" in bad[0][0]
+    bad_texts = {b[0] for b in bad}
+    # unparseable + scalar quarantined; blank line in NEITHER lane;
+    # the object array unwraps into good rows (r2 ADVICE partition fix)
+    assert bad_texts == {"{not json at all}", "42"}
+    # good rows + quarantined lines = non-blank lines (the single-element
+    # array contributes exactly one good row here); counted from collect()
+    # because good.count() trips QUERY_ONLY_CORRUPT_RECORD_COLUMN (the
+    # count prunes every column but the corrupt-filter's)
+    assert len(good_rows) + len(bad) == 6
 
     out = tmp_path / "out"
     jsonl.write(good, str(out), partitions=1)
