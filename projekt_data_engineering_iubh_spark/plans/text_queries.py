@@ -739,7 +739,7 @@ JOIN (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src) c
 """
 
 
-@register("docs_dedup_apply", oracle=_DEDUP_APPLY_SQL)
+@register("docs_dedup_apply", oracle=_DEDUP_APPLY_SQL, headline=True)
 def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The applied dedup: one representative (min doc_id) per CONNECTED
     COMPONENT of the near-dup graph — LSH candidate pairs with

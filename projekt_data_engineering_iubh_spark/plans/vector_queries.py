@@ -289,7 +289,7 @@ FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 """
 
 
-@register("emb_lsh_ann_pairs", oracle=_LSH_ANN_SQL)
+@register("emb_lsh_ann_pairs", oracle=_LSH_ANN_SQL, headline=True)
 def emb_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN candidate pairs: equi-join on LSH bucket, exact cosine on the
     survivors — linear-time ANN (the brute-force top-k's scale-out path)."""
