@@ -8,9 +8,12 @@ exactly that, executing the merge through the JVM's ``java.sql.DriverManager``
 so no Python DB driver is needed — only the JDBC driver jar Spark already
 requires for the write.
 
-Untestable in this container (no Postgres, no JDBC driver jar); the logic
-is exercised by unit tests on the generated SQL, and the wiring fails fast
-with a clear error when the driver is absent.
+No Postgres exists in this container, but Spark ships the embedded Derby
+JDBC driver, so the whole flow — Spark JDBC staging write, DriverManager
+connection, staging→final merge (ANSI ``MERGE INTO`` dialect), row-level
+idempotency across reruns — is integration-tested end-to-end against a
+real database (``tests/test_jdbc_upsert.py``); the Postgres ``ON
+CONFLICT`` string stays unit-tested only.
 
 Scale notes: reads should set ``partitionColumn/lowerBound/upperBound/
 numPartitions`` so the scan parallelizes; writes batch via ``batchsize``
@@ -71,18 +74,42 @@ def write_append(
 
 
 def merge_sql(
-    table: str, staging_table: str, columns: Sequence[str], key_columns: Sequence[str]
+    table: str,
+    staging_table: str,
+    columns: Sequence[str],
+    key_columns: Sequence[str],
+    *,
+    dialect: str = "postgres",
 ) -> str:
-    """Postgres ``INSERT … ON CONFLICT (keys) DO UPDATE`` from staging."""
+    """Staging→final merge statement.
+
+    ``dialect="postgres"`` (the reference's target DB,
+    ``src/init_db.sql:41`` PRIMARY KEY): ``INSERT … ON CONFLICT (keys)
+    DO UPDATE`` — requires a unique constraint on the keys.
+
+    ``dialect="ansi"``: SQL-standard ``MERGE INTO`` (Derby/DB2/Oracle/
+    SQL Server family) — needs no constraint and is what the embedded
+    Derby integration test executes end-to-end.
+    """
     cols = ", ".join(columns)
     keys = ", ".join(key_columns)
-    updates = ", ".join(
-        f"{c} = EXCLUDED.{c}" for c in columns if c not in key_columns
-    )
-    return (
-        f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging_table} "
-        f"ON CONFLICT ({keys}) DO UPDATE SET {updates}"
-    )
+    non_keys = [c for c in columns if c not in key_columns]
+    if dialect == "postgres":
+        updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+        return (
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging_table} "
+            f"ON CONFLICT ({keys}) DO UPDATE SET {updates}"
+        )
+    if dialect == "ansi":
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_columns)
+        updates = ", ".join(f"{c} = s.{c}" for c in non_keys)
+        values = ", ".join(f"s.{c}" for c in columns)
+        return (
+            f"MERGE INTO {table} t USING {staging_table} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {updates} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({values})"
+        )
+    raise ValueError(f"unknown merge dialect: {dialect!r}")
 
 
 def upsert(
@@ -93,13 +120,23 @@ def upsert(
     properties: Mapping[str, str],
     *,
     staging_table: str | None = None,
+    dialect: str = "postgres",
+    truncate_staging: bool = False,
 ) -> None:
-    """Idempotent write: overwrite staging, merge with ON CONFLICT."""
+    """Idempotent write: overwrite staging, merge into the final table.
+
+    ``truncate_staging=True`` makes the overwrite TRUNCATE a pre-created
+    staging table instead of drop-and-recreate — use it when the DDL is
+    DBA-owned (the reference's ``init_db.sql`` model) or when Spark's
+    dialect type mapping is unsuitable as a merge source (Derby maps
+    StringType→CLOB, which cannot appear in a MERGE ON comparison).
+    """
     staging = staging_table or f"{table}_staging"
     (
         df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", staging)
+        .option("truncate", "true" if truncate_staging else "false")
         .options(**dict(properties))
         .mode("overwrite")
         .save()
@@ -111,7 +148,9 @@ def upsert(
     )
     try:
         stmt = conn.createStatement()
-        stmt.execute(merge_sql(table, staging, df.columns, key_columns))
+        stmt.execute(
+            merge_sql(table, staging, df.columns, key_columns, dialect=dialect)
+        )
         stmt.close()
     finally:
         conn.close()
