@@ -45,6 +45,12 @@ def with_session_seq(
     return df.withColumn(session_col, F.sum(flag).over(w))
 
 
+def _is_file_backed(df: DataFrame) -> bool:
+    """True when the frame's plan reads from a file source
+    (``inputFiles()`` is the public best-effort file listing)."""
+    return bool(df.inputFiles())
+
+
 def with_session_seq_presorted(
     df: DataFrame,
     *,
@@ -56,70 +62,86 @@ def with_session_seq_presorted(
 
     ``with_session_seq`` hash-partitions by the session key; a daily file
     containing ONE machine collapses onto one core and the window sort
-    serializes ~1M rows. When the input is already globally ordered (the
-    reference's per-machine daily CSVs are written in time order), the
+    serializes ~1M rows. When the input is already ordered on disk (the
+    reference's layout: per-machine daily CSVs written in time order,
+    one file per machine-day, date-named — ``generate_data.py:55``), the
     running marker count decomposes:
 
-    1. per input split: local running count of markers (a window keyed by
-       ``spark_partition_id`` — every core works);
-    2. per split: total marker count → tiny driver-side exclusive prefix
-       sum (#splits values, not rows);
-    3. session id = local count + split offset, broadcast-joined back.
+    1. per input BLOCK (file split, identified by ``input_file_name`` +
+       ``input_file_block_start``): local running count of markers —
+       every core works, no global shuffle;
+    2. per block: total marker count → tiny driver-side exclusive prefix
+       sum over blocks ordered by (file path, byte offset) — #blocks
+       values, not rows;
+    3. session id = local count + block offset, broadcast-joined back.
 
-    Ordering contract: split order == data order — true for a SINGLE
-    file read (splits are consecutive byte ranges packed in order) but
-    NOT for multi-file directories, whose listing order is size-based;
-    the totals pass below enforces this (one distinct source file, or no
-    file scan at all for in-memory frames, where ordering is the
-    caller's contract). Cost: one narrow window per split + one
-    broadcast join — no global shuffle.
+    Ordering contract: LEXICOGRAPHIC file-path order must equal time
+    order (true for date-named daily files in one directory; callers
+    with other layouts must rename or fall back to
+    ``with_session_seq``). Within a file, byte order is data order —
+    always true for splittable line formats. Multi-file directories are
+    handled since round 3: Spark packs splits into partitions in
+    SIZE order, so the offset pass orders by (file, block start), never
+    by partition id.
+
+    Guard (r2 ADVICE): ``input_file_name()`` returns ``''`` downstream
+    of any exchange, which would silently misorder a repartitioned
+    frame. File-backed plans with empty file names are therefore
+    REJECTED — call this operator directly on the scan, before any
+    shuffle/repartition. Pure in-memory frames (no file source in the
+    plan) are allowed, ordered by partition id: there the caller owns
+    the ordering contract.
     """
-    part = df.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__file", F.input_file_name()
+    file_backed = _is_file_backed(df)
+    part = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__file", F.input_file_name())
+        .withColumn("__bs", F.input_file_block_start())
     )
     w = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__pid", "__file", "__bs")
         .orderBy(F.monotonically_increasing_id())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flag = F.when(is_marker, F.lit(1)).otherwise(F.lit(0))
     # persisted only for the totals pass; released right after — the
-    # final plan recomputes the narrow per-split window (deterministic:
+    # final plan recomputes the narrow per-block window (deterministic:
     # split packing and in-split row order are plan-time properties)
     # instead of pinning the whole frame in memory for its lifetime
     local = part.withColumn("__local_seq", F.sum(flag).over(w)).persist()
     try:
         totals = (
-            local.groupBy("__pid")
-            .agg(
-                F.max("__local_seq").alias("__cnt"),
-                F.countDistinct("__file").alias("__nf"),
-                F.min("__file").alias("__f"),
-            )
-            .orderBy("__pid")
+            local.groupBy("__pid", "__file", "__bs")
+            .agg(F.max("__local_seq").alias("__cnt"))
             .collect()
         )
     finally:
         local.unpersist()
-    files = {row["__f"] for row in totals if row["__f"]}
-    if len(files) > 1 or any((row["__nf"] or 0) > 1 for row in totals):
+    if file_backed and any(not row["__file"] for row in totals):
         raise ValueError(
-            "with_session_seq_presorted requires a single time-ordered input "
-            f"file (got {len(files)} source files); multi-file inputs have "
-            "size-ordered splits — use with_session_seq instead"
+            "with_session_seq_presorted: file-backed plan but "
+            "input_file_name() is empty — an exchange (repartition/join/"
+            "agg) sits between the scan and this operator, so split "
+            "order no longer equals data order. Apply the operator "
+            "directly on the scan, or use with_session_seq."
         )
+    # exclusive prefix sum over blocks in (file path, byte offset) order;
+    # in-memory frames ('' file, -1 offset) degrade to partition-id order
     offsets, acc = {}, 0
-    for row in totals:
-        offsets[row["__pid"]] = acc
+    for row in sorted(
+        totals, key=lambda r: (r["__file"], r["__bs"], r["__pid"])
+    ):
+        offsets[(row["__pid"], row["__file"], row["__bs"])] = acc
         acc += row["__cnt"] or 0
     spark = df.sparkSession
     offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+        [(pid, f, bs, off) for (pid, f, bs), off in offsets.items()],
+        "__pid int, __file string, __bs long, __offset long",
     )
     out = (
-        local.join(F.broadcast(offset_df), "__pid")
+        local.join(F.broadcast(offset_df), ["__pid", "__file", "__bs"])
         .withColumn(session_col, F.col("__local_seq") + F.col("__offset"))
-        .drop("__pid", "__local_seq", "__offset", "__file")
+        .drop("__pid", "__file", "__bs", "__local_seq", "__offset")
     )
     return out
 
