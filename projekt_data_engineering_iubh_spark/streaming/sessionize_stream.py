@@ -34,11 +34,23 @@ def make_sessionizer(
     event_col: str,
     *,
     open_session_timeout_ms: int | None = None,
+    max_open_session_event_ms: int | None = None,
 ):
     """Build the (key, pdf_iter, state) -> pdf_iter function for
-    ``applyInPandasWithState``: emits one row per closed session; when
-    ``open_session_timeout_ms`` is set, dangling open sessions are emitted
-    (closed=false) after that much processing time."""
+    ``applyInPandasWithState``: emits one row per closed session.
+
+    Two force-close policies for dangling sessions (r2 VERDICT #5 —
+    without one, a machine that dies mid-cycle holds its open-session
+    state forever):
+
+    * ``open_session_timeout_ms`` — processing-time: emitted
+      (closed=false) after that much wall-clock without new events;
+    * ``max_open_session_event_ms`` — event-time: emitted (closed=false)
+      once the WATERMARK passes session_start + this duration, i.e. the
+      stream has provably moved past any point where the session's
+      Cycle_End could still arrive. State is removed on eviction, so
+      per-key state stays O(1) and evicted keys cost nothing.
+    """
 
     def fn(
         key: tuple[Any, ...],
@@ -104,6 +116,14 @@ def make_sessionizer(
         state.update((seq, start_us if start_us is not None else -1, n))
         if start_us is not None and open_session_timeout_ms is not None:
             state.setTimeoutDuration(open_session_timeout_ms)
+        if start_us is not None and max_open_session_event_ms is not None:
+            # fire when the watermark passes start + max duration; the
+            # timestamp must sit above the current watermark, so a
+            # session already past due fires at the very next trigger
+            due_ms = start_us // 1000 + max_open_session_event_ms
+            state.setTimeoutTimestamp(
+                max(due_ms, state.getCurrentWatermarkMs() + 1)
+            )
         if out:
             yield pd.DataFrame(out)
 
@@ -119,27 +139,43 @@ def sessionize_stream(
     marker_start: str = "Cycle_Start",
     marker_end: str = "Cycle_End",
     open_session_timeout_ms: int | None = None,
+    max_open_session_event_ms: int | None = None,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Apply the stateful sessionizer to a streaming DataFrame.
 
-    Timeout-based emission of dangling sessions is opt-in: with a
-    processing-time timeout registered, MicroBatchExecution schedules
-    batches indefinitely to fire timers, so drain-style consumers
-    (processAllAvailable) never settle. Default keeps open sessions in
-    state until their Cycle_End arrives.
+    Force-close of dangling sessions is opt-in, two flavors:
+
+    * ``open_session_timeout_ms`` (processing-time): note that with a
+      processing-time timer registered, MicroBatchExecution schedules
+      batches indefinitely to fire it, so drain-style consumers
+      (processAllAvailable) never settle — use for genuinely continuous
+      deployments only.
+    * ``max_open_session_event_ms`` (event-time, preferred): a watermark
+      (``watermark_delay`` on ``ts_col``) is registered and a session
+      is evicted once the watermark passes session_start + the bound.
+      Timers fire on data progress, so drains settle, and state for
+      dead machines is reclaimed deterministically.
+
+    Default keeps open sessions in state until their Cycle_End arrives.
     """
+    if open_session_timeout_ms is not None and max_open_session_event_ms is not None:
+        raise ValueError("choose ONE timeout flavor: processing-time or event-time")
     fn = make_sessionizer(
         marker_start,
         marker_end,
         ts_col,
         event_col,
         open_session_timeout_ms=open_session_timeout_ms,
+        max_open_session_event_ms=max_open_session_event_ms,
     )
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if open_session_timeout_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
+    if max_open_session_event_ms is not None:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        events = events.withWatermark(ts_col, watermark_delay)
+    elif open_session_timeout_ms is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return events.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=OUTPUT_SCHEMA,

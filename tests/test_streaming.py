@@ -119,6 +119,91 @@ def test_sessionize_stream_matches_batch_cycles(spark, tmp_path):
     assert all(r.n_events == 8 for r in closed)
 
 
+def test_sessionize_stream_event_time_eviction(spark, tmp_path):
+    """r2 VERDICT #5: an unterminated session must be force-closed once
+    the watermark passes session_start + max duration, its state removed
+    (bounded across triggers), and a late Cycle_End for the evicted
+    session ignored. Multi-drop: 4 files, drained one micro-batch at a
+    time so the watermark advances between triggers."""
+    import glob
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "machine_id string, event_timestamp timestamp, event_name string"
+
+    def drop(name, rows):
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))  # atomic appear
+
+    import datetime as dt
+
+    def ts(h, m, s):
+        return dt.datetime(2024, 3, 1, h, m, s)
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = sessionize_stream(
+        stream,
+        max_open_session_event_ms=30 * 60 * 1000,  # 30 min bound
+        watermark_delay="10 minutes",
+    )
+    # first drop must exist before start (empty-dir schema is provided,
+    # but an empty first batch would stall the watermark anyway)
+    drop(
+        "b1",
+        [
+            ("M_A", ts(0, 0, 0), "Cycle_Start"),  # stays open forever
+            ("M_A", ts(0, 0, 1), "AS_Check"),
+            ("M_B", ts(0, 0, 0), "Cycle_Start"),
+            ("M_B", ts(0, 0, 30), "Cycle_End"),
+        ],
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evict_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # wm after b1: 00:00:30 - 10min (pre-midnight) — M_A not yet due
+        drop(
+            "b2",
+            [("M_B", ts(1, 0, 0), "Cycle_Start"), ("M_B", ts(1, 0, 30), "Cycle_End")],
+        )
+        q.processAllAvailable()  # wm -> 00:50:30 > due(00:30) after batch
+        drop(
+            "b3",
+            [("M_B", ts(2, 0, 0), "Cycle_Start"), ("M_B", ts(2, 0, 30), "Cycle_End")],
+        )
+        q.processAllAvailable()  # timer fires THIS trigger: M_A evicted
+        # late End for the evicted session: state is gone, must be a no-op
+        drop("b4", [("M_A", ts(2, 30, 0), "Cycle_End")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM evict_out").collect()
+    dangling = [r for r in rows if not r.closed]
+    closed = [r for r in rows if r.closed]
+
+    # exactly one eviction: M_A's open session, original start, 2 events
+    assert len(dangling) == 1
+    assert dangling[0].machine_id == "M_A"
+    assert dangling[0].session_start == ts(0, 0, 0)
+    assert dangling[0].n_events == 2 and dangling[0].session_end is None
+    # M_B's three complete cycles all closed; the late M_A End closed
+    # nothing (its state was reclaimed — bounded across >=3 triggers)
+    assert sorted((r.machine_id, r.session_seq) for r in closed) == [
+        ("M_B", 1),
+        ("M_B", 2),
+        ("M_B", 3),
+    ]
+
+
 def test_stream_idempotent_sink(spark, tmp_path):
     from projekt_data_engineering_iubh_spark.streaming.hourly_stream import (
         write_idempotent_hourly,
