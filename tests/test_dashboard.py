@@ -1,0 +1,106 @@
+"""Smoke tests for the static dashboard artifact (r2 VERDICT #7).
+
+Both reference figures (error counts over time, min/avg/max cycle time
+over time — ``/root/reference/src/dashboard.py:158-196``) must build
+from golden-pipeline output routed through the serving layer's day
+slice, as one self-contained HTML file.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from projekt_data_engineering_iubh_spark.pipeline import daily_aggregator as da
+from projekt_data_engineering_iubh_spark.pipeline import serving
+from projekt_data_engineering_iubh_spark.pipeline.config import DEFAULT_RULES
+from projekt_data_engineering_iubh_spark.pipeline.dashboard import (
+    CYCLE_TIME_COLUMNS,
+    ERROR_COLUMNS,
+    _LABELS,
+    build_dashboard_html,
+    render_timeseries_svg,
+    write_dashboard,
+)
+
+from tests.test_pipeline_golden import FIXTURE_ROWS
+
+
+@pytest.fixture(scope="module")
+def day_df(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("dash") / "day.csv"
+    p.write_text("\n".join(FIXTURE_ROWS) + "\n")
+    _, summary = da.transform(da.read_events_csv(spark, str(p)), DEFAULT_RULES)
+    return serving.day_slice(summary, "2024-05-01")
+
+
+def test_dashboard_builds_both_figures_and_table(day_df, tmp_path):
+    out = str(tmp_path / "dashboard.html")
+    write_dashboard(day_df, "2024-05-01", out)
+    html = open(out, encoding="utf-8").read()
+
+    assert html.count("<svg") == 2  # no plotly in this container
+    assert "Error counts over time" in html
+    assert "Cycle time (min/avg/max) over time" in html
+    # legend names every series — identity is never color-alone
+    for c in (*ERROR_COLUMNS, *CYCLE_TIME_COLUMNS):
+        assert _LABELS[c] in html, c
+    # table view present (contrast relief + reference table render)
+    assert "<table>" in html and "machine_id" in html
+    # both fixture machines appear in the table
+    assert ">M1<" in html and ">M2<" in html
+    # the golden day spans hours 00 and 01 — both x labels render
+    assert "00:00" in html and "01:00" in html
+
+
+def test_dashboard_machine_filter(day_df, spark):
+    html = build_dashboard_html(
+        day_df.where("machine_id = 'M1'"), "2024-05-01"
+    )
+    assert ">M1<" in html and ">M2<" not in html
+
+
+def test_svg_renderer_handles_empty_and_flat_series():
+    svg = render_timeseries_svg(
+        ["00:00", "01:00"],
+        [("flat", [0.0, 0.0]), ("empty", [])],
+        title="t",
+        y_title="y",
+    )
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+
+
+def test_svg_geometry_in_bounds():
+    """No headless browser in this container — assert geometry
+    structurally: every element coordinate inside the viewBox (catches
+    legend overflow / NaN coordinates), six wrapped legend entries."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    names = [
+        "AS vacuum errors", "PP vacuum errors", "AS release errors",
+        "PP release errors", "Pick force errors", "Place force errors",
+    ]
+    svg = render_timeseries_svg(
+        [f"{h:02d}:00" for h in range(24)],
+        [(n, [float((i * 7 + j) % 9) for j in range(24)]) for i, n in enumerate(names)],
+        title="Error counts over time",
+        y_title="count",
+    )
+    root = ET.fromstring(svg)
+    w, h = float(root.get("width")), float(root.get("height"))
+    for el in root.iter():
+        for attr in ("x", "y", "x1", "y1", "x2", "y2", "cx", "cy"):
+            v = el.get(attr)
+            if v is not None:
+                assert 0 <= float(v) <= max(w, h) + 1e-6, (el.tag, attr, v)
+                axis = w if attr in ("x", "x1", "x2", "cx") else h
+                assert float(v) <= axis + 1e-6, (el.tag, attr, v)
+        pts = el.get("points")
+        if pts:
+            for pair in pts.split():
+                px, py = map(float, pair.split(","))
+                assert 0 <= px <= w and 0 <= py <= h, (px, py)
+    # all six series named in the legend text nodes
+    texts = "".join(t.text or "" for t in root.iter() if t.tag.endswith("text"))
+    for n in names:
+        assert n in texts
