@@ -7,8 +7,13 @@ though all three documents are transitively duplicates. The standard
 corpus-dedup policy is one representative per CONNECTED COMPONENT of the
 near-dup graph (min id), which this operator computes.
 
-Algorithm: iterative label propagation — every vertex starts labeled
-with itself, each round takes the min label over itself and its
+Algorithm: iterative label propagation over the ACTIVE vertex set only
+(vertices touched by at least one edge) — every other vertex is a
+singleton component by definition and is unioned back at the end. At
+corpus scale the near-dup vertex set is orders of magnitude smaller
+than the corpus, so the loop never re-joins or re-checkpoints the
+billions of never-changing singleton labels. Each active vertex starts
+labeled with itself; each round takes the min label over itself and its
 neighbors, until a fixpoint. Rounds needed = graph diameter, which for
 near-dup graphs is tiny (clusters are quasi-cliques: every member pairs
 with most others). Each round is one equi-join + one aggregation of the
@@ -55,9 +60,27 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    # iterate ONLY over vertices touched by an edge: every other vertex
+    # is a singleton whose component is itself, no propagation needed.
+    # At corpus scale the near-dup vertex set is orders of magnitude
+    # smaller than the corpus — without this, every round re-joins and
+    # re-checkpoints billions of never-changing singleton labels (r3
+    # bench: the loop's per-round cost drops to O(|edge vertices|)).
+    # one materialization of the vertex ids (the upstream scan may be
+    # expensive); active/singleton split derives from it, not from two
+    # rescans of the source
+    ids = vertices.select(F.col(id_col).alias("id")).localCheckpoint(eager=True)
+    active = (
+        und.select(F.col("src").alias("id"))  # both directions present
+        .distinct()
+        .join(ids, "id", "left_semi")
+    )
+    singletons = ids.join(active, "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    labels = active.select("id", F.col("id").alias("comp")).localCheckpoint(
+        eager=True
+    )
 
     for _ in range(MAX_ROUNDS):
         neighbor_min = (
@@ -76,7 +99,7 @@ def connected_components(
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
-            return labels.select(
+            return labels.unionByName(singletons).select(
                 F.col("id").alias(id_col), F.col("comp").alias(component_col)
             )
     raise RuntimeError(
