@@ -1024,3 +1024,163 @@ def docs_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         langs=_CORPUS_LANGS,
         min_quality=_CORPUS_MIN_QUALITY,
     ).select("doc_id", "lang", "source", "n_chars", "split")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (within-document)
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+), u AS (
+  SELECT doc_id, 1 AS w, unnest(toks) AS g FROM t
+  UNION ALL
+  SELECT doc_id, 2 AS w, unnest({tx.shingles_sql('toks', 2)}) AS g FROM t
+), pg AS (
+  SELECT doc_id, w, g, COUNT(*) AS c FROM u GROUP BY 1, 2, 3
+), r AS (
+  SELECT doc_id, w, MAX(c) AS top_c, SUM(c) AS n,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+  FROM pg GROUP BY 1, 2
+)
+SELECT r1.doc_id,
+       CAST(r1.n AS BIGINT) AS n_tokens,
+       CAST(r1.top_c AS DOUBLE) / r1.n AS top_token_fraction,
+       CAST(r1.dup_c AS DOUBLE) / r1.n AS dup_token_fraction,
+       CAST(COALESCE(r2.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(r2.top_c AS DOUBLE) / r2.n AS top_bigram_fraction,
+       CAST(r2.dup_c AS DOUBLE) / r2.n AS dup_bigram_fraction
+FROM r r1 LEFT JOIN r r2 ON r1.doc_id = r2.doc_id AND r2.w = 2
+WHERE r1.w = 1
+"""
+
+
+@register("docs_repetition_stats", oracle=_REPETITION_SQL, driver=False)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters:
+    most-frequent-token fraction, duplicated-token fraction, and the
+    bigram analogs — high values flag boilerplate/SEO spam that length
+    and punctuation stats miss).
+
+    Plan shape: tokens hoisted once (no CSE in interpreted HOFs), ONE
+    explode over 1-grams ++ 2-grams tagged with a width column, then a
+    two-level aggregation — (doc_id, w, gram) counts with map-side
+    partials, reduced to per-(doc_id, w) max/sum. The w=1/w=2 split is a
+    self-join on the SAME aggregated shuffle output, which AQE
+    stage-reuses (no broadcast hints for exactly that reason — r2
+    lessons). Shuffles carry gram hashes and counts, never document
+    text; everything scales linearly in corpus size at 100 TB.
+
+    Local-only (driver budget full at 50); oracle-verified every run by
+    tests/test_oracle_differential.py."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    tagged = F.concat(
+        F.transform(
+            F.col("toks"),
+            lambda g: F.struct(F.lit(1).alias("w"), g.alias("g")),
+        ),
+        F.transform(
+            tx.shingles(F.col("toks"), 2),
+            lambda g: F.struct(F.lit(2).alias("w"), g.alias("g")),
+        ),
+    )
+    u = t.select("doc_id", F.explode(tagged).alias("x")).select(
+        "doc_id", F.col("x.w").alias("w"), F.col("x.g").alias("g")
+    )
+    pg = u.groupBy("doc_id", "w", "g").agg(F.count(F.lit(1)).alias("c"))
+    r = pg.groupBy("doc_id", "w").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "dup_c"
+        ),
+    )
+    r1 = r.filter(F.col("w") == 1).alias("r1")
+    r2 = r.filter(F.col("w") == 2).alias("r2")
+    return r1.join(r2, F.col("r1.doc_id") == F.col("r2.doc_id"), "left").select(
+        F.col("r1.doc_id").alias("doc_id"),
+        F.col("r1.n").alias("n_tokens"),
+        (F.col("r1.top_c").cast("double") / F.col("r1.n")).alias(
+            "top_token_fraction"
+        ),
+        (F.col("r1.dup_c").cast("double") / F.col("r1.n")).alias(
+            "dup_token_fraction"
+        ),
+        F.coalesce(F.col("r2.n"), F.lit(0)).alias("n_bigrams"),
+        (F.col("r2.top_c").cast("double") / F.col("r2.n")).alias(
+            "top_bigram_fraction"
+        ),
+        (F.col("r2.dup_c").cast("double") / F.col("r2.n")).alias(
+            "dup_bigram_fraction"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction, dialect-aligned Java regex / RE2)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically: char classes, bounded reps, \\b, \\d. No backrefs, no
+# lookaround (RE2 has neither).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PII_LONGNUM_RE = r"\d{7,}"
+
+_PII_SQL = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g'),
+           '{PII_LONGNUM_RE}', '<NUM>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS INTEGER)
+         AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PII_LONGNUM_RE}')) AS INTEGER)
+         AS n_longnums
+FROM documents
+"""
+
+
+def scrub_pii(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails → <EMAIL>, IPv4s → <IP>, 7+-digit runs → <NUM>,
+    appending match counts. Pure codegen'd regexp expressions — a single
+    projection, no shuffle, linear at any scale. Replacement order
+    matters (emails contain dots and digits): email, then IP, then
+    digit runs, counted against the ORIGINAL text."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_LONGNUM_RE,
+        "<NUM>",
+    )
+    return d.select(
+        "*",
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("int").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_LONGNUM_RE)).cast("int").alias("n_longnums"),
+    )
+
+
+@register("docs_pii_scrub", oracle=_PII_SQL, driver=False)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (emails, IPv4, long digit runs) —
+    the mandatory scrub step of a training-data pipeline. The synthetic
+    corpus contains no PII, so the differential here pins the expensive
+    half of the contract: that the Java-regex and RE2 renderings of the
+    SAME patterns agree on every document (no-match fidelity); positive
+    matches are pinned cross-engine by tests/test_pii_scrub.py.
+
+    Local-only (driver budget full at 50)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return scrub_pii(d).select(
+        "doc_id", "clean_text", "n_emails", "n_ips", "n_longnums"
+    )

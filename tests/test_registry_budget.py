@@ -18,7 +18,7 @@ def test_driver_set_fits_budget():
     )
 
 
-# round-2 additions past the full 50-entry budget: locally
+# round-2/3 additions past the full 50-entry budget: locally
 # oracle-verified (test_oracle_differential.py), deliberately not shipped
 # to the driver — every pre-existing family member must stay driver-checked
 LOCAL_ONLY_FAMILY = {
@@ -27,6 +27,9 @@ LOCAL_ONLY_FAMILY = {
     "docs_dedup_clusters",
     "docs_corpus_curated",
     "emb_ivf_ann",
+    # round 3
+    "docs_repetition_stats",
+    "docs_pii_scrub",
 }
 
 
