@@ -204,6 +204,75 @@ def test_sessionize_stream_event_time_eviction(spark, tmp_path):
     ]
 
 
+def test_exact_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    """Ingest-side dedup: duplicates within the watermark horizon are
+    dropped across micro-batches (state carries the hash between
+    triggers); first arrivals always pass. Multi-drop so cross-batch
+    state is actually exercised."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from projekt_data_engineering_iubh_spark.streaming.dedup_stream import (
+        exact_dedup_stream,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    schema = "doc_id long, text string, ingest_ts timestamp"
+
+    def drop(name, rows):
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    def ts(m):
+        return dt.datetime(2024, 3, 1, 0, m, 0)
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = exact_dedup_stream(stream, dedup_horizon="30 minutes")
+
+    drop(
+        "b1",
+        [
+            (1, "alpha doc", ts(0)),
+            (2, "beta doc", ts(1)),
+            (3, "alpha doc", ts(2)),  # in-batch duplicate of 1
+        ],
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        drop(
+            "b2",
+            [
+                (4, "alpha doc", ts(5)),  # cross-batch dup, in horizon
+                (5, "gamma doc", ts(6)),  # first arrival
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = {r.doc_id for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert kept == {1, 2, 5}
+
+    # batch mode: same operator, same hash, plain dropDuplicates
+    batch = spark.createDataFrame(
+        [(1, "alpha doc", ts(0)), (3, "alpha doc", ts(2)), (5, "gamma doc", ts(6))],
+        schema,
+    )
+    got = {r.text for r in exact_dedup_stream(batch).collect()}
+    assert got == {"alpha doc", "gamma doc"}
+
+
 def test_stream_idempotent_sink(spark, tmp_path):
     from projekt_data_engineering_iubh_spark.streaming.hourly_stream import (
         write_idempotent_hourly,
