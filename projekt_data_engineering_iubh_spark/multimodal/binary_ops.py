@@ -274,3 +274,105 @@ def resize_images(
         "asset_id", "payload"
     )
     return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# --- audio ----------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, media_type string, sample_rate int, n_channels int, "
+    "n_samples long, duration_s double, rms double"
+)
+
+# (sample_rate, n_channels, mono float64 samples in [-1, 1])
+AudioDecoder = Callable[[bytes], "tuple[int, int, list[float]]"]
+
+_FAKE_RATES = (8000, 16000, 22050, 44100)
+
+
+def fake_audio_decoder(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for a real audio codec (no soundfile/ffmpeg
+    in this container): rate/channels from the payload digest, a short
+    digest-derived sample vector — same contract as a real decoder."""
+    d = hashlib.md5(payload).digest()
+    rate = _FAKE_RATES[d[0] % len(_FAKE_RATES)]
+    channels = 1 + (d[1] % 2)
+    n = 64 + (len(payload) % 192)
+    stream = (d * (n // len(d) + 1))[:n]
+    samples = [(b - 127.5) / 127.5 for b in stream]
+    return rate, channels, samples
+
+
+def soundfile_audio_decoder(payload: bytes) -> tuple[int, int, list[float]]:
+    """soundfile-backed decoder with the same contract as
+    :func:`fake_audio_decoder` (mono-mixed float samples)."""
+    import io
+
+    import soundfile as sf
+
+    data, rate = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
+    channels = data.shape[1]
+    mono = data.mean(axis=1)
+    return int(rate), int(channels), [float(x) for x in mono]
+
+
+def default_audio_decoder() -> AudioDecoder | None:
+    """The soundfile decoder when importable, else None (caller injects)."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        return None
+    return soundfile_audio_decoder
+
+
+def extract_audio_features(
+    media: DataFrame, *, decoder: AudioDecoder | None = None
+) -> DataFrame:
+    """Decode audio payloads and emit waveform feature rows — the audio
+    twin of :func:`extract_image_features` (same Arrow-batched
+    mapInPandas shape, same codec-resolution contract: injected >
+    soundfile default > NotImplementedError at execution time).
+
+    RMS is computed over the mono-mixed samples in plain Python inside
+    the batch loop — the payload bytes already crossed into Python via
+    Arrow, so there is no extra serialization boundary to optimize."""
+    if decoder is None:
+        decoder = default_audio_decoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder is None:
+                raise NotImplementedError(
+                    "no audio codec available: soundfile is not installed "
+                    "and no decoder was injected"
+                )
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "asset_id",
+                    "media_type",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "duration_s",
+                    "rms",
+                )
+            }
+            for asset_id, media_type, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                rate, channels, samples = decoder(bytes(payload))
+                n = len(samples)
+                rms = (sum(x * x for x in samples) / n) ** 0.5 if n else 0.0
+                out["asset_id"].append(asset_id)
+                out["media_type"].append(media_type)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(channels)
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / rate if rate else 0.0)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    auds = media.filter(F.col("media_type") == "audio").select(
+        "asset_id", "media_type", "payload"
+    )
+    return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

@@ -140,3 +140,81 @@ def test_pillow_codec_real_decode(spark):
     assert (out[1].thumb_width, out[1].thumb_height) == (32, 16)
     with Image.open(io.BytesIO(bytes(out[1].thumbnail))) as t:
         assert t.size == (32, 16)
+
+
+def test_audio_features_deterministic(spark):
+    from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
+        default_audio_decoder,
+        extract_audio_features,
+        fake_audio_decoder,
+    )
+
+    rows = [
+        (10, "audio", b"wavbytes-a" * 40, (400, None, None, 2000)),
+        (11, "audio", b"wavbytes-b" * 25, (250, None, None, 1000)),
+        (12, "image", b"not-audio", (9, None, None, None)),  # filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r.asset_id: r
+        for r in extract_audio_features(
+            media, decoder=fake_audio_decoder
+        ).collect()
+    }
+    assert set(got) == {10, 11}
+    for asset_id, _, payload, _ in rows[:2]:
+        rate, channels, samples = fake_audio_decoder(payload)
+        r = got[asset_id]
+        assert (r.sample_rate, r.n_channels, r.n_samples) == (
+            rate, channels, len(samples),
+        )
+        assert r.duration_s == pytest.approx(len(samples) / rate)
+        assert 0.0 < r.rms <= 1.0
+
+    # twice → identical (decoder is pure)
+    again = {
+        r.asset_id: r
+        for r in extract_audio_features(
+            media, decoder=fake_audio_decoder
+        ).collect()
+    }
+    assert {k: v.asDict() for k, v in got.items()} == {
+        k: v.asDict() for k, v in again.items()
+    }
+
+
+def test_audio_missing_codec_raises_cleanly(spark):
+    from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
+        default_audio_decoder,
+        extract_audio_features,
+    )
+
+    if default_audio_decoder() is not None:
+        pytest.skip("soundfile installed: the default codec takes over")
+    media = spark.createDataFrame(
+        [(1, "audio", b"x", (1, None, None, None))], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="no audio codec"):
+        extract_audio_features(media).collect()
+
+
+def test_soundfile_codec_real_decode(spark):
+    sf = pytest.importorskip("soundfile")
+    import io
+    import math
+
+    from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
+        extract_audio_features,
+    )
+
+    buf = io.BytesIO()
+    rate, n = 8000, 800
+    samples = [0.5 * math.sin(2 * math.pi * 440 * i / rate) for i in range(n)]
+    sf.write(buf, samples, rate, format="WAV")
+    media = spark.createDataFrame(
+        [(1, "audio", buf.getvalue(), (len(buf.getvalue()), None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    r = extract_audio_features(media).collect()[0]
+    assert r.sample_rate == rate and r.n_samples == n
+    assert r.rms == pytest.approx(0.5 / math.sqrt(2), rel=1e-2)
