@@ -1067,3 +1067,202 @@ def orders_month_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Round-3 breadth: four more classic TPC-H shapes (Q13/Q18/Q19/Q22
+# analogs, adapted to the trimmed test schema — no comment/phone/container
+# columns). All local-only: the driver budget is full at 50; these are
+# oracle-verified every run by tests/test_oracle_differential.py.
+# --------------------------------------------------------------------------
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", oracle=_Q13_SQL, driver=False)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-side predicate (the
+    filter must live in the JOIN condition, not a post-filter — a
+    post-filter would silently turn the outer join inner), then a
+    two-level aggregation into the orders-per-customer histogram.
+    The priority filter stands in for the spec's o_comment NOT LIKE
+    (column absent in the trimmed schema). Scale: both aggregations
+    shuffle on narrow keys; customers with zero qualifying orders
+    survive via the outer join — the classic mistake this query shape
+    exists to catch."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, big.sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("q18_large_volume_customers", oracle=_Q18_SQL, driver=False)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact-table aggregation feeding a
+    join chain (the grouped-subquery-as-semi-filter idiom). The
+    aggregation reduces lineitem to qualifying orderkeys BEFORE any
+    join touches orders/customer — at 100 TB the having-filtered agg
+    output is tiny, so AQE broadcasts it into both probe joins; the
+    expensive table is scanned exactly once."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("q19_disjunctive_revenue", oracle=_Q19_SQL, driver=False)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-table predicate over an
+    equi-join. Catalyst extracts the common p_partkey equi-condition so
+    the join stays hash-based, pushes the single-table parts of each OR
+    branch below the join (p_brand/p_size to the part scan, l_quantity
+    to lineitem), and evaluates only the residual OR above it — the
+    optimizer behavior this query exists to exercise. Exact decimal
+    accumulation, same policy as q1."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & qty.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(20, 50)
+            & qty.between(20, 40)
+        )
+    )
+    return j.filter(branch).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("string")
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS a
+  FROM customer WHERE c_acctbal > 0
+),
+dormant AS (
+  SELECT c.c_nationkey, c.c_acctbal
+  FROM customer c, avg_bal
+  WHERE c.c_acctbal > avg_bal.a
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+)
+SELECT c_nationkey, COUNT(*) AS n_custs,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+         AS total_acctbal
+FROM dormant GROUP BY c_nationkey
+"""
+
+
+@register("q22_dormant_customers", oracle=_Q22_SQL, driver=False)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (above-average account
+    balance, computed with exact decimal sums so the boundary comparison
+    is bit-deterministic cross-engine) + anti-join against recent orders
+    (nationkey stands in for the spec's phone country code). The scalar
+    is one row — broadcast into the filter; the anti-join shuffles on
+    custkey only. Recency filter sits on the orders side BEFORE the
+    anti-join, pruning most of the fact table at the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+            ).alias("a")
+        )
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    dormant = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(_dec("c_acctbal")).cast("string").cast("double").alias(
+            "total_acctbal"
+        ),
+    )
