@@ -273,6 +273,83 @@ def test_exact_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
     assert got == {"alpha doc", "gamma doc"}
 
 
+def test_sessionize_stream_state_survives_restart(spark, tmp_path):
+    """Checkpoint recovery: a session OPEN when the query stops must be
+    closed correctly by a NEW query started from the same checkpoint —
+    original session_start, event count spanning the restart, continued
+    numbering. This is the exactly-once story a production deployment
+    leans on; nothing else pins it."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "machine_id string, event_timestamp timestamp, event_name string"
+
+    def drop(name, rows):
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    def ts(m, s=0):
+        return dt.datetime(2024, 3, 1, 0, m, s)
+
+    out = str(tmp_path / "out")
+
+    def start():
+        # file sink, not memory: the memory sink refuses checkpoint
+        # recovery, and recovery is exactly what this test pins
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        return (
+            sessionize_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # life 1: one closed session (seq 1), one still open at shutdown
+    drop(
+        "b1",
+        [
+            ("M_R", ts(0), "Cycle_Start"),
+            ("M_R", ts(0, 30), "Cycle_End"),
+            ("M_R", ts(1), "Cycle_Start"),  # open across the restart
+            ("M_R", ts(1, 10), "AS_Check"),
+        ],
+    )
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+        first = spark.read.parquet(out).where("closed").collect()
+        assert [(r.session_seq, r.n_events) for r in first] == [(1, 2)]
+    finally:
+        q1.stop()
+
+    # life 2: same checkpoint, new query — the End must close the
+    # restored open session with its ORIGINAL start and full count
+    drop("b2", [("M_R", ts(1, 40), "Cycle_End")])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    closed = {
+        r.session_seq: r
+        for r in spark.read.parquet(out).where("closed").collect()
+    }
+    assert set(closed) == {1, 2}
+    r = closed[2]
+    assert r.session_start == ts(1)  # start from BEFORE the restart
+    assert r.session_end == ts(1, 40)
+    assert r.n_events == 3  # Start + AS_Check (life 1) + End (life 2)
+
+
 def test_stream_idempotent_sink(spark, tmp_path):
     from projekt_data_engineering_iubh_spark.streaming.hourly_stream import (
         write_idempotent_hourly,
