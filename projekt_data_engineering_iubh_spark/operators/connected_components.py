@@ -21,9 +21,9 @@ with most others). Each round is one equi-join + one aggregation of the
 is truncated per round with ``localCheckpoint`` so the plan does not
 grow exponentially (at cluster scale, configure a checkpoint dir and use
 ``checkpoint`` instead; same contract). For graphs with large diameters
-(paths/meshes) prefer the two-phase large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond") — out
-of scope here because near-dup diameters don't need it.
+(paths/meshes) use :func:`connected_components_star` — the two-phase
+large-star/small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond"), O(log n) rounds on any graph shape.
 
 Determinism: min-propagation is order- and partitioning-independent.
 """
@@ -105,4 +105,108 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {MAX_ROUNDS} rounds; "
         "graph diameter too large — use large-star/small-star"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Large-star / small-star — the O(log n)-round fallback for long diameters
+# ---------------------------------------------------------------------------
+
+
+def _checksum(e: DataFrame) -> tuple:
+    """Cheap fixpoint detector for an edge set: count + order-insensitive
+    sums. Exact set equality is a shuffle; this is one aggregation."""
+    row = e.agg(
+        F.count(F.lit(1)),
+        F.sum(F.col("u").cast("decimal(38,0)")),
+        F.sum(F.col("v").cast("decimal(38,0)")),
+        # decimal accumulator: a long sum of xxhash64 values overflows
+        # under ANSI mode
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+    ).collect()[0]
+    return tuple(row)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: m = min(neighbors ∪ {u}); every LARGER neighbor
+    re-attaches to m. (Kiveris et al., Algorithm: large-star.)"""
+    nbr = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nbr.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        nbr.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Key every edge by its larger endpoint; m = min(smaller neighbors
+    ∪ {u}); all of them plus u re-attach to m. (small-star.)"""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so m < u
+    attach_nbrs = (
+        d.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    attach_self = mins.select(F.col("u"), F.col("m").alias("v"))
+    return attach_nbrs.unionByName(attach_self).distinct()
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    component_col: str = "component",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Two-phase large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", MR-CC): each
+    round is two groupBy+join passes over the EDGE set only, and the
+    round count is O(log n) on ANY graph shape — the fallback
+    :func:`connected_components`'s diameter-bound label propagation
+    needs for paths/meshes. At fixpoint the edge set is a star forest:
+    every non-minimum node holds exactly the edge (node, component min).
+
+    Same contract as :func:`connected_components`; prefer that operator
+    for near-dup quasi-cliques (fewer passes per round), this one for
+    unknown or long-diameter graph shapes.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _checksum(e)
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star CC did not converge in {max_rounds} rounds"
+        )
+    # star forest: non-min nodes -> their center; everyone else (centers
+    # and edge-free vertices) labels itself
+    ids = vertices.select(F.col(id_col).alias("id"))
+    labeled = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    selfed = ids.join(labeled, "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    return labeled.join(ids, "id", "left_semi").unionByName(selfed).select(
+        F.col("id").alias(id_col), F.col("comp").alias(component_col)
     )
