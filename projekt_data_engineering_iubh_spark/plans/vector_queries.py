@@ -439,3 +439,103 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _IVF_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF multi-probe (nprobe > 1) — the recall fix for cell boundaries
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 4
+
+_IVF_MP_SQL = f"""
+WITH c AS (
+  SELECT vec_id, embedding,
+         [{", ".join(_dist_sql(j) for j in range(N_CENTROIDS))}] AS d
+  FROM embeddings
+), cells AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cell
+  FROM c
+), q0 AS (
+  SELECT vec_id AS query_id, embedding AS qe, d FROM c
+  WHERE vec_id < {_IVF_QUERIES}
+), qcells AS (
+  SELECT query_id, qe, d, unnest(range(0, {N_CENTROIDS})) AS pcell FROM q0
+), probes AS (
+  SELECT query_id, qe, CAST(pcell AS INTEGER) AS pcell
+  FROM (
+    SELECT query_id, qe, pcell,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY q0d, pcell) AS pr
+    FROM (SELECT query_id, qe, pcell, d[pcell + 1] AS q0d FROM qcells)
+  ) WHERE pr <= {_IVF_NPROBE}
+), cand AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id, e.cell,
+         {vx.cosine_sql('p.qe', 'e.embedding')} AS cos_sim
+  FROM probes p JOIN cells e
+    ON e.cell = p.pcell AND e.vec_id != p.query_id
+), r AS (
+  SELECT query_id, neighbor_id, cell, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
+  FROM cand
+)
+SELECT query_id, neighbor_id, cell, cos_sim, rn FROM r WHERE rn <= {_IVF_K}
+"""
+
+
+@register("emb_ivf_ann_multiprobe", oracle=_IVF_MP_SQL, driver=False)
+def emb_ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with nprobe={_IVF_NPROBE}: each query searches its
+    nprobe NEAREST cells instead of only its own — the standard recall
+    fix for true neighbors that sit just across a Voronoi boundary
+    (nprobe=1's known failure mode; see emb_ivf_ann). Probe selection is
+    plain relational algebra on both engines: explode the per-query
+    centroid-distance array into (query, cell, dist) rows, rank by
+    (dist, cell), keep nprobe. Cost scales as nprobe/N_CENTROIDS of the
+    corpus per query, still an equi-join on the cell id — never
+    all-pairs; the corpus side is untouched (same cell-partitioned
+    storage story)."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", vx.norm(F.col("embedding"))
+    )
+    dists = F.array(*[_dist_spark(j) for j in range(N_CENTROIDS)])
+    withd = e.withColumn("_dists", dists)
+    cells = withd.withColumn(
+        "cell",
+        (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1).cast(
+            "int"
+        ),
+    ).drop("_dists")
+    q0 = withd.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.posexplode("_dists").alias("pcell", "q0d"),
+    )
+    pw = Window.partitionBy("query_id").orderBy("q0d", "pcell")
+    probes = (
+        q0.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("query_id", "qe", "qnrm", F.col("pcell").cast("int").alias("pcell"))
+    )
+    cand = cells.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("pcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (
+            vx.dot(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_K)
+    )

@@ -30,6 +30,7 @@ LOCAL_ONLY_FAMILY = {
     # round 3
     "docs_repetition_stats",
     "docs_pii_scrub",
+    "emb_ivf_ann_multiprobe",
 }
 
 
