@@ -42,13 +42,31 @@ try:  # optional renderer — absent in this container
 except ImportError:
     _HAVE_PLOTLY = False
 
-# validated categorical palette (dataviz six-checks, light surface
-# #fcfcfb): fixed assignment order, never cycled
+# validated categorical palettes (dataviz six-checks): light on #fcfcfb,
+# dark on #1a1a19 — each mode's steps validated against ITS surface (a
+# dark mode is selected, never an automatic flip). Fixed assignment
+# order, never cycled. The SVG renderer emits CSS variables so one
+# artifact serves both prefers-color-scheme modes.
 _PALETTE = ("#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#e87ba4", "#008300")
-_SURFACE = "#fcfcfb"
-_INK = "#0b0b0b"
-_INK_2 = "#52514e"
-_GRID = "#e4e3df"
+_PALETTE_DARK = ("#3987e5", "#d95926", "#199e70", "#c98500", "#d55181", "#008300")
+_SURFACE, _SURFACE_DARK = "#fcfcfb", "#1a1a19"
+_INK, _INK_DARK = "#0b0b0b", "#ffffff"
+_INK_2, _INK_2_DARK = "#52514e", "#c3c2b7"
+_GRID, _GRID_DARK = "#e4e3df", "#383835"
+
+def _css_theme() -> str:
+    """Both themes as CSS custom properties (SVG + page share them)."""
+    def block(pal, surface, ink, ink2, grid, head):
+        vars_ = "".join(f"--s{i}: {c}; " for i, c in enumerate(pal))
+        return (f"{vars_}--surface: {surface}; --ink: {ink}; "
+                f"--ink2: {ink2}; --grid: {grid}; --thead: {head};")
+    return (
+        ":root { " + block(_PALETTE, _SURFACE, _INK, _INK_2, _GRID, "#f0efec") + " }\n"
+        "@media (prefers-color-scheme: dark) { :root { "
+        + block(_PALETTE_DARK, _SURFACE_DARK, _INK_DARK, _INK_2_DARK,
+                _GRID_DARK, "#262624")
+        + " } }"
+    )
 
 ERROR_COLUMNS = (  # reference dashboard.py:160-163
     "as_vacuum_error_count",
@@ -140,20 +158,23 @@ def render_timeseries_svg(
     def Y(v: float) -> float:
         return mt + ph * (1.0 - v / top)
 
+    ink, ink2, grid, surface = (
+        "var(--ink)", "var(--ink2)", "var(--grid)", "var(--surface)"
+    )
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
         f'height="{height}" viewBox="0 0 {width} {height}" role="img" '
         f'aria-label="{_html.escape(title)}">',
-        f'<rect width="{width}" height="{height}" fill="{_SURFACE}"/>',
-        f'<text x="{ml}" y="22" fill="{_INK}" font-size="15" '
+        f'<rect width="{width}" height="{height}" fill="{surface}"/>',
+        f'<text x="{ml}" y="22" fill="{ink}" font-size="15" '
         f'font-weight="600" font-family="sans-serif">{_html.escape(title)}</text>',
     ]
     for t in ticks:  # recessive grid + y labels
         y = Y(t)
         parts.append(
             f'<line x1="{ml}" y1="{y:.1f}" x2="{ml + pw}" y2="{y:.1f}" '
-            f'stroke="{_GRID}" stroke-width="1"/>'
-            f'<text x="{ml - 6}" y="{y + 4:.1f}" fill="{_INK_2}" font-size="11" '
+            f'stroke="{grid}" stroke-width="1"/>'
+            f'<text x="{ml - 6}" y="{y + 4:.1f}" fill="{ink2}" font-size="11" '
             f'text-anchor="end" font-family="sans-serif">{_fmt(t)}</text>'
         )
     step = max(1, nx // 8)  # <=9 x labels, no collisions
@@ -161,17 +182,17 @@ def render_timeseries_svg(
         if i % step:
             continue
         parts.append(
-            f'<text x="{X(i):.1f}" y="{mt + ph + 16}" fill="{_INK_2}" '
+            f'<text x="{X(i):.1f}" y="{mt + ph + 16}" fill="{ink2}" '
             f'font-size="11" text-anchor="middle" font-family="sans-serif">'
             f"{_html.escape(str(lab))}</text>"
         )
     parts.append(
-        f'<text x="14" y="{mt + ph / 2:.0f}" fill="{_INK_2}" font-size="11" '
+        f'<text x="14" y="{mt + ph / 2:.0f}" fill="{ink2}" font-size="11" '
         f'font-family="sans-serif" transform="rotate(-90 14 {mt + ph / 2:.0f})" '
         f'text-anchor="middle">{_html.escape(y_title)}</text>'
     )
     for si, (name, vals) in enumerate(series):
-        color = _PALETTE[si % len(_PALETTE)]
+        color = f"var(--s{si % len(_PALETTE)})"
         pts = " ".join(f"{X(i):.1f},{Y(v):.1f}" for i, v in enumerate(vals))
         parts.append(
             f'<polyline points="{pts}" fill="none" stroke="{color}" '
@@ -180,17 +201,17 @@ def render_timeseries_svg(
         for i, v in enumerate(vals):  # 8px markers, native hover tooltip
             parts.append(
                 f'<circle cx="{X(i):.1f}" cy="{Y(v):.1f}" r="4" fill="{color}" '
-                f'stroke="{_SURFACE}" stroke-width="2">'
+                f'stroke="{surface}" stroke-width="2">'
                 f"<title>{_html.escape(f'{name} — {x_labels[i]}: {_fmt(v)}')}"
                 f"</title></circle>"
             )
     base_ly = mt + ph + 36  # legend rows under the x labels
     for si, (name, lx0, row) in enumerate(items):
-        color = _PALETTE[si % len(_PALETTE)]
+        color = f"var(--s{si % len(_PALETTE)})"
         ly = base_ly + 16 * (row - 1)
         parts.append(
             f'<circle cx="{lx0 + 5}" cy="{ly - 4}" r="5" fill="{color}"/>'
-            f'<text x="{lx0 + 14}" y="{ly}" fill="{_INK}" font-size="11" '
+            f'<text x="{lx0 + 14}" y="{ly}" fill="{ink}" font-size="11" '
             f'font-family="sans-serif">{_html.escape(name)}</text>'
         )
     parts.append("</svg>")
@@ -273,12 +294,14 @@ def build_dashboard_html(day_df: DataFrame, day: dt.date | str) -> str:
 <html lang="en"><head><meta charset="utf-8">
 <title>Machine event dashboard — {_html.escape(str(day))}</title>
 <style>
- body {{ background: {_SURFACE}; color: {_INK}; font-family: sans-serif;
-        margin: 24px; }}
+ {_css_theme()}
+ body {{ background: var(--surface); color: var(--ink);
+        font-family: sans-serif; margin: 24px; }}
  table {{ border-collapse: collapse; font-size: 12px; margin-bottom: 28px; }}
- th, td {{ border: 1px solid {_GRID}; padding: 4px 8px; text-align: right; }}
- th {{ background: #f0efec; }}
- h1 {{ font-size: 20px; }} h2 {{ font-size: 15px; color: {_INK_2}; }}
+ th, td {{ border: 1px solid var(--grid); padding: 4px 8px;
+           text-align: right; }}
+ th {{ background: var(--thead); }}
+ h1 {{ font-size: 20px; }} h2 {{ font-size: 15px; color: var(--ink2); }}
 </style></head><body>
 <h1>Machine event dashboard</h1>
 <h2>Hourly aggregates for {_html.escape(str(day))}</h2>
