@@ -1,0 +1,118 @@
+"""Streaming corpus curation: multi-drop live run pinned to the batch
+quality lane + split, with in-horizon duplicates removed at ingest."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from projekt_data_engineering_iubh_spark.pipeline.corpus import _quality_lane
+from projekt_data_engineering_iubh_spark.streaming.corpus_stream import (
+    curate_stream,
+    start_corpus_stream,
+)
+
+SCHEMA = "doc_id long, text string, lang string, ingest_ts timestamp"
+
+GOOD_EN = (
+    "the quick brown fox jumps over the lazy dog and the cat is in the "
+    "house and the dog is at the door and all of the animals are in the "
+    "garden of the old man who is happy to see them every day in summer"
+)
+GOOD_DE_LOW_Q = "x!!! y??? z###"  # wrong shape: fails quality
+GOOD_FR = (
+    "the sun is high and the sky is blue and all of the birds are in "
+    "the trees and a soft wind is in the grass and the day is long and "
+    "the light is warm and everything is quiet in the small village"
+)
+
+
+def _ts(m):
+    return dt.datetime(2024, 6, 1, 0, m, 0)
+
+
+def test_corpus_stream_matches_batch_lane_and_dedups(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def drop(name, rows):
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    drop(
+        "b1",
+        [
+            (1, GOOD_EN, "en", _ts(0)),
+            (2, GOOD_DE_LOW_Q, "de", _ts(1)),   # quality-filtered
+            (3, GOOD_FR, "fr", _ts(2)),
+            (4, GOOD_EN, "en", _ts(3)),         # in-batch exact dup of 1
+            (5, GOOD_EN, "zz", _ts(4)),         # language-filtered
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = start_corpus_stream(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        dedup_horizon="30 minutes",
+    )
+    try:
+        q.processAllAvailable()
+        # cross-batch duplicate (in horizon) + one fresh doc
+        drop("b2", [(6, GOOD_FR, "fr", _ts(10)), (7, GOOD_EN + " extra", "en", _ts(11))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 3, 7}  # 2/5 filtered, 4/6 deduped
+
+    # split + partition layout agree with the batch pipeline's contract
+    batch = spark.createDataFrame(
+        [(1, GOOD_EN, "en", _ts(0)), (3, GOOD_FR, "fr", _ts(2))], SCHEMA
+    )
+    lane = _quality_lane(batch, ("en", "de", "es", "fr"), 0.5)
+    assert {r.doc_id for r in lane.collect()} == {1, 3}
+    for r in got.values():
+        assert r.split in ("train", "test")
+    parts = {p.split("/")[-1] for p in glob.glob(str(tmp_path / "out/split=*"))}
+    assert parts <= {"split=train", "split=test"} and parts
+
+
+def test_curate_stream_batch_mode_same_split(spark):
+    """A doc must land in the same split via stream or batch code path
+    (same salt + hash); batch mode of curate_stream is plain dedup."""
+    rows = [(1, GOOD_EN, "en", _ts(0)), (3, GOOD_FR, "fr", _ts(1))]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.doc_id: r.split for r in curate_stream(df).collect()}
+
+    from projekt_data_engineering_iubh_spark.functions import hashing
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        _SPLIT_PCT_TRAIN,
+        _SPLIT_SALT,
+    )
+
+    expect = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id",
+            F.when(
+                hashing.md5_hash60(
+                    F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))
+                )
+                % 100
+                < _SPLIT_PCT_TRAIN,
+                "train",
+            )
+            .otherwise("test")
+            .alias("s"),
+        ).collect()
+    }
+    assert got == expect
