@@ -1,0 +1,66 @@
+"""Compaction: many small streaming-append files → few per partition,
+identical content, partition pruning preserved."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from projekt_data_engineering_iubh_spark.pipeline.maintenance import compact
+
+
+def test_compact_reduces_files_preserves_content(spark, tmp_path):
+    out = str(tmp_path / "store")
+    # simulate many tiny appends: 6 batches x 4 shuffle files per batch
+    for b in range(6):
+        (
+            spark.range(b * 100, (b + 1) * 100)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") % 5 < 4, "train").otherwise("test").alias("split"),
+                F.concat(F.lit("lang"), F.col("id") % 2).alias("lang"),
+                (F.col("id") * 3).alias("payload"),
+            )
+            .repartition(4)
+            .write.mode("append")
+            .partitionBy("split", "lang")
+            .parquet(out)
+        )
+
+    before_df = spark.read.parquet(out)
+    want = {(r.doc_id, r.split, r.lang, r.payload) for r in before_df.collect()}
+    n_before = len(before_df.inputFiles())
+    assert n_before >= 24  # the small-file problem is real in this fixture
+
+    stats = compact(spark, out, ("split", "lang"))
+    assert stats.n_files_before == n_before
+    # one file per (split, lang) partition: 2 splits x 2 langs
+    assert stats.n_files_after == 4
+    assert stats.n_rows == 600
+
+    after_df = spark.read.parquet(out)
+    got = {(r.doc_id, r.split, r.lang, r.payload) for r in after_df.collect()}
+    assert got == want
+
+    # partition layout intact → pruning still works
+    assert glob.glob(out + "/split=train/lang=lang0/*.parquet")
+    pruned = after_df.where("split = 'test'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert pruned.count() == 120
+
+
+def test_compact_splits_oversized_partitions(spark, tmp_path):
+    out = str(tmp_path / "store2")
+    (
+        spark.range(0, 1000)
+        .select(F.col("id"), F.lit("a").alias("p"))
+        .repartition(10)
+        .write.mode("append")
+        .partitionBy("p")
+        .parquet(out)
+    )
+    stats = compact(spark, out, ("p",), max_records_per_file=300)
+    # 1000 rows / 300 per file -> 4 files, still fewer than the 10 before
+    assert stats.n_files_before == 10
+    assert stats.n_files_after == 4
