@@ -1266,3 +1266,126 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_acctbal"
         ),
     )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rd
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(CAST(rev.rd AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev.rd = (SELECT MAX(rd) FROM rev)
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_SQL, driver=False)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-of-aggregate — a revenue "view" per
+    supplier over one quarter, filtered to the row(s) equal to the
+    view's own MAX. The max comparison happens on the EXACT decimal
+    (double conversion only at output), so the boundary equality is
+    bit-deterministic cross-engine. Plan: the revenue agg computes once
+    and feeds both the max (one row, broadcast back) and the probe —
+    AQE reuses the shuffle stage rather than recomputing the scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+            ).alias("rd")
+        )
+    )
+    mx = rev.agg(F.max("rd").alias("m"))
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("rd") == F.col("m"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rd").cast("string").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+sole_late AS (
+  SELECT DISTINCT a.l_orderkey, a.l_suppkey FROM late a
+  WHERE a.is_late = 1
+    AND EXISTS (SELECT 1 FROM late b
+                WHERE b.l_orderkey = a.l_orderkey
+                  AND b.l_suppkey <> a.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late c
+                    WHERE c.l_orderkey = a.l_orderkey
+                      AND c.l_suppkey <> a.l_suppkey AND c.is_late = 1)
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM sole_late j JOIN supplier s ON s.s_suppkey = j.l_suppkey
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register("q21_waiting_suppliers", oracle=_Q21_SQL, driver=False)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-late-supplier-in-a-multi-supplier-order
+    pattern (correlated EXISTS + NOT EXISTS over the same derived
+    relation — the oracle keeps that formulation). The Spark plan is the
+    DECORRELATED equivalent: per-(order, supplier) late flags, one
+    per-order aggregation (supplier count, late-supplier count), then
+    the filter late=1 AND n_supp>1 AND n_late=1 — two hash aggregations
+    and one join instead of two correlated subquery scans, which is how
+    this query survives a fact table 100x bigger. Lateness is
+    l_shipdate > o_orderdate + 90 days (the trimmed schema has no
+    commit/receipt dates)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_late"),
+    )
+    per = late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("late_flag")
+    )
+    ordstats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late_flag").alias("n_late")
+    )
+    sole = (
+        per.join(ordstats, "l_orderkey")
+        .filter(
+            (F.col("late_flag") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    return (
+        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
