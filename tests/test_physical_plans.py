@@ -124,3 +124,45 @@ def test_spread_is_noop_when_parallel_enough(spark):
     assert spread(wide, n=32) is wide
     # narrow input: repartitioned up to the target
     assert spread(d, n=16).rdd.getNumPartitions() == 16
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering: a selective dimension predicate must
+    inject a bloom filter (might_contain on the join key) into the FACT
+    scan side when the join is shuffle-based — at 100 TB this prunes
+    most of the fact scan before the shuffle. Size thresholds are
+    lowered to test scale; the mechanism and plan shape are identical
+    at the defaults (10 MB creation / 10 GB application sides)."""
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        l = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "might_contain" in plan, plan
+        # the filter must sit on the lineitem (application) side
+        fact_side = [
+            ln for ln in plan.splitlines()
+            if "might_contain" in ln and "l_orderkey" in ln
+        ]
+        assert fact_side, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
