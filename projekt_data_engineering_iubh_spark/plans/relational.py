@@ -1389,3 +1389,133 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+_Q10_SQL = """
+WITH agg AS (
+  SELECT o.o_custkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS rev
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+       CAST(CAST(agg.rev AS VARCHAR) AS DOUBLE) AS revenue
+FROM agg
+JOIN customer c ON c.c_custkey = agg.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_SQL, driver=False)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over a
+    quarter, top 20. The fact-fact join aggregates FIRST (orders x
+    returned lineitems → per-customer revenue), and only the surviving
+    per-customer rows join the customer/nation dimensions — dimension
+    columns never ride through the big shuffle. Deterministic top-20:
+    revenue ties broken by custkey; executes as TakeOrderedAndProject
+    (no global sort)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    agg = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+            ).alias("rev")
+        )
+    )
+    return (
+        agg.join(c, agg.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("rev").cast("string").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q7_SQL = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE)
+         AS volume
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+    OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+GROUP BY cn.n_name, sn.n_name, l_year
+"""
+
+
+@register("q7_nation_volume", oracle=_Q7_SQL, driver=False)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year — a five-join chain where the SAME dimension (nation) joins
+    twice under different roles (customer's vs supplier's), plus a
+    disjunctive cross-role predicate that only becomes checkable after
+    both joins. Both nation joins broadcast (25 rows); the fact chain
+    shuffles on orderkey/custkey/suppkey; year extraction grouped
+    post-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nt = load_table(spark, sf_dir, "nation")
+    cn = nt.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nt.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | (
+        (F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+            )
+            .cast("string")
+            .cast("double")
+            .alias("volume")
+        )
+    )

@@ -1184,3 +1184,32 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(d).select(
         "doc_id", "clean_text", "n_emails", "n_ips", "n_longnums"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus profiling (ingest monitoring)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*) AS null_frac,
+       COUNT(DISTINCT {c}) AS n_distinct
+FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("docs_profile", oracle=_PROFILE_SQL, driver=False)
+def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column corpus profile (row/null/distinct counts) — the ingest
+    monitoring every production load runs. One aggregation pass + an
+    explode pivot (operators/profile.py); the oracle spells it as one
+    scan per column, same results. Local-only (driver budget full)."""
+    from projekt_data_engineering_iubh_spark.operators.profile import profile
+
+    return profile(
+        spread(load_table(spark, sf_dir, "documents")), _PROFILE_COLS
+    )

@@ -31,6 +31,7 @@ LOCAL_ONLY_FAMILY = {
     "docs_repetition_stats",
     "docs_pii_scrub",
     "emb_ivf_ann_multiprobe",
+    "docs_profile",
 }
 
 
