@@ -1519,3 +1519,126 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("volume")
         )
     )
+
+
+_Q8_SQL = """
+WITH trade AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR)
+            AS DOUBLE) AS nation_volume,
+       CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS total_volume
+FROM trade GROUP BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_SQL, driver=False)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part trade
+    by order year — an eight-relation join where region and part type
+    filter INSIDE their joins (each prunes the fact stream in the same
+    stage as its broadcast join) and the share splits as a conditional
+    sum over the same rows. Share emitted as exact-decimal numerator
+    and denominator (both to double at output) rather than their
+    quotient: cross-engine division of two decimal-exact values is the
+    one safe way to compare ratios bit-exactly."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nt = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cn = nt.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nt.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    trade = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(p, l.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast(DEC)
+    return trade.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                zero
+            )
+        )
+        .cast("string")
+        .cast("double")
+        .alias("nation_volume"),
+        F.sum("volume").cast("string").cast("double").alias("total_volume"),
+    )
+
+
+_Q9_SQL = """
+SELECT sn.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS o_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                 - CAST(p.p_retailprice AS DECIMAL(12,2))
+                   * CAST(l.l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+            AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%a%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+GROUP BY sn.n_name, o_year
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_SQL, driver=False)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and ship year over a
+    part-name pattern — revenue minus cost where cost uses
+    p_retailprice*quantity (the trimmed schema has no partsupp
+    supplycost; the idiom — LIKE-filtered part join, signed decimal
+    arithmetic, nation/year rollup — is unchanged). The LIKE filter
+    lives in the part join; profit accumulates as a single exact
+    decimal expression including the subtraction, so negative values
+    round-trip exactly."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    s = load_table(spark, sf_dir, "supplier")
+    nt = load_table(spark, sf_dir, "nation")
+    sn = nt.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    profit = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .groupBy(
+            "supp_nation", F.year("l_shipdate").cast("int").alias("o_year")
+        )
+        .agg(F.sum(profit).cast("string").cast("double").alias("profit"))
+    )
