@@ -13,6 +13,7 @@ from projekt_data_engineering_iubh_spark.plans.registry import (  # noqa: F401
 
 # Importing the modules registers their queries.
 from projekt_data_engineering_iubh_spark.plans import (  # noqa: E402,F401
+    curation_queries,
     events,
     relational,
     text_queries,
