@@ -31,6 +31,13 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from projekt_data_engineering_iubh_spark.catalog import load_table, spread
 from projekt_data_engineering_iubh_spark.functions import hashing, text as tx
 from projekt_data_engineering_iubh_spark.plans.registry import register
+from projekt_data_engineering_iubh_spark.plans.text_queries import (
+    _LSH_BANDS,
+    _LSH_ROWS,
+    _MINHASH_K,
+    _SIG_CTE,
+    _signatures,
+)
 
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap vs a held-out eval set)
@@ -319,5 +326,158 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_toks").cast("long").alias("pack_tokens"),
             F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+_INC_TAU = 0.5  # signature-agreement gate for near-dup drops
+
+_INC_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, source, minhash, {b} AS band_no, "
+    f"array_to_string(minhash[{b * _LSH_ROWS + 1}:{(b + 1) * _LSH_ROWS}], '-')"
+    f" AS band_key"
+    f" FROM sig_src WHERE minhash[1] < {hashing.MERSENNE_P}"
+    for b in range(_LSH_BANDS)
+)
+
+_INC_SQL = (
+    _SIG_CTE
+    + f"""
+, sig_src AS (
+  SELECT s.doc_id, s.minhash, d.source FROM sig s
+  JOIN documents d ON d.doc_id = s.doc_id
+), bands AS (
+{_INC_BANDS_SQL}
+), exact AS (
+  SELECT b.doc_id, MIN(c.doc_id) AS m
+  FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE source != 'src0') b
+  JOIN (SELECT doc_id, md5(text) AS h FROM documents WHERE source = 'src0') c
+    ON b.h = c.h
+  GROUP BY 1
+), near AS (
+  SELECT doc_id, MIN(c_doc) AS m, MAX(est) AS est
+  FROM (
+    SELECT a.doc_id AS doc_id, c.doc_id AS c_doc,
+           len(list_filter(range(1, {_MINHASH_K + 1}),
+                           i -> a.minhash[i] = c.minhash[i]))
+             / {float(_MINHASH_K)} AS est
+    FROM bands a
+    JOIN bands c ON a.band_no = c.band_no AND a.band_key = c.band_key
+    WHERE a.source != 'src0' AND c.source = 'src0'
+  )
+  WHERE est >= {_INC_TAU}
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       CASE WHEN e.m IS NOT NULL THEN 'dup_exact'
+            WHEN n.m IS NOT NULL THEN 'dup_near'
+            ELSE 'kept' END AS status,
+       coalesce(e.m, n.m) AS match_doc_id,
+       CASE WHEN e.m IS NULL THEN n.est END AS est_jaccard
+FROM (SELECT doc_id FROM documents WHERE source != 'src0') b
+LEFT JOIN exact e ON e.doc_id = b.doc_id
+LEFT JOIN near n ON n.doc_id = b.doc_id
+"""
+)
+
+
+@register("docs_dedup_incremental", oracle=_INC_SQL, driver=False)
+def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch (source != 'src0') checked
+    against the existing corpus (source == 'src0') — drop exact copies
+    (content-hash match), drop near-dups (shares an LSH band with a corpus
+    doc AND signature agreement ≥ 0.5), keep the rest. Exact beats near;
+    match_doc_id is the lowest matching corpus doc (deterministic).
+
+    This is the batch tier between streaming ingest dedup
+    (streaming/dedup_stream.py: in-horizon exact) and full-corpus
+    re-dedup (docs_dedup_apply): each arriving batch joins against the
+    corpus INDEX (md5 hashes + MinHash band keys), never against corpus
+    text. Scale shape: both tiers are equi-joins on precomputable keys —
+    in production the corpus side is a stored signature index that only
+    ever appends, so the per-batch cost is linear in batch size plus one
+    shuffle of the (small) batch against the bucketed index; signatures
+    here are recomputed inline only because the driver tables are the
+    whole input surface. Sentinel (empty-shingle) docs never band, so
+    short docs can only be dropped by the exact tier (ADVICE r2 fix
+    carried over).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    is_corpus = F.col("source") == "src0"
+
+    bh = d.filter(~is_corpus).select("doc_id", F.md5("text").alias("h"))
+    ch = d.filter(is_corpus).select(
+        F.col("doc_id").alias("c_doc"), F.md5("text").alias("h")
+    )
+    exact = bh.join(ch, "h").groupBy("doc_id").agg(
+        F.min("c_doc").alias("exact_match")
+    )
+
+    p = hashing.MERSENNE_P
+    sig = _signatures(spark, sf_dir).filter(
+        F.element_at(F.col("minhash"), 1) < F.lit(p)
+    )
+    sig_src = sig.join(d.select("doc_id", "source"), "doc_id")
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_no"),
+                    F.xxhash64(
+                        F.lit(b),
+                        F.slice("minhash", b * _LSH_ROWS + 1, _LSH_ROWS),
+                    ).alias("band_key"),
+                )
+                for b in range(_LSH_BANDS)
+            ]
+        )
+    )
+    bands = sig_src.select(
+        "doc_id", "source", "minhash", band.alias("band")
+    ).select("doc_id", "source", "minhash", "band.band_no", "band.band_key")
+    a = bands.filter(F.col("source") != "src0").alias("a")
+    c = bands.filter(F.col("source") == "src0").alias("c")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("a.minhash"), F.col("c.minhash"), lambda x, y: x == y
+                ),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(_MINHASH_K))
+    )
+    near = (
+        a.join(
+            c,
+            (F.col("a.band_no") == F.col("c.band_no"))
+            & (F.col("a.band_key") == F.col("c.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("c.doc_id").alias("c_doc"), est.alias("est"))
+        .filter(F.col("est") >= _INC_TAU)
+        .groupBy("doc_id")
+        .agg(F.min("c_doc").alias("near_match"), F.max("est").alias("near_est"))
+    )
+
+    return (
+        d.filter(~is_corpus)
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "dup_exact")
+            .when(F.col("near_match").isNotNull(), "dup_near")
+            .otherwise("kept")
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("match_doc_id"),
+            F.when(F.col("exact_match").isNull(), F.col("near_est")).alias(
+                "est_jaccard"
+            ),
         )
     )
