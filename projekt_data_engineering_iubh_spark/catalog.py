@@ -30,17 +30,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table; normalizes `events.ts` to TimestampType.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark cannot map to a
-    native type ([PARQUET_TYPE_ILLEGAL]); with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as epoch-nanos
-    LongType and is truncated here to µs — exactly what DuckDB does when it
-    casts TIMESTAMP_NS to its µs TIMESTAMP, so oracle comparisons agree.
+    The driver has shipped ``events.ts`` in two parquet flavors across
+    rounds, both normalized here to plain TimestampType so every operator
+    and physical-plan test sees one type:
+
+    * TIMESTAMP(NANOS) — unmappable for Spark ([PARQUET_TYPE_ILLEGAL]);
+      with ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as
+      epoch-nanos LongType and is truncated here to µs — exactly what
+      DuckDB does when it casts TIMESTAMP_NS to its µs TIMESTAMP;
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark 4 infers
+      TIMESTAMP_NTZ, which unix_micros()/window functions reject; cast to
+      TIMESTAMP, value-preserving because the session timezone is pinned
+      to UTC (session.py:38) — the same wall-clock instants DuckDB reads.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,174 @@
+"""DataFrame-native Lloyd k-means over embedding columns.
+
+The coarse-quantizer trainer the IVF operators (plans/vector_queries.py)
+assume as given: repeated assign (nearest centroid) + update (per-cell
+mean) rounds, expressed entirely as DataFrame ops — the corpus side never
+leaves the cluster, the centroid side is k rows broadcast into every
+round, the shape Spark's own MLlib k-means executes per iteration.
+
+All arithmetic is exact fixed-point (floats scaled by 2^20 → bigint):
+
+* element quantization: ``floor(x * 2^20)`` — one deterministic float op;
+* distances: integer squared-L2 (embedding values |x| < 1 → per-element
+  diff² < 2^42, ×64 dims < 2^48 — far inside bigint);
+* means: bigint sums are order-independent and EXACT (no FP summation
+  nondeterminism across partition orders), then ``floor(sum / n)`` with
+  the division done in double (sums < 2^53, so the quotient is exact).
+
+That makes every round bit-reproducible across engines — the property the
+DuckDB differential oracle needs — where double-precision means would
+hash-mismatch on partition-order-dependent last bits. A production run
+that doesn't need cross-engine determinism can use double means
+unchanged; the operator shape is identical.
+
+Fixed iteration count (no convergence collect) keeps the whole training
+chain one lazy plan; a convergence-driven variant would collect the
+k-row centroid delta per round exactly like the connected-components
+counter (operators/connected_components.py:77) — k×dim values on the
+driver, never data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+FIXED_SCALE = 1 << 20  # 2^20: exact in double, |x|<1 floats keep 20 bits
+
+
+def quantize(emb: F.Column) -> F.Column:
+    """array<float> → array<bigint> fixed-point at 2^20."""
+    return F.transform(
+        emb,
+        lambda x: F.floor(x.cast("double") * F.lit(float(FIXED_SCALE))).cast(
+            "long"
+        ),
+    )
+
+
+def quantize_sql(expr: str) -> str:
+    return (
+        f"list_transform({expr}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {float(FIXED_SCALE)}) AS BIGINT))"
+    )
+
+
+def _int_sq_dist(a: F.Column, b: F.Column) -> F.Column:
+    sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, qemb) × (cell, cq) →
+    (vec_id, qemb, cell, dist). Ties break to the lowest cell id.
+
+    The centroid side is k rows — Spark broadcasts the cross join, so the
+    corpus scan stays partition-local; the only shuffle is the per-vector
+    argmin window on vec_id (at scale: groupBy-min_by on the map side
+    combines first, and the window never sees more than k rows per key).
+    """
+    cross = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", _int_sq_dist(F.col("qemb"), F.col("cq"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        cross.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qemb", "cell", "dist")
+    )
+
+
+def update_centroids(assign: DataFrame, dim: int) -> DataFrame:
+    """Per-cell elementwise fixed-point mean → (cell, cq).
+
+    posexplode → groupBy(cell, pos) is the classic two-level mean: partial
+    sums combine map-side, the shuffle carries (cell, pos, sum, count) —
+    k×dim rows — and the re-pack is a k-row groupBy. Cells that lost every
+    member emit no row (k shrinks), same as the oracle's GROUP BY.
+    """
+    elems = assign.select("cell", F.posexplode("qemb").alias("pos", "val"))
+    means = elems.groupBy("cell", "pos").agg(
+        F.floor(
+            F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("m")
+    )
+    packed = means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("cq")
+    )
+    return packed
+
+
+def kmeans_fixed_point(
+    emb: DataFrame, k: int, iters: int, dim: int
+) -> DataFrame:
+    """Train k-means and return the final assignment (vec_id, cell, dist).
+
+    Seeds are the k lowest vec_ids (deterministic — a production variant
+    would hash-sample seeds, same shape). ``iters`` full Lloyd rounds,
+    then one final assignment against the trained centroids.
+    """
+    vectors = emb.select("vec_id", quantize(F.col("embedding")).alias("qemb"))
+    centroids = vectors.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("qemb").alias("cq")
+    )
+    for _ in range(iters):
+        assign = assign_cells(vectors, centroids)
+        centroids = update_centroids(assign, dim)
+    return assign_cells(vectors, centroids).select("vec_id", "cell", "dist")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle rendering (same rounds, same fixed-point arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def _assign_sql(src: str, cent: str, dim: int) -> str:
+    dist = (
+        f"list_reduce(list_transform(range(1, {dim} + 1), "
+        f"i -> (v.qemb[i] - c.cq[i]) * (v.qemb[i] - c.cq[i])), "
+        f"(x, y) -> x + y)"
+    )
+    return (
+        f"SELECT vec_id, qemb, cell, dist FROM (\n"
+        f"  SELECT v.vec_id, v.qemb, c.cell, {dist} AS dist,\n"
+        f"         ROW_NUMBER() OVER (PARTITION BY v.vec_id\n"
+        f"             ORDER BY {dist}, c.cell) AS rn\n"
+        f"  FROM {src} v CROSS JOIN {cent} c\n"
+        f") WHERE rn = 1"
+    )
+
+
+def _update_sql(assign: str, dim: int) -> str:
+    return (
+        f"SELECT cell, list(m ORDER BY pos) AS cq FROM (\n"
+        f"  SELECT cell, i AS pos,\n"
+        f"         CAST(floor(CAST(SUM(val) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m\n"
+        f"  FROM (SELECT cell, i, qemb[i] AS val\n"
+        f"        FROM {assign}, range(1, {dim} + 1) t(i))\n"
+        f"  GROUP BY cell, i\n"
+        f") GROUP BY cell"
+    )
+
+
+def kmeans_sql_ctes(k: int, iters: int, dim: int) -> tuple[str, str]:
+    """(CTE chain, final assignment CTE name) mirroring
+    :func:`kmeans_fixed_point` on the ``embeddings`` view."""
+    parts = [
+        f"qv AS (SELECT vec_id, {quantize_sql('embedding')} AS qemb"
+        f" FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, qemb AS cq"
+        f" FROM qv WHERE vec_id < {k})",
+    ]
+    cent = "c0"
+    for r in range(1, iters + 1):
+        parts.append(f"a{r} AS ({_assign_sql('qv', cent, dim)})")
+        parts.append(f"c{r} AS ({_update_sql(f'a{r}', dim)})")
+        cent = f"c{r}"
+    final = f"a{iters + 1}"
+    parts.append(f"{final} AS ({_assign_sql('qv', cent, dim)})")
+    return "WITH " + ",\n".join(parts), final

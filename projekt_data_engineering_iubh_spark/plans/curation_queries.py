@@ -481,3 +481,107 @@ def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document span dedup (C4-style repeated-span removal)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8  # tokens per span
+
+_SPAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+), spans AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1) + 1, {_SPAN_W})) AS s
+  FROM toks
+), keyed AS (
+  SELECT doc_id,
+         CAST((s - 1) // {_SPAN_W} AS INTEGER) AS span_no,
+         array_to_string(list_slice(toks, s, s + {_SPAN_W} - 1), ' ')
+           AS span_text,
+         CASE WHEN len(toks) - s + 1 >= {_SPAN_W}
+              THEN {hashing.md5_hash60_sql(
+                  f"array_to_string(list_slice(toks, s, s + {_SPAN_W} - 1), ' ')")}
+              ELSE -(doc_id * 1048576 + (s - 1) // {_SPAN_W} + 1) END AS k
+  FROM spans
+), ranked AS (
+  SELECT doc_id, span_no, span_text,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, span_no) = 1
+           AS keep
+  FROM keyed
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE keep) AS INTEGER) AS n_kept,
+       coalesce(string_agg(span_text, ' ' ORDER BY span_no)
+                FILTER (WHERE keep), '') AS text_dedup
+FROM ranked GROUP BY 1
+"""
+
+
+@register("docs_span_dedup", oracle=_SPAN_SQL, driver=False)
+def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span removal (the C4 pipeline's span dedup,
+    there over three-sentence spans; here over fixed 8-token spans since
+    the synthetic docs carry no sentence boundaries): every full span that
+    appeared earlier in the corpus — in ANY document, by (doc_id, span_no)
+    order — is cut, and each document is reassembled from its surviving
+    spans. Trailing partial spans never participate in dedup (they get a
+    per-doc unique negative key, disjoint from the non-negative md5 span
+    keys) so short docs are only ever trimmed by genuine full-span repeats.
+
+    Scale shape: spans are reduced to a 60-bit bigint key BEFORE the
+    first-occurrence window, so the shuffle carries (key, doc_id, span_no,
+    span_text) with the text needed only for reassembly; the window is
+    partitioned by span key (cardinality ~ corpus spans — no skew beyond
+    true repeat multiplicity), and reassembly is one groupBy(doc_id). Two
+    shuffles total, both equi-partitioned, no pair enumeration — linear at
+    100 TB, unlike suffix-array substring dedup which needs a global sort.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    spans = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(_SPAN_W)
+            )
+        ).alias("s"),
+    )
+    span_text = F.concat_ws(" ", F.slice(F.col("toks"), F.col("s"), F.lit(_SPAN_W)))
+    keyed = spans.select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) div {_SPAN_W} AS INT)").alias("span_no"),
+        span_text.alias("span_text"),
+        F.when(
+            F.size("toks") - F.col("s") + 1 >= _SPAN_W,
+            hashing.md5_hash60(span_text),
+        )
+        .otherwise(
+            -(
+                F.col("doc_id") * F.lit(1048576)
+                + F.expr(f"(s - 1) div {_SPAN_W}")
+                + F.lit(1)
+            ).cast("long")
+        )
+        .alias("k"),
+    )
+    w = Window.partitionBy("k").orderBy("doc_id", "span_no")
+    ranked = keyed.withColumn("keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("span_no"), F.col("span_text"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.count(F.when(F.col("keep"), F.lit(1))).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x.getField("span_text"),
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

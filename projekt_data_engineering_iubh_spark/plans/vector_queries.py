@@ -539,3 +539,239 @@ def emb_ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _IVF_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization + ADC top-k (the compressed-index search path)
+# ---------------------------------------------------------------------------
+
+_SQ_K = 10
+_SQ_QUERIES = 5
+
+_SQ_SQL = f"""
+WITH u AS (
+  SELECT vec_id, {vx.norm_sql('embedding')} AS nrm,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) / {vx.norm_sql('embedding')})
+           AS unit
+  FROM embeddings
+), s AS (
+  SELECT MAX(list_max(list_transform(unit, x -> abs(x)))) AS amax FROM u
+), q8 AS (
+  SELECT vec_id, unit,
+         list_transform(unit, x -> CAST(least(greatest(
+             floor(x / amax * 127.0 + 0.5), -127.0), 127.0) AS INTEGER))
+           AS qcode,
+         amax
+  FROM u CROSS JOIN s
+), qq AS (
+  SELECT vec_id AS query_id, unit AS qunit FROM u
+  WHERE vec_id < {_SQ_QUERIES}
+), cand AS (
+  SELECT qq.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(qunit) + 1),
+             i -> qunit[i] * (CAST(qcode[i] AS DOUBLE) * amax / 127.0)),
+             (x, y) -> x + y) AS adc_cos,
+         list_reduce(list_transform(range(1, len(qunit) + 1),
+             i -> qunit[i] * unit[i]), (x, y) -> x + y) AS exact_cos
+  FROM qq JOIN q8 c ON c.vec_id != qq.query_id
+), r AS (
+  SELECT query_id, neighbor_id, adc_cos, exact_cos,
+         abs(adc_cos - exact_cos) AS abs_err,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_cos DESC, neighbor_id) AS INTEGER) AS rn
+  FROM cand
+)
+SELECT query_id, neighbor_id, adc_cos, exact_cos, abs_err, rn
+FROM r WHERE rn <= {_SQ_K}
+"""
+
+
+@register("emb_quantize_int8", oracle=_SQ_SQL, driver=False)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) similarity search with asymmetric distance
+    computation: unit-normalize every vector, quantize corpus vectors to
+    int8 codes with one corpus-wide scale (max |element|), keep queries
+    full-precision, and rank by the ADC dot product (query float × dequantized
+    code) — the memory/recall trade a compressed 100 TB vector index makes
+    (4× smaller than float32; recall loss visible in abs_err vs the exact
+    cosine, computed alongside).
+
+    Scale shape: the scale factor is one order-independent MAX aggregate
+    (exact on doubles → deterministic) broadcast back over the corpus;
+    quantization is a map-side projection; candidate scoring is the same
+    broadcast-queries-vs-corpus scan as emb_knn_brute, followed by the
+    per-query top-k window. At scale the int8 codes — not the float
+    arrays — are what the index stores and shuffles.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", vx.norm(F.col("embedding"))
+    )
+    u = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("nrm")
+        ).alias("unit"),
+    )
+    s = u.agg(
+        F.max(
+            F.array_max(F.transform("unit", lambda x: F.abs(x)))
+        ).alias("amax")
+    )
+    q8 = u.crossJoin(F.broadcast(s)).select(
+        "vec_id",
+        "unit",
+        F.transform(
+            "unit",
+            lambda x: F.least(
+                F.greatest(
+                    F.floor(x / F.col("amax") * F.lit(127.0) + F.lit(0.5)),
+                    F.lit(-127.0),
+                ),
+                F.lit(127.0),
+            ).cast("int"),
+        ).alias("qcode"),
+        "amax",
+    )
+    qq = u.filter(F.col("vec_id") < _SQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("qunit"),
+            F.col("qcode"),
+            lambda x, y: x * (y.cast("double") * F.col("amax") / F.lit(127.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = F.aggregate(
+        F.zip_with(F.col("qunit"), F.col("unit"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = q8.join(
+        F.broadcast(qq), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc.alias("adc_cos"),
+        exact.alias("exact_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("abs_err", F.abs(F.col("adc_cos") - F.col("exact_cos")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SQ_K)
+        .select(
+            "query_id", "neighbor_id", "adc_cos", "exact_cos", "abs_err", "rn"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means training (the IVF coarse quantizer, actually trained)
+# ---------------------------------------------------------------------------
+
+from projekt_data_engineering_iubh_spark.operators import kmeans as km
+
+_KM_K = 8
+_KM_ITERS = 3
+
+_KM_CTES, _KM_FINAL = km.kmeans_sql_ctes(_KM_K, _KM_ITERS, EMB_DIM)
+
+_KMEANS_SQL = f"""{_KM_CTES}
+SELECT vec_id, cell, dist FROM {_KM_FINAL}
+"""
+
+
+@register("emb_kmeans", oracle=_KMEANS_SQL, driver=False)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus: 3 assign/update rounds from
+    deterministic seeds (the k lowest vec_ids), output the final
+    (vec_id, cell, dist) assignment — the trained counterpart of the
+    fixed pseudo-random CENTROIDS the IVF queries quantize against.
+
+    Exact fixed-point arithmetic end to end (operators/kmeans.py): bigint
+    squared-L2 distances and floor'd integer means are order-independent,
+    so the iterative result hash-matches the DuckDB oracle — the same
+    cross-engine-determinism trick as the integer-µs session durations.
+
+    Scale shape per round: one broadcast cross join (k centroid rows)
+    against the corpus, one per-vector argmin window, one (cell, pos)
+    partial-agg shuffle of k×dim mean fragments. Nothing sf-proportional
+    is ever broadcast or collected.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return km.kmeans_fixed_point(e, _KM_K, _KM_ITERS, EMB_DIM)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster-confined cosine pruning)
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.4  # synthetic corpus: no true near-dups; 0.4 prunes the top ~0.1% of within-cell pairs so the drop path is exercised
+
+_SEM_SQL = f"""{_KM_CTES},
+asg AS (SELECT vec_id, cell FROM {_KM_FINAL}),
+j AS (
+  SELECT asg.vec_id, asg.cell, e.embedding
+  FROM asg JOIN embeddings e USING (vec_id)
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {vx.cosine_sql('a.embedding', 'b.embedding')} > {_SEM_TAU}
+)
+SELECT j.vec_id, j.cell, d.vec_id IS NULL AS kept
+FROM j LEFT JOIN drops d ON d.vec_id = j.vec_id
+"""
+
+
+@register("emb_semantic_dedup", oracle=_SEM_SQL, driver=False)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style: train k-means (the
+    emb_kmeans chain), then WITHIN each cell drop every vector that has a
+    lower-id neighbor above cosine tau — pairwise similarity is
+    only ever computed cluster-confined, never corpus-wide. Output is the
+    full corpus with a kept flag (kept=false ⇒ a near-semantic-duplicate
+    of an earlier vector in its cell).
+
+    Deterministic end to end: the cell assignment is the exact fixed-point
+    k-means, the cosine is the strict left-to-right double fold, and the
+    drop rule (any >τ neighbor with lower vec_id) is order-free — so the
+    whole iterative-training + dedup composite hash-matches the oracle.
+
+    Scale shape: the pair join is an equi-join on the trained cell id —
+    with k sized so cells hold O(thousands) of vectors (k grows with the
+    corpus; SemDeDup used 50k clusters for LAION), per-cell pair
+    enumeration is bounded and the join never degenerates to all-pairs.
+    The drop set is distinct vec_ids (one shuffle), and the final flag is
+    a left join on vec_id.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    asg = km.kmeans_fixed_point(e, _KM_K, _KM_ITERS, EMB_DIM).select(
+        "vec_id", "cell"
+    )
+    j = asg.join(
+        e.select("vec_id", "embedding", vx.norm(F.col("embedding")).alias("nrm")),
+        "vec_id",
+    )
+    a = j.alias("a")
+    b = j.alias("b")
+    cos = vx.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos > _SEM_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return j.join(drops, "vec_id", "left").select(
+        "vec_id", "cell", F.col("_dropped").isNull().alias("kept")
+    )

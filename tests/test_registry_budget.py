@@ -32,6 +32,15 @@ LOCAL_ONLY_FAMILY = {
     "docs_pii_scrub",
     "emb_ivf_ann_multiprobe",
     "docs_profile",
+    "docs_decontaminate",
+    "docs_sample",
+    "docs_chunk",
+    "docs_pack_sequences",
+    "docs_dedup_incremental",
+    "docs_span_dedup",
+    "emb_quantize_int8",
+    "emb_kmeans",
+    "emb_semantic_dedup",
 }
 
 
