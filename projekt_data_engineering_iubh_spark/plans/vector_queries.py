@@ -775,3 +775,68 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.join(drops, "vec_id", "left").select(
         "vec_id", "cell", F.col("_dropped").isNull().alias("kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall harness (approximation quality vs the brute-force ground truth)
+# ---------------------------------------------------------------------------
+
+_RECALL_SQL = f"""
+WITH brute AS ({_KNN_SQL}),
+ivf1 AS ({_IVF_SQL}),
+ivfm AS ({_IVF_MP_SQL})
+SELECT 'ivf_nprobe1' AS variant, b.query_id,
+       CAST(COUNT(i.neighbor_id) AS INTEGER) AS n_hits,
+       COUNT(i.neighbor_id) / {float(_KNN_K)} AS recall
+FROM brute b LEFT JOIN ivf1 i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY 2
+UNION ALL
+SELECT 'ivf_nprobe{_IVF_NPROBE}', b.query_id,
+       CAST(COUNT(i.neighbor_id) AS INTEGER),
+       COUNT(i.neighbor_id) / {float(_KNN_K)}
+FROM brute b LEFT JOIN ivfm i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY 2
+"""
+
+
+@register("emb_ann_recall", oracle=_RECALL_SQL, driver=False)
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF approximate searches against the brute-force
+    ground truth, per query and per variant — the evaluation harness that
+    turns "ANN is approximate" into a measured number (and demonstrates
+    multi-probe's recall win over nprobe=1 on the same index).
+
+    Composes the registered operators directly (emb_knn_brute /
+    emb_ivf_ann / emb_ivf_ann_multiprobe), so this measures exactly what
+    users run. Scale shape: top-k outputs are queries×k rows — tiny
+    relative to the corpus — so the recall join costs nothing beyond the
+    searches themselves; at 100 TB the ground truth comes from a sampled
+    query set, which is precisely the _KNN_QUERIES pattern here.
+    """
+    brute = emb_knn_brute(spark, sf_dir).select("query_id", "neighbor_id")
+
+    def hits(approx: DataFrame, tag: str) -> DataFrame:
+        a = approx.select(
+            "query_id", F.col("neighbor_id").alias("a_neighbor")
+        )
+        return (
+            brute.join(
+                a,
+                (brute.query_id == a.query_id)
+                & (brute.neighbor_id == a.a_neighbor),
+                "left",
+            )
+            .drop(a.query_id)
+            .groupBy("query_id")
+            .agg(
+                F.count("a_neighbor").cast("int").alias("n_hits"),
+                (F.count("a_neighbor") / F.lit(float(_KNN_K))).alias("recall"),
+            )
+            .select(F.lit(tag).alias("variant"), "query_id", "n_hits", "recall")
+        )
+
+    return hits(emb_ivf_ann(spark, sf_dir), "ivf_nprobe1").unionByName(
+        hits(emb_ivf_ann_multiprobe(spark, sf_dir), f"ivf_nprobe{_IVF_NPROBE}")
+    )
