@@ -41,6 +41,7 @@ LOCAL_ONLY_FAMILY = {
     "emb_quantize_int8",
     "emb_kmeans",
     "emb_semantic_dedup",
+    "emb_ann_recall",
 }
 
 
