@@ -69,3 +69,80 @@ def compact(
     after = len(after_df.inputFiles())
     assert after_df.count() == n_rows, "compaction must not change row count"
     return CompactStats(n_rows=n_rows, n_files_before=before, n_files_after=after)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout: multi-column min/max pruning
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _morton(cols: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` of each normalized column into one
+    Morton key: bit i of column j lands at position i*len(cols)+j. Pure
+    bitwise Column arithmetic — codegen'd, no UDF."""
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, ...],
+    *,
+    bits: int = 12,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Write ``df`` laid out along a Z-order (Morton) curve over ``cols``,
+    so parquet row-group/file min-max stats prune scans filtered on ANY
+    subset of those columns — the data-layout lever a 100 TB store pulls
+    when queries slice on several dimensions and a single sort key would
+    leave the others unprunable (a file sorted by x has full-range y
+    min/max in every file; the Z-curve keeps every file a small hyper-box
+    in (x, y, ...) space, so each dimension prunes ~n^(1-1/d) of files).
+
+    Mechanics: per column, min/max are aggregated once (two scalars per
+    column on the driver — never data-sized) and values are normalized to
+    ``bits``-bit integers; the Morton key interleaves those bits; the
+    write is range-partitioned AND sorted by the key, then the key is
+    dropped (a projection — preserves order). Delta/Iceberg `OPTIMIZE
+    ZORDER BY` is the managed-table equivalent; this is the plain-parquet
+    shape with identical semantics.
+    """
+    span = F.lit((1 << bits) - 1)
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    ).first()
+    norm = []
+    for c in cols:
+        mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        width = (mx - mn) or 1.0
+        norm.append(
+            F.least(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(width)
+                    * F.lit(float(1 << bits))
+                ).cast("long"),
+                span,
+            )
+        )
+    (
+        df.withColumn("_z", _morton(norm, bits))
+        .repartitionByRange(F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .parquet(path)
+    )

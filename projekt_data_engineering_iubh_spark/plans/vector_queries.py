@@ -840,3 +840,40 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(emb_ivf_ann(spark, sf_dir), "ivf_nprobe1").unionByName(
         hits(emb_ivf_ann_multiprobe(spark, sf_dir), f"ivf_nprobe{_IVF_NPROBE}")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-cluster diagnostics (index health: sizes, radii, compactness)
+# ---------------------------------------------------------------------------
+
+_CSTATS_SQL = f"""{_KM_CTES}
+SELECT cell,
+       CAST(COUNT(*) AS INTEGER) AS n_members,
+       CAST(MIN(dist) AS BIGINT) AS min_sq_dist,
+       CAST(MAX(dist) AS BIGINT) AS radius_sq,
+       CAST(SUM(dist) AS BIGINT) AS inertia
+FROM {_KM_FINAL}
+GROUP BY 1
+"""
+
+
+@register("emb_cluster_stats", oracle=_CSTATS_SQL, driver=False)
+def emb_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster health stats over the trained k-means assignment: member
+    count, min/max squared distance (radius), and inertia (sum of squared
+    distances — the quantity Lloyd minimizes). The index-maintenance
+    diagnostic that decides when an IVF index needs retraining or a cell
+    needs splitting (oversized or high-radius cells → degraded recall).
+
+    All quantities are exact bigints from the fixed-point distances, so
+    the full train+diagnose composite hash-matches the oracle. One
+    groupBy(cell) over the final assignment — k result rows.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    asg = km.kmeans_fixed_point(e, _KM_K, _KM_ITERS, EMB_DIM)
+    return asg.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("int").alias("n_members"),
+        F.min("dist").cast("long").alias("min_sq_dist"),
+        F.max("dist").cast("long").alias("radius_sq"),
+        F.sum("dist").cast("long").alias("inertia"),
+    )

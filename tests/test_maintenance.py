@@ -64,3 +64,61 @@ def test_compact_splits_oversized_partitions(spark, tmp_path):
     # 1000 rows / 300 per file -> 4 files, still fewer than the 10 before
     assert stats.n_files_before == 10
     assert stats.n_files_after == 4
+
+
+def _file_stats(path: str, col: str) -> list[tuple]:
+    """Per-file (min, max) of ``col`` from parquet footer statistics."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.names.index(col)
+        mn = min(pf.metadata.row_group(g).column(idx).statistics.min
+                 for g in range(pf.metadata.num_row_groups))
+        mx = max(pf.metadata.row_group(g).column(idx).statistics.max
+                 for g in range(pf.metadata.num_row_groups))
+        out.append((mn, mx))
+    return out
+
+
+def _overlap_frac(stats: list[tuple], lo: int, hi: int) -> float:
+    hit = sum(1 for mn, mx in stats if mx >= lo and mn <= hi)
+    return hit / len(stats)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    from projekt_data_engineering_iubh_spark.pipeline.maintenance import (
+        zorder_write,
+    )
+
+    # two independent uniform dimensions (7919 is coprime to 1000)
+    df = spark.range(50_000).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    xsorted, zordered = str(tmp_path / "xsort"), str(tmp_path / "zorder")
+    (
+        df.repartitionByRange(F.col("x"))
+        .sortWithinPartitions("x")
+        .write.option("maxRecordsPerFile", "2000")
+        .parquet(xsorted)
+    )
+    zorder_write(df, zordered, ("x", "y"), max_records_per_file=2000)
+
+    assert spark.read.parquet(zordered).count() == 50_000
+    assert len(_file_stats(zordered, "x")) >= 10  # multi-file layout is real
+
+    # a narrow slice on each dimension: which files could contain it?
+    x_on_xsort = _overlap_frac(_file_stats(xsorted, "x"), 100, 120)
+    y_on_xsort = _overlap_frac(_file_stats(xsorted, "y"), 100, 120)
+    x_on_z = _overlap_frac(_file_stats(zordered, "x"), 100, 120)
+    y_on_z = _overlap_frac(_file_stats(zordered, "y"), 100, 120)
+
+    # single-key sort: own column prunes hard, the other not at all
+    assert x_on_xsort <= 0.2
+    assert y_on_xsort >= 0.9
+    # Z-order: BOTH dimensions prune substantially
+    assert x_on_z <= 0.5
+    assert y_on_z <= 0.5

@@ -42,6 +42,7 @@ LOCAL_ONLY_FAMILY = {
     "emb_kmeans",
     "emb_semantic_dedup",
     "emb_ann_recall",
+    "emb_cluster_stats",
 }
 
 
