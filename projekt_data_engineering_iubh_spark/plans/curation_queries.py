@@ -585,3 +585,110 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_dedup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-sampled language mixture (epoch expansion manifest)
+# ---------------------------------------------------------------------------
+
+_MIX_DEN = 10_000  # hash-fraction resolution for fractional epochs
+
+_MIX_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+         list(n ORDER BY lang) AS ns
+  FROM counts
+), z AS (
+  SELECT nn,
+         list_reduce(list_transform(ns, x -> sqrt(CAST(x AS DOUBLE) / nn)),
+                     (a, b) -> a + b) AS zz
+  FROM tot
+), epochs AS (
+  SELECT c.lang,
+         (sqrt(CAST(c.n AS DOUBLE) / z.nn) / z.zz)
+           / (CAST(c.n AS DOUBLE) / z.nn) AS e
+  FROM counts c CROSS JOIN z
+), assigned AS (
+  SELECT d.doc_id, d.lang, ep.e,
+         CAST(floor(ep.e) AS BIGINT)
+         + CASE WHEN CAST({_HKEY_SQL} % {_MIX_DEN} AS DOUBLE) / {_MIX_DEN}
+                     < ep.e - floor(ep.e)
+                THEN 1 ELSE 0 END AS k
+  FROM documents d JOIN epochs ep ON ep.lang = d.lang
+)
+SELECT doc_id, lang, e AS lang_epochs,
+       CAST(unnest(range(0, k)) AS INTEGER) AS copy_no
+FROM assigned
+"""
+
+
+@register("docs_mixture_epochs", oracle=_MIX_SQL, driver=False)
+def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled language mixture (T=2): rebalance the corpus
+    toward q_l ∝ p_l^(1/2) — the standard multilingual-training upweight
+    of rare languages — by expanding each doc into
+    ``floor(epochs)`` copies plus one more when its doc-id hash fraction
+    falls under the fractional part (deterministic per-doc "coin"). The
+    output is the epoch-expanded training manifest; expected total rows
+    equal the corpus size (Σ q_l = 1), with rare langs repeated and the
+    dominant lang downsampled (epochs < 1 ⇒ some docs emit zero copies).
+
+    Determinism note: the normalizer Z = Σ_l sqrt(p_l) is folded over the
+    per-language counts in lexicographic lang order (array built with an
+    ordered aggregate, then a strict left-to-right fold) — never an
+    unordered FP SUM, whose partition-order-dependent last bits would
+    break the cross-engine hash. sqrt and division are IEEE
+    correctly-rounded on both engines.
+
+    Scale shape: one groupBy(lang) (5 rows), one broadcast join of the
+    epoch table back onto the corpus, one map-side explode. Nothing
+    sf-proportional shuffles beyond the initial count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("lang", "n"))),
+            lambda s: s.getField("n"),
+        ).alias("ns"),
+    )
+    z = tot.select(
+        "nn",
+        F.aggregate(
+            F.transform(
+                "ns", lambda x: F.sqrt(x.cast("double") / F.col("nn"))
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("zz"),
+    )
+    p = F.col("n").cast("double") / F.col("nn")
+    epochs = counts.crossJoin(F.broadcast(z)).select(
+        "lang", (F.sqrt(p) / F.col("zz") / p).alias("e")
+    )
+    hfrac = (
+        hashing.md5_hash60(F.col("doc_id").cast("string")) % _MIX_DEN
+    ).cast("double") / F.lit(float(_MIX_DEN))
+    assigned = d.join(F.broadcast(epochs), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("e"),
+        (
+            F.floor("e").cast("long")
+            + F.when(hfrac < F.col("e") - F.floor("e"), 1).otherwise(0)
+        ).alias("k"),
+    )
+    copies = F.when(
+        F.col("k") > 0, F.sequence(F.lit(0), F.col("k") - 1)
+    ).otherwise(F.array().cast("array<long>"))  # sequence(0,-1) DESCENDS
+    return assigned.select(
+        "doc_id",
+        "lang",
+        F.col("e").alias("lang_epochs"),
+        F.explode(copies).alias("_c"),
+    ).select(
+        "doc_id", "lang", "lang_epochs", F.col("_c").cast("int").alias("copy_no")
+    )

@@ -43,6 +43,7 @@ LOCAL_ONLY_FAMILY = {
     "emb_semantic_dedup",
     "emb_ann_recall",
     "emb_cluster_stats",
+    "docs_mixture_epochs",
 }
 
 
