@@ -30,7 +30,7 @@ driver, never data-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 FIXED_SCALE = 1 << 20  # 2^20: exact in double, |x|<1 floats keep 20 bits
 
@@ -62,18 +62,24 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     (vec_id, qemb, cell, dist). Ties break to the lowest cell id.
 
     The centroid side is k rows — Spark broadcasts the cross join, so the
-    corpus scan stays partition-local; the only shuffle is the per-vector
-    argmin window on vec_id (at scale: groupBy-min_by on the map side
-    combines first, and the window never sees more than k rows per key).
+    corpus scan stays partition-local; the per-vector argmin is a
+    ``min_by`` aggregate (struct ordering = lexicographic, so
+    ``struct(dist, cell)`` reproduces the dist-then-lowest-cell
+    tie-break). Declarative aggregates combine map-side: each input
+    partition reduces its k candidate rows per vector to ONE before the
+    vec_id shuffle — k× less shuffle traffic than a row_number window,
+    which must move all k candidates per vector to one reducer.
     """
     cross = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "dist", _int_sq_dist(F.col("qemb"), F.col("cq"))
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-    return (
-        cross.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "qemb", "cell", "dist")
+    best = cross.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct("qemb", "cell", "dist"), F.struct("dist", "cell")
+        ).alias("best")
+    )
+    return best.select(
+        "vec_id", "best.qemb", "best.cell", "best.dist"
     )
 
 
@@ -99,7 +105,22 @@ def update_centroids(assign: DataFrame, dim: int) -> DataFrame:
             lambda s: s.getField("m"),
         ).alias("cq")
     )
-    return packed
+    # a re-packed centroid missing elements would poison every later
+    # distance (zip_with truncates silently) — fail loudly instead
+    return packed.select(
+        "cell",
+        F.when(F.size("cq") == dim, F.col("cq"))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "update_centroids: packed %d elems, expected "
+                    + str(dim),
+                    F.size("cq"),
+                )
+            )
+        )
+        .alias("cq"),
+    )
 
 
 def kmeans_fixed_point(

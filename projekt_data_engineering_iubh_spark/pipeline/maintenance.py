@@ -118,11 +118,24 @@ def zorder_write(
     ZORDER BY` is the managed-table equivalent; this is the plain-parquet
     shape with identical semantics.
     """
+    # 63 usable bits in a signed long: interleaving must never place a bit
+    # at or past the sign position (silent key corruption), so scale the
+    # per-column bit budget down when many columns are requested.
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"zorder_write: too many layout columns ({len(cols)})")
     span = F.lit((1 << bits) - 1)
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
     ).first()
+    if any(stats[f"_mn_{c}"] is None or stats[f"_mx_{c}"] is None for c in cols):
+        # empty input, or a layout column that is entirely null — there is
+        # no range to normalize against; write unsorted rather than crash.
+        df.write.mode("overwrite").option(
+            "maxRecordsPerFile", str(max_records_per_file)
+        ).parquet(path)
+        return
     norm = []
     for c in cols:
         mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
@@ -130,7 +143,10 @@ def zorder_write(
         norm.append(
             F.least(
                 F.floor(
-                    (F.col(c).cast("double") - F.lit(mn))
+                    # nulls in a layout column map to the min bucket instead
+                    # of producing a null Morton key (which would cluster all
+                    # null-key rows into one unprunable range partition)
+                    (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
                     / F.lit(width)
                     * F.lit(float(1 << bits))
                 ).cast("long"),

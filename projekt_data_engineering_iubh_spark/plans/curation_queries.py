@@ -504,7 +504,7 @@ WITH toks AS (
          CASE WHEN len(toks) - s + 1 >= {_SPAN_W}
               THEN {hashing.md5_hash60_sql(
                   f"array_to_string(list_slice(toks, s, s + {_SPAN_W} - 1), ' ')")}
-              ELSE -(doc_id * 1048576 + (s - 1) // {_SPAN_W} + 1) END AS k
+              ELSE -(doc_id * 1073741824 + (s - 1) // {_SPAN_W} + 1) END AS k
   FROM spans
 ), ranked AS (
   SELECT doc_id, span_no, span_text,
@@ -561,8 +561,11 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             hashing.md5_hash60(span_text),
         )
         .otherwise(
+            # per-doc-unique negative sentinel: doc_id in the high 33 bits,
+            # span_no in the low 30 — unique while span_no < 2^30 (~8.6 B
+            # tokens/doc) and doc_id < 2^33, vs the old 2^20 span ceiling
             -(
-                F.col("doc_id") * F.lit(1048576)
+                F.col("doc_id") * F.lit(1 << 30)
                 + F.expr(f"(s - 1) div {_SPAN_W}")
                 + F.lit(1)
             ).cast("long")

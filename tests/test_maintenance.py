@@ -122,3 +122,47 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # Z-order: BOTH dimensions prune substantially
     assert x_on_z <= 0.5
     assert y_on_z <= 0.5
+
+
+def test_zorder_empty_and_null_inputs(spark, tmp_path):
+    """r3 ADVICE guards: empty input (min/max aggregate to None) writes an
+    unsorted store instead of crashing; nulls in a layout column land in
+    the min bucket instead of becoming null Morton keys."""
+    from projekt_data_engineering_iubh_spark.pipeline.maintenance import (
+        zorder_write,
+    )
+
+    empty = spark.range(0).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    out_empty = str(tmp_path / "z_empty")
+    zorder_write(empty, out_empty, ("x", "y"))
+    assert spark.read.parquet(out_empty).count() == 0
+
+    with_nulls = spark.range(1000).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("x"),
+        (F.col("id") % 97).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    out_nulls = str(tmp_path / "z_nulls")
+    zorder_write(with_nulls, out_nulls, ("x", "y"), max_records_per_file=200)
+    back = spark.read.parquet(out_nulls)
+    assert back.count() == 1000
+    assert back.where(F.col("x").isNull()).count() == 100
+
+
+def test_zorder_many_columns_scales_bits_down(spark, tmp_path):
+    """bits * n_cols must stay inside the 63 usable long bits: 6 columns at
+    the default bits=12 would hit bit 71 and silently corrupt keys; the
+    guard scales to 10 bits/column and the write succeeds losslessly."""
+    from projekt_data_engineering_iubh_spark.pipeline.maintenance import (
+        zorder_write,
+    )
+
+    df = spark.range(2000).select(
+        *[((F.col("id") * p) % 500).alias(f"c{i}")
+          for i, p in enumerate([1, 7, 11, 13, 17, 19])]
+    )
+    out = str(tmp_path / "z_six")
+    zorder_write(df, out, tuple(f"c{i}" for i in range(6)))
+    assert spark.read.parquet(out).count() == 2000
