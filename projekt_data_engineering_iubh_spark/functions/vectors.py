@@ -5,9 +5,11 @@ strictly left-to-right (Spark ``aggregate`` / DuckDB ``list_reduce``), so
 both engines execute the identical IEEE-754 operation sequence and produce
 bit-identical doubles — no tolerance needed in oracle comparisons.
 
-At 100 TB scale these run inside whole-stage codegen (no Python); for very
-high dimensions a Pandas-UDF + numpy BLAS path wins on constant factors —
-see operators/similarity.py for that variant.
+At 100 TB scale these run JVM-side (no Python); for very high dimensions
+a Pandas-UDF + numpy BLAS path wins on constant factors — see
+operators/similarity.py for that variant (measured crossover ~dim 256;
+this fold stays the oracle-comparable formulation because its operation
+order is reproducible in DuckDB).
 """
 
 from __future__ import annotations
