@@ -8,12 +8,15 @@ exactly that, executing the merge through the JVM's ``java.sql.DriverManager``
 so no Python DB driver is needed — only the JDBC driver jar Spark already
 requires for the write.
 
-No Postgres exists in this container, but Spark ships the embedded Derby
-JDBC driver, so the whole flow — Spark JDBC staging write, DriverManager
-connection, staging→final merge (ANSI ``MERGE INTO`` dialect), row-level
-idempotency across reruns — is integration-tested end-to-end against a
-real database (``tests/test_jdbc_upsert.py``); the Postgres ``ON
-CONFLICT`` string stays unit-tested only.
+No Postgres exists in this container, but both dialects still execute
+against real engines (``tests/test_jdbc_upsert.py``): the whole flow —
+Spark JDBC staging write, DriverManager connection, staging→final merge
+(ANSI ``MERGE INTO`` dialect), row-level idempotency across reruns —
+runs end-to-end on embedded Derby, and the generated Postgres
+``ON CONFLICT`` statement itself runs verbatim on DuckDB (which
+implements the Postgres syntax incl. ``EXCLUDED``), pinning column
+lists, conflict target, and update semantics — the remaining
+live-Postgres risk is connection plumbing, not SQL.
 
 Scale notes: reads should set ``partitionColumn/lowerBound/upperBound/
 numPartitions`` so the scan parallelizes; writes batch via ``batchsize``

@@ -173,3 +173,99 @@ def test_upsert_inserts_new_keys_alongside_updates(spark, summary, derby):
 
     assert len(after) == len(before) + 1
     assert any(k[2] == "M_NEW" for k in after)
+
+
+# ---------------------------------------------------------------------------
+# Postgres-dialect contract, executed by DuckDB (r3 VERDICT #4)
+# ---------------------------------------------------------------------------
+#
+# The Derby tests above exercise upsert() orchestration with the ANSI MERGE
+# string; the reference's actual target dialect is Postgres
+# `INSERT ... ON CONFLICT (keys) DO UPDATE SET c = EXCLUDED.c`
+# (README.md:36-37 — fixing daily_aggregator.py:266-275's swallow-the-error
+# append). DuckDB implements exactly this Postgres syntax, so the GENERATED
+# STATEMENT runs here verbatim — no quoting shim needed (merge_sql emits
+# unquoted lowercase identifiers, case-insensitive in both engines) —
+# validating column lists, conflict target, and EXCLUDED update semantics
+# end-to-end against a real SQL engine.
+
+_DUCK_TYPES = {"DOUBLE": "DOUBLE", "BIGINT": "BIGINT"}
+
+
+@pytest.fixture()
+def duck_pg(summary):
+    import duckdb
+
+    con = duckdb.connect()
+    cols = summary.columns
+    con.execute(
+        f"CREATE TABLE hourly_machine_summary ({_ddl(cols, with_pk=True)})"
+    )
+    con.execute(
+        f"CREATE TABLE hourly_machine_summary_staging ({_ddl(cols, with_pk=False)})"
+    )
+    pdf = summary.toPandas()
+    con.register("spark_summary", pdf)
+    con.execute(
+        "INSERT INTO hourly_machine_summary_staging SELECT * FROM spark_summary"
+    )
+    yield con, cols
+    con.close()
+
+
+def _pg_merge(cols):
+    return jdbc.merge_sql(
+        "hourly_machine_summary",
+        "hourly_machine_summary_staging",
+        cols,
+        KEYS,
+        dialect="postgres",
+    )
+
+
+def _duck_rows(con):
+    cur = con.execute(
+        "SELECT * FROM hourly_machine_summary ORDER BY summary_date, hour_of_day, machine_id"
+    )
+    names = [d[0] for d in cur.description]
+    return [dict(zip(names, r)) for r in cur.fetchall()]
+
+
+def test_postgres_on_conflict_statement_runs_and_is_idempotent(duck_pg):
+    con, cols = duck_pg
+    sql = _pg_merge(cols)
+    assert "ON CONFLICT (summary_date, hour_of_day, machine_id) DO UPDATE" in sql
+
+    con.execute(sql)
+    first = _duck_rows(con)
+    assert len(first) == con.execute(
+        "SELECT count(*) FROM hourly_machine_summary_staging"
+    ).fetchone()[0]
+
+    con.execute(sql)  # the D1 rerun: every row conflicts, all must UPDATE
+    assert _duck_rows(con) == first
+
+
+def test_postgres_on_conflict_updates_and_inserts(duck_pg):
+    con, cols = duck_pg
+    sql = _pg_merge(cols)
+    con.execute(sql)
+    before = {(str(r["summary_date"]), r["hour_of_day"], r["machine_id"]): r
+              for r in _duck_rows(con)}
+
+    # recomputed numbers + one new machine in the same staging batch
+    con.execute("UPDATE hourly_machine_summary_staging SET cycle_count = cycle_count + 7")
+    con.execute(
+        "INSERT INTO hourly_machine_summary_staging "
+        "SELECT summary_date, hour_of_day, 'M_NEW', "
+        + ", ".join(c for c in cols if c not in KEYS)
+        + " FROM hourly_machine_summary_staging LIMIT 1"
+    )
+    con.execute(sql)
+    after = {(str(r["summary_date"]), r["hour_of_day"], r["machine_id"]): r
+             for r in _duck_rows(con)}
+
+    assert len(after) == len(before) + 1
+    assert any(k[2] == "M_NEW" for k in after)
+    for key, row in before.items():
+        assert after[key]["cycle_count"] == row["cycle_count"] + 7
