@@ -43,9 +43,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       TIMESTAMP, value-preserving because the session timezone is pinned
       to UTC (session.py:38) — the same wall-clock instants DuckDB reads.
     """
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # resolve() is a no-op for the driver's plain parquet files, and makes
+    # manifest-store table dirs (pipeline/store.py) readable here too
+    df = spark.read.parquet(store.resolve(os.path.join(sf_dir, f"{name}.parquet")))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

@@ -7,15 +7,19 @@ footer reads dominate query time (NEXT.md: single-row-group scans also
 serialize decode). Compaction rewrites each (partition) directory into
 few full-size files.
 
-Plain-parquet swap semantics: the compacted copy is written NEXT TO the
-store (``<path>.__compact__``) and atomically moved over it directory-
-by-directory — reading and overwriting the same path in one job is not
-safe in Spark (the lazy scan would see its own output). A real
-deployment on a table format (Delta/Iceberg) gets transactional
-compaction for free; this utility is the plain-parquet equivalent with
-the same shape. Readers racing the swap see the old or the new listing,
-not a mix per partition, but a global transaction is exactly what the
-plain-parquet layout cannot give — documented, not hidden.
+Transactional path: when ``path`` is a manifest store (pipeline/store.py
+— ``init_store`` migrates a plain dir once), compaction and Z-ordering
+write each result as a NEW immutable snapshot version and publish it by
+atomically replacing the manifest pointer; readers that route through
+``store.resolve`` (catalog, serving, sources/parquet) see the old or the
+new snapshot, never a mix — actual snapshot isolation, proven by a
+concurrent reader-loop test (tests/test_store_snapshots.py).
+
+Legacy path (plain dir, no manifest): the compacted copy is written NEXT
+TO the store (``<path>.__compact__``) and moved over it — reading and
+overwriting the same path in one job is not safe in Spark (the lazy scan
+would see its own output). Readers racing THAT swap can see a torn
+listing; migrate to the manifest store to close the race.
 """
 
 from __future__ import annotations
@@ -25,6 +29,8 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+from projekt_data_engineering_iubh_spark.pipeline import store as snapstore
 
 
 @dataclass
@@ -46,26 +52,35 @@ def compact(
     ``repartition(*partition_cols)`` routes every partition's rows to one
     task (→ one file, split by ``maxRecordsPerFile`` when oversized);
     partition pruning and layout are preserved exactly.
+
+    Manifest stores commit the compacted tree as a new snapshot version
+    (atomic pointer swap, racing readers unaffected); plain dirs take the
+    legacy in-place swap.
     """
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(snapstore.resolve(path))
     before = len(df.inputFiles())
     n_rows = df.count()
 
-    tmp = path.rstrip("/") + ".__compact__"
-    (
-        df.repartition(*[df[c] for c in partition_cols])
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", str(max_records_per_file))
-        .partitionBy(*partition_cols)
-        .parquet(tmp)
-    )
+    def _write(dst: str) -> None:
+        (
+            df.repartition(*[df[c] for c in partition_cols])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", str(max_records_per_file))
+            .partitionBy(*partition_cols)
+            .parquet(dst)
+        )
 
-    # swap: move the compacted tree over the original
-    dst, src = Path(path), Path(tmp)
-    shutil.rmtree(dst)
-    src.rename(dst)
+    if snapstore.is_store(path):
+        snapstore.commit_snapshot(path, _write)
+    else:
+        tmp = path.rstrip("/") + ".__compact__"
+        _write(tmp)
+        # legacy swap: move the compacted tree over the original
+        dst, src = Path(path), Path(tmp)
+        shutil.rmtree(dst)
+        src.rename(dst)
 
-    after_df = spark.read.parquet(path)
+    after_df = spark.read.parquet(snapstore.resolve(path))
     after = len(after_df.inputFiles())
     assert after_df.count() == n_rows, "compaction must not change row count"
     return CompactStats(n_rows=n_rows, n_files_before=before, n_files_after=after)
@@ -124,6 +139,20 @@ def zorder_write(
     bits = min(bits, 63 // len(cols))
     if bits < 1:
         raise ValueError(f"zorder_write: too many layout columns ({len(cols)})")
+
+    def _commit(out: DataFrame) -> None:
+        def _write(dst: str) -> None:
+            out.write.mode("overwrite").option(
+                "maxRecordsPerFile", str(max_records_per_file)
+            ).parquet(dst)
+
+        if snapstore.is_store(path):
+            # publish the relayout as a new snapshot — racing readers see
+            # the previous layout until the atomic pointer swap
+            snapstore.commit_snapshot(path, _write)
+        else:
+            _write(path)
+
     span = F.lit((1 << bits) - 1)
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
@@ -132,9 +161,7 @@ def zorder_write(
     if any(stats[f"_mn_{c}"] is None or stats[f"_mx_{c}"] is None for c in cols):
         # empty input, or a layout column that is entirely null — there is
         # no range to normalize against; write unsorted rather than crash.
-        df.write.mode("overwrite").option(
-            "maxRecordsPerFile", str(max_records_per_file)
-        ).parquet(path)
+        _commit(df)
         return
     norm = []
     for c in cols:
@@ -153,12 +180,9 @@ def zorder_write(
                 span,
             )
         )
-    (
+    _commit(
         df.withColumn("_z", _morton(norm, bits))
         .repartitionByRange(F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", str(max_records_per_file))
-        .parquet(path)
     )

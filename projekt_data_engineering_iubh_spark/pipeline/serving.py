@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def summary_table(spark: SparkSession, warehouse_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{warehouse_dir}/hourly_machine_summary")
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    # resolve() pins the scan to the current snapshot when the summary dir
+    # is a manifest store (compaction-safe); no-op for plain dirs
+    return spark.read.parquet(
+        store.resolve(f"{warehouse_dir}/hourly_machine_summary")
+    )
 
 
 def available_dates(summary: DataFrame) -> DataFrame:

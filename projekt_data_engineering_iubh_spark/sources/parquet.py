@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    # snapshot-pinned when ``path`` is a manifest store; no-op otherwise
+    return spark.read.parquet(store.resolve(path))
 
 
 def write_partitioned(
