@@ -92,8 +92,9 @@ _MINHASH_SQL = _SIG_CTE + (
 )
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures via explode → codegen'd md5 → k min-aggregates.
+def signatures_from(d: DataFrame) -> DataFrame:
+    """MinHash signatures for any (doc_id, text, …) frame via explode →
+    codegen'd md5 → k min-aggregates.
 
     The array-fold formulation (functions/hashing.py::minhash_signature)
     is correct but runs md5 inside an interpreted lambda (~660µs/doc).
@@ -101,12 +102,11 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     k universal hashes into vectorized projections; partial aggregation
     min-combines map-side, so the shuffle carries only docs × k longs.
     Same constants → identical signatures (the DuckDB oracle is unchanged).
+
+    Shared by the batch queries (via :func:`_signatures`) and the
+    streaming near-dup tier (streaming/neardup_stream.py), so stream and
+    batch produce bit-identical signatures for the same text.
     """
-    # keyless spread: partitioning by doc_id would elide the groupBy
-    # exchange below — but that exchange is what AQE reuses across the
-    # two sides of the LSH band self-join, and eliding it also drops
-    # map-side partial aggregation of the exploded rows
-    d = spread(load_table(spark, sf_dir, "documents"))
     # tokenize once into a projected column: shingles() references its
     # token input ~5× (size + 3 slices + guard), and the tokenizer ends
     # in an interpreted filter HOF that gets no CSE (measured 1.11s →
@@ -132,6 +132,17 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[f"mh{i}" for i in range(_MINHASH_K)]).alias("minhash"),
         )
     )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signatures of the driver ``documents`` table (see signatures_from).
+
+    Keyless spread: partitioning by doc_id would elide the groupBy
+    exchange inside — but that exchange is what AQE reuses across the
+    two sides of the LSH band self-join, and eliding it also drops
+    map-side partial aggregation of the exploded rows.
+    """
+    return signatures_from(spread(load_table(spark, sf_dir, "documents")))
 
 
 @register("docs_minhash_signatures", oracle=_MINHASH_SQL)

@@ -1,0 +1,163 @@
+"""Streaming NEAR-dup tier: foreachBatch LSH against a persisted
+signature index — the composed design the dedup docstrings promise
+(streaming/dedup_stream.py handles in-horizon exact copies; this drops
+near-duplicates of already-ingested corpus at the trigger boundary).
+
+Per micro-batch:
+
+    batch docs → MinHash signatures (plans/text_queries.signatures_from —
+    bit-identical to the batch/oracle pipeline)
+      → LSH band rows (same xxhash64 band keys as docs_minhash_lsh_pairs)
+      → EQUI-join on (band_no, band_key) against the persisted index
+      → signature-agreement gate (est Jaccard ≥ τ) → drop near-dups
+      → surviving docs appended to the store AND their band rows appended
+        to the index, so a near-dup arriving N triggers later is dropped
+        whether its twin came from the original corpus or the stream.
+
+Scale shape: the index side is bucketed by band key (an equi-join,
+plan-asserted in tests — never a cross join); the per-trigger cost is
+linear in batch size plus one shuffle of the (small) batch against the
+index. State lives in parquet, not stream state: the watermark bounds
+nothing here because the index is content-addressed and append-only.
+
+Semantics and limits, stated plainly:
+
+* near-dups WITHIN one micro-batch are not caught (neither doc is in the
+  index when the batch joins); the periodic batch job
+  (``pipeline.corpus.run``) owns global transitive dedup — standard
+  two-tier ingest/compaction, same contract as the exact tier.
+* foreachBatch retries can append duplicate index rows; band rows are
+  advisory (they only generate candidate matches), so duplicates cost
+  bytes, not correctness — the batch compaction tier may rewrite the
+  index through ``pipeline.store`` for a transactional cleanup.
+
+Reference scope note: the reference engine has no streaming tier at all
+(SURVEY.md §2.9 is engine breadth); this module extends its dedup
+semantics (D-family) to ingest time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from projekt_data_engineering_iubh_spark.functions import hashing
+from projekt_data_engineering_iubh_spark.plans.text_queries import (
+    _LSH_BANDS,
+    _LSH_ROWS,
+    _MINHASH_K,
+    signatures_from,
+)
+from projekt_data_engineering_iubh_spark.streaming.corpus_stream import (
+    curate_stream,
+)
+
+NEAR_TAU = 0.5  # signature-agreement drop gate (matches the batch tier)
+
+
+def band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, minhash) → (doc_id, band_no, band_key, minhash) band rows.
+
+    Same xxhash64 band keys as the batch LSH queries; sentinel (empty
+    shingle) signatures are excluded — a short doc can never be dropped
+    by the near tier (r2 ADVICE rule, carried over from the batch path).
+    """
+    no_sentinel = sig.filter(
+        F.element_at(F.col("minhash"), 1) < F.lit(hashing.MERSENNE_P)
+    )
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_no"),
+                    F.xxhash64(
+                        F.lit(b),
+                        F.slice("minhash", b * _LSH_ROWS + 1, _LSH_ROWS),
+                    ).alias("band_key"),
+                )
+                for b in range(_LSH_BANDS)
+            ]
+        )
+    )
+    return no_sentinel.select("doc_id", "minhash", band.alias("b")).select(
+        "doc_id", "b.band_no", "b.band_key", "minhash"
+    )
+
+
+def build_signature_index(docs: DataFrame, index_path: str) -> None:
+    """Materialize the corpus signature index (the batch pipeline's job):
+    band rows of every corpus doc, written as plain parquet."""
+    band_rows(signatures_from(docs)).write.mode("overwrite").parquet(
+        index_path
+    )
+
+
+def neardup_filter_batch(
+    batch: DataFrame, index: DataFrame, *, tau: float = NEAR_TAU
+) -> DataFrame:
+    """Drop batch docs whose signature agrees ≥ ``tau`` with any index doc
+    sharing an LSH band. Returns the surviving batch rows unchanged."""
+    bb = band_rows(signatures_from(batch)).withColumnRenamed(
+        "minhash", "b_minhash"
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("b_minhash"), F.col("minhash"), lambda x, y: x == y
+                ),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(_MINHASH_K))
+    )
+    drops = (
+        bb.join(
+            index.withColumnRenamed("doc_id", "idx_doc_id"),
+            ["band_no", "band_key"],
+        )
+        .filter(F.col("idx_doc_id") != F.col("doc_id"))
+        .filter(est >= tau)
+        .select("doc_id")
+        .distinct()
+    )
+    return batch.join(drops, "doc_id", "left_anti")
+
+
+def start_neardup_corpus_stream(
+    docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    index_path: str,
+    *,
+    tau: float = NEAR_TAU,
+    **curate_kwargs,
+):
+    """Corpus curation stream with the near-dup tier wired in:
+    quality lane + in-horizon exact dedup (curate_stream) run INSIDE the
+    stream plan, then each micro-batch near-dup-filters against the
+    signature index, appends survivors to the (split, lang)-partitioned
+    store, and appends their band rows to the index."""
+    curated = curate_stream(docs, **curate_kwargs)
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        index = batch_df.sparkSession.read.parquet(index_path)
+        kept = neardup_filter_batch(batch_df, index, tau=tau)
+        # persist: the frame feeds the store write AND the index append,
+        # and the batch plan must not recompute through the stream source
+        kept = kept.localCheckpoint(eager=True)
+        (
+            kept.drop("text_hash")
+            .write.mode("append")
+            .partitionBy("split", "lang")
+            .parquet(out_path)
+        )
+        band_rows(signatures_from(kept)).write.mode("append").parquet(
+            index_path
+        )
+
+    return (
+        curated.writeStream.outputMode("append")
+        .foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

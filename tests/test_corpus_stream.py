@@ -116,3 +116,93 @@ def test_curate_stream_batch_mode_same_split(spark):
         ).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup tier (r3 VERDICT #5)
+# ---------------------------------------------------------------------------
+
+NEAR_EN = GOOD_EN.replace("every day in summer", "every day in winter")
+assert NEAR_EN != GOOD_EN  # near-duplicate, NOT byte-identical
+UNRELATED = (
+    "numbers and letters form the words of a very different story about "
+    "rivers and mountains far away from any garden or village with new "
+    "people walking along old roads toward the bright northern coast line"
+)
+
+
+def test_neardup_stream_drops_near_duplicates_across_triggers(spark, tmp_path):
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        build_signature_index,
+        start_neardup_corpus_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def drop(name, rows):
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    # the batch pipeline materialized the corpus signature index: doc 1000
+    # (GOOD_EN) is already in the corpus
+    corpus = spark.createDataFrame([(1000, GOOD_EN, "en", _ts(0))], SCHEMA)
+    index_path = str(tmp_path / "sig_index")
+    build_signature_index(corpus, index_path)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = start_neardup_corpus_stream(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        index_path,
+        dedup_horizon="30 minutes",
+    )
+    try:
+        # trigger 1: one unrelated keeper
+        drop("b1", [(1, UNRELATED, "en", _ts(1))])
+        q.processAllAvailable()
+        # trigger 2 (LATER trigger, the VERDICT scenario): a NEAR-duplicate
+        # of corpus doc 1000 — few tokens changed, md5 differs, so the
+        # exact tier cannot catch it — plus a fresh keeper
+        drop("b2", [(2, NEAR_EN, "en", _ts(10)), (3, GOOD_FR, "fr", _ts(11))])
+        q.processAllAvailable()
+        # trigger 3: a near-dup of a doc the STREAM ingested (doc 3,
+        # trigger 2) — the index append keeps protecting later triggers
+        near_fr = GOOD_FR.replace("the day is long", "the day is short")
+        assert near_fr != GOOD_FR
+        drop("b3", [(4, near_fr, "fr", _ts(20))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {r.doc_id for r in out.collect()} == {1, 3}
+
+
+def test_neardup_index_join_is_equi_join(spark):
+    """The scale contract: the per-batch candidate lookup must be a
+    hash/merge EQUI-join on the band key — never a nested-loop/cartesian
+    pairing against the index."""
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        band_rows,
+        neardup_filter_batch,
+    )
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        signatures_from,
+    )
+
+    corpus = spark.createDataFrame([(1000, GOOD_EN, "en", _ts(0))], SCHEMA)
+    batch = spark.createDataFrame([(2, NEAR_EN, "en", _ts(1))], SCHEMA)
+    index = band_rows(signatures_from(corpus))
+    plan = (
+        neardup_filter_batch(batch, index)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_key" in plan
