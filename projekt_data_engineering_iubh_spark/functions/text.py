@@ -123,3 +123,42 @@ def predicted_lang_sql(tokens_expr: str) -> str:
         cond = " AND ".join(f"{scores[lang]} >= {s}" for s in later)
         expr = f"CASE WHEN {cond} THEN '{lang}' ELSE {expr} END"
     return expr
+
+
+# ---------------------------------------------------------------------------
+# Quality-score primitives (shared by plans/text_queries, pipeline/corpus,
+# streaming lanes, and operators/quality_model — living here keeps the
+# operator modules free of plans.* imports, i.e. no circular package init)
+# ---------------------------------------------------------------------------
+
+PUNCT_RE = "[^a-zA-Z0-9 ]"
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+# The composite quality score (C4/Gopher-style: length, punctuation,
+# stopword density; weights 0.4/0.3/0.3). SINGLE source of truth for the
+# Column form, the SQL template, and every lane that filters on it.
+
+
+def quality_score_expr(
+    n_tokens: Column, n_chars: Column, punct: Column, stop: Column
+) -> Column:
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct.cast("double") / n_chars)
+        + F.lit(0.3)
+        * F.least(F.lit(1.0), F.lit(4.0) * (stop.cast("double") / n_tokens))
+    )
+
+
+def quality_score_sql(nt: str, nc: str, punct: str, stop: str) -> str:
+    return (
+        f"0.4 * least(1.0, {nt} / 100.0)\n"
+        f"       + 0.3 * (1.0 - CAST({punct} AS DOUBLE) / {nc})\n"
+        f"       + 0.3 * least(1.0, 4.0 * (CAST({stop} AS DOUBLE) / {nt}))"
+    )
+
+
+def stopword_count_expr(toks: Column) -> Column:
+    stopset = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stopset, t)))

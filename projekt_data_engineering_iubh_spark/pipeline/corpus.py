@@ -46,6 +46,26 @@ DEFAULT_MIN_QUALITY = 0.5
 NEAR_DUP_JACCARD = 0.5
 
 
+def _lane(
+    d: DataFrame,
+    langs: tuple[str, ...],
+    min_quality: float,
+    scorer: str,
+) -> DataFrame:
+    """Quality lane under either scorer: the hand-weighted heuristic
+    threshold, or the trained naive-Bayes classifier
+    (operators/quality_model.py) fit on the lang-filtered corpus."""
+    if scorer == "heuristic":
+        return _quality_lane(d, langs, min_quality)
+    if scorer == "model":
+        from projekt_data_engineering_iubh_spark.operators.quality_model import (
+            model_quality_filter,
+        )
+
+        return model_quality_filter(d.filter(F.col("lang").isin(*langs)))
+    raise ValueError(f"unknown quality scorer: {scorer!r}")
+
+
 @dataclass
 class CorpusStats:
     n_raw: int
@@ -85,10 +105,11 @@ def curate(
     *,
     langs: tuple[str, ...] = DEFAULT_LANGS,
     min_quality: float = DEFAULT_MIN_QUALITY,
+    scorer: str = "heuristic",
 ) -> DataFrame:
     """The curated, split-tagged corpus as a DataFrame (lazy; no I/O)."""
     d = load_table(spark, sf_dir, "documents")
-    quality = _quality_lane(d, langs, min_quality)
+    quality = _lane(d, langs, min_quality, scorer)
 
     # transitive near-dup removal over the SURVIVING docs (graph edges
     # come from the full-corpus LSH pairs; restricting components to the
@@ -124,10 +145,13 @@ def run(
     *,
     langs: tuple[str, ...] = DEFAULT_LANGS,
     min_quality: float = DEFAULT_MIN_QUALITY,
+    scorer: str = "heuristic",
 ) -> CorpusStats:
     """Execute the pipeline and write (split, lang)-partitioned parquet."""
     d = load_table(spark, sf_dir, "documents")
-    curated = curate(spark, sf_dir, langs=langs, min_quality=min_quality)
+    curated = curate(
+        spark, sf_dir, langs=langs, min_quality=min_quality, scorer=scorer
+    )
     curated.write.mode("overwrite").partitionBy("split", "lang").parquet(out_path)
 
     out = spark.read.parquet(out_path)
@@ -138,7 +162,7 @@ def run(
     return CorpusStats(
         n_raw=d.count(),
         n_lang=d.filter(F.col("lang").isin(*langs)).count(),
-        n_quality=_quality_lane(d, langs, min_quality).count(),
+        n_quality=_lane(d, langs, min_quality, scorer).count(),
         n_dedup=out.count(),
         n_train=by_split.get("train", 0),
         n_test=by_split.get("test", 0),

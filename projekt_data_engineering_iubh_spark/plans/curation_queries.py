@@ -695,3 +695,27 @@ def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", "lang_epochs", F.col("_c").cast("int").alias("copy_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (naive Bayes over tokens; r3 VERDICT #6)
+# ---------------------------------------------------------------------------
+
+from projekt_data_engineering_iubh_spark.operators.quality_model import (  # noqa: E402
+    QUALITY_MODEL_SQL,
+    fit_predict,
+)
+
+
+@register("docs_quality_model", oracle=QUALITY_MODEL_SQL, driver=False)
+def docs_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-bootstrapped naive-Bayes quality classifier: fit on the
+    heuristic score's unambiguous good/bad slices (CCNet-style reference
+    bootstrap), predict every document — fit is two groupBy aggregates,
+    predict a token equi-join + per-doc sum, all one lazy UDF-free plan.
+    Per-token log-weights are floor-quantized to integer micro-units at
+    fit time so the score sums are exact bigints on both engines (ln is
+    the one non-correctly-rounded op cross-engine — NEXT.md trap list).
+    See operators/quality_model.py for the full design.
+    """
+    return fit_predict(spread(load_table(spark, sf_dir, "documents")))

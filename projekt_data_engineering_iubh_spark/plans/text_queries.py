@@ -514,39 +514,18 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text statistics / quality / language ID / fingerprints
 # ---------------------------------------------------------------------------
 
-_PUNCT_RE = "[^a-zA-Z0-9 ]"
-_EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a")
-_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOPWORDS) + "]"
-
-# The composite quality score (C4/Gopher-style: length, punctuation,
-# stopword density; weights 0.4/0.3/0.3). SINGLE source of truth — the
-# Column form, the SQL template, and the corpus pipeline's quality lane
-# (pipeline/corpus.py) all come from these two functions, so the shipped
-# corpus can never drift from the oracle-verified docs_text_stats score.
-
-
-def quality_score_expr(
-    n_tokens: F.Column, n_chars: F.Column, punct: F.Column, stop: F.Column
-) -> F.Column:
-    return (
-        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        + F.lit(0.3) * (F.lit(1.0) - punct.cast("double") / n_chars)
-        + F.lit(0.3)
-        * F.least(F.lit(1.0), F.lit(4.0) * (stop.cast("double") / n_tokens))
-    )
-
-
-def quality_score_sql(nt: str, nc: str, punct: str, stop: str) -> str:
-    return (
-        f"0.4 * least(1.0, {nt} / 100.0)\n"
-        f"       + 0.3 * (1.0 - CAST({punct} AS DOUBLE) / {nc})\n"
-        f"       + 0.3 * least(1.0, 4.0 * (CAST({stop} AS DOUBLE) / {nt}))"
-    )
-
-
-def stopword_count_expr(toks: F.Column) -> F.Column:
-    stopset = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
-    return F.size(F.filter(toks, lambda t: F.array_contains(stopset, t)))
+# The quality-score primitives live in functions/text.py (shared with
+# pipeline/corpus, the streaming lanes, and operators/quality_model
+# without any plans.* import cycle); re-exported here under their
+# historical names — the SINGLE source of truth is unchanged, so the
+# shipped corpus can never drift from the oracle-verified
+# docs_text_stats score.
+_PUNCT_RE = tx.PUNCT_RE
+_EN_STOPWORDS = tx.EN_STOPWORDS
+_STOPWORDS_SQL = tx.STOPWORDS_SQL
+quality_score_expr = tx.quality_score_expr
+quality_score_sql = tx.quality_score_sql
+stopword_count_expr = tx.stopword_count_expr
 
 
 _STATS_CTE = f"""

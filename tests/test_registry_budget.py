@@ -44,6 +44,8 @@ LOCAL_ONLY_FAMILY = {
     "emb_ann_recall",
     "emb_cluster_stats",
     "docs_mixture_epochs",
+    # round 4 (r2 policy: new entries stay local-only; driver set untouched)
+    "docs_quality_model",
 }
 
 
