@@ -43,12 +43,15 @@ def connected_components(
     src_col: str,
     dst_col: str,
     component_col: str = "component",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every vertex with the min vertex id of its component.
 
     ``vertices``: one row per vertex (singletons keep their own id).
     ``edges``: may be directed/deduplicated — both directions are derived.
-    Returns (id_col, component_col).
+    Returns (id_col, component_col). When ``stats`` is passed, it receives
+    ``{"rounds": k}`` — the scale-sweep's convergence telemetry (rounds
+    must stay a small constant as the corpus grows; tools/scale_sweep.py).
     """
     # materialize the edge list once — every round joins against it, and
     # upstream edge pipelines (e.g. the MinHash LSH join) are far more
@@ -82,7 +85,7 @@ def connected_components(
         eager=True
     )
 
-    for _ in range(MAX_ROUNDS):
+    for round_no in range(1, MAX_ROUNDS + 1):
         neighbor_min = (
             und.join(labels, und.dst == labels.id)
             .groupBy("src")
@@ -98,6 +101,8 @@ def connected_components(
         ).localCheckpoint(eager=True)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
+        if stats is not None:
+            stats["rounds"] = round_no
         if n_changed == 0:
             return labels.unionByName(singletons).select(
                 F.col("id").alias(id_col), F.col("comp").alias(component_col)
