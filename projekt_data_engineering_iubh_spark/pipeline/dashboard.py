@@ -19,12 +19,17 @@ slots are relieved by the table view, which precedes the figures exactly
 as in the reference). One y-axis per figure; series identity is carried
 by the legend, not by text color.
 
-Deviation from the reference, deliberate: with several machines selected
-the reference plots one trace per metric over interleaved per-machine
-rows (a zig-zag artifact of ``st.multiselect`` defaulting to all
-machines); here multi-machine slices are SUMMED per hour for error
-counts and min/avg/max-composed for cycle times, which is the chart the
-table implies.
+Two multi-machine modes (``machine_series`` flag):
+
+* default (aggregate): multi-machine slices are SUMMED per hour for
+  error counts and min/avg/max-composed for cycle times — the chart the
+  table implies (a deliberate deviation the r3 NEXT.md documents);
+* ``machine_series=True`` (reference parity): one series per
+  (metric, machine) — the faithful rendering of the reference's
+  per-machine rows (``src/dashboard.py:125-127`` keeps machine_id rows
+  separate and ``:71-88`` feeds them into one trace per metric, which
+  zig-zags through the interleaved machines; splitting per machine is
+  that data drawn without the interleaving artifact).
 """
 
 from __future__ import annotations
@@ -247,14 +252,45 @@ def _collect_day(day_df: DataFrame) -> list[dict]:
     return [r.asDict() for r in rows]
 
 
-def build_dashboard_html(day_df: DataFrame, day: dt.date | str) -> str:
+def _machine_series(
+    rows: list[dict], hours: list, cols: Sequence[str]
+) -> list[tuple[str, list[float]]]:
+    """Reference-parity mode: one series per (metric, machine); a machine
+    with no row for an hour plots 0 (the reference draws nothing there —
+    its interleaved trace simply skips the x position)."""
+    machines = sorted({r["machine_id"] for r in rows})
+    cell = {
+        (r["timestamp_hour"], r["machine_id"], c): r[c]
+        for r in rows
+        for c in cols
+    }
+    return [
+        (
+            f"{_LABELS[c]} — {m}",
+            [float(cell.get((h, m, c)) or 0) for h in hours],
+        )
+        for c in cols
+        for m in machines
+    ]
+
+
+def build_dashboard_html(
+    day_df: DataFrame, day: dt.date | str, *, machine_series: bool = False
+) -> str:
     """The full artifact: summary table + the two reference figures,
     from a :func:`pipeline.serving.day_slice` frame (already day-pruned
-    and machine-filtered). Collect is bounded: 24 h x #machines rows."""
+    and machine-filtered). Collect is bounded: 24 h x #machines rows.
+    ``machine_series=True`` switches both figures to one series per
+    (metric, machine) — reference parity, see module docstring."""
     rows = _collect_day(day_df)
     hours = sorted({r["timestamp_hour"] for r in rows})
     x_labels = [h.strftime("%H:%M") for h in hours]
     by_hour: dict = {h: [r for r in rows if r["timestamp_hour"] == h] for h in hours}
+
+    if machine_series:
+        err_series = _machine_series(rows, hours, ERROR_COLUMNS)
+        cyc_series = _machine_series(rows, hours, CYCLE_TIME_COLUMNS)
+        return _render_page(day, rows, x_labels, err_series, cyc_series)
 
     err_series = [
         (
@@ -282,6 +318,10 @@ def build_dashboard_html(day_df: DataFrame, day: dt.date | str) -> str:
                     else float(sum(xs) / len(xs))
                 )
         cyc_series.append((_LABELS[c], vals))
+    return _render_page(day, rows, x_labels, err_series, cyc_series)
+
+
+def _render_page(day, rows, x_labels, err_series, cyc_series) -> str:
 
     head = [
         f"<th>{_html.escape(c)}</th>" for c in TABLE_COLUMNS
@@ -313,8 +353,14 @@ def build_dashboard_html(day_df: DataFrame, day: dt.date | str) -> str:
 </body></html>"""
 
 
-def write_dashboard(day_df: DataFrame, day: dt.date | str, path: str) -> str:
-    html_text = build_dashboard_html(day_df, day)
+def write_dashboard(
+    day_df: DataFrame,
+    day: dt.date | str,
+    path: str,
+    *,
+    machine_series: bool = False,
+) -> str:
+    html_text = build_dashboard_html(day_df, day, machine_series=machine_series)
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(html_text)
     return path

@@ -104,3 +104,24 @@ def test_svg_geometry_in_bounds():
     texts = "".join(t.text or "" for t in root.iter() if t.tag.endswith("text"))
     for n in names:
         assert n in texts
+
+
+def test_machine_series_mode_one_series_per_machine(day_df):
+    """Reference-parity mode (r3 VERDICT #7): each figure draws one
+    series per (metric, machine) — geometry-asserted as polyline count
+    and per-machine legend labels."""
+    import re
+
+    html = build_dashboard_html(day_df, "2024-05-01", machine_series=True)
+    svgs = re.findall(r"<svg.*?</svg>", html, flags=re.S)
+    assert len(svgs) == 2
+    err_svg, cyc_svg = svgs
+    # fixture day has machines M1 and M2
+    assert err_svg.count("<polyline") == len(ERROR_COLUMNS) * 2
+    assert cyc_svg.count("<polyline") == len(CYCLE_TIME_COLUMNS) * 2
+    for c in ERROR_COLUMNS:
+        assert f"{_LABELS[c]} — M1" in err_svg
+        assert f"{_LABELS[c]} — M2" in err_svg
+    for c in CYCLE_TIME_COLUMNS:
+        assert f"{_LABELS[c]} — M1" in cyc_svg
+        assert f"{_LABELS[c]} — M2" in cyc_svg
