@@ -364,3 +364,38 @@ def write_dashboard(
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(html_text)
     return path
+
+
+def main(argv: list[str]) -> int:
+    """``python -m …pipeline.dashboard <warehouse> <day> <out.html>
+    [--machine-series]`` — build the artifact from the serving layer
+    (deploy/docker-compose.yml dashboard_service)."""
+    from projekt_data_engineering_iubh_spark.pipeline import serving
+    from projekt_data_engineering_iubh_spark.session import get_spark
+
+    if len(argv) < 4:
+        print("usage: dashboard.py <warehouse_dir> <YYYY-MM-DD> <out.html>"
+              " [--machine-series]")
+        return 1
+    from pyspark.sql import SparkSession
+
+    # only stop a session this CLI itself created (in-process callers —
+    # tests, notebooks — keep theirs)
+    borrowed = SparkSession.getActiveSession() is not None
+    spark = get_spark("dashboard")
+    try:
+        day = serving.day_slice(serving.summary_table(spark, argv[1]), argv[2])
+        write_dashboard(
+            day, argv[2], argv[3], machine_series="--machine-series" in argv
+        )
+        print(argv[3])
+        return 0
+    finally:
+        if not borrowed:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(main(sys.argv))

@@ -81,3 +81,45 @@ def start_corpus_stream(
         .partitionBy("split", "lang")
         .start()
     )
+
+
+def main(argv: list[str], *, block: bool = True) -> int:
+    """``python -m …streaming.corpus_stream [src] [out] [ckpt] [index]``
+
+    The deploy-recipe entry point (deploy/docker-compose.yml
+    corpus_stream_service): watch ``src`` for parquet document drops and
+    run the curation stream until interrupted. With ``index`` set, the
+    near-dup tier (streaming/neardup_stream.py) is wired in.
+    ``block=False`` (tests) drains what is available and stops.
+    """
+    from projekt_data_engineering_iubh_spark.session import get_spark
+
+    src = argv[1] if len(argv) > 1 else "/data/incoming"
+    out = argv[2] if len(argv) > 2 else "/data/corpus/store"
+    ckpt = argv[3] if len(argv) > 3 else "/data/corpus/checkpoint"
+    index = argv[4] if len(argv) > 4 else None
+
+    spark = get_spark("corpus_stream")
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, ingest_ts timestamp"
+    ).parquet(src)
+    if index:
+        from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+            start_neardup_corpus_stream,
+        )
+
+        q = start_neardup_corpus_stream(docs, out, ckpt, index)
+    else:
+        q = start_corpus_stream(docs, out, ckpt)
+    if block:  # pragma: no cover — the service mode
+        q.awaitTermination()
+    else:
+        q.processAllAvailable()
+        q.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(main(sys.argv))

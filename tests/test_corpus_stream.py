@@ -206,3 +206,33 @@ def test_neardup_index_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band_key" in plan
+
+
+def test_corpus_stream_cli_near_dup_mode(spark, tmp_path):
+    """Deploy-recipe entry point end-to-end (non-blocking drain): one drop
+    with a keeper and a near-dup of an indexed corpus doc."""
+    from projekt_data_engineering_iubh_spark.streaming.corpus_stream import main
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        build_signature_index,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    staging = tmp_path / "stage_cli"
+    spark.createDataFrame(
+        [(1, UNRELATED, "en", _ts(1)), (2, NEAR_EN, "en", _ts(2))], SCHEMA
+    ).coalesce(1).write.parquet(str(staging))
+    part = glob.glob(str(staging / "part-*.parquet"))[0]
+    shutil.move(part, str(src / "drop1.parquet"))
+
+    index_path = str(tmp_path / "idx")
+    corpus = spark.createDataFrame([(1000, GOOD_EN, "en", _ts(0))], SCHEMA)
+    build_signature_index(corpus, index_path)
+
+    out = str(tmp_path / "store")
+    assert main(
+        ["corpus_stream.py", str(src), out, str(tmp_path / "ckpt"), index_path],
+        block=False,
+    ) == 0
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1}  # near-dup 2 dropped at ingest

@@ -125,3 +125,20 @@ def test_machine_series_mode_one_series_per_machine(day_df):
     for c in CYCLE_TIME_COLUMNS:
         assert f"{_LABELS[c]} — M1" in cyc_svg
         assert f"{_LABELS[c]} — M2" in cyc_svg
+
+
+def test_dashboard_cli_builds_artifact(spark, tmp_path):
+    """The deploy-recipe entry point end-to-end: golden pipeline →
+    warehouse → `python -m pipeline.dashboard` (in-process main)."""
+    from projekt_data_engineering_iubh_spark.pipeline.dashboard import main
+
+    p = tmp_path / "day.csv"
+    p.write_text("\n".join(FIXTURE_ROWS) + "\n")
+    warehouse = str(tmp_path / "warehouse")
+    da.run(spark, str(p), warehouse, DEFAULT_RULES)
+
+    out = str(tmp_path / "dash.html")
+    assert main(["dashboard.py", warehouse, "2024-05-01", out,
+                 "--machine-series"]) == 0
+    html = open(out, encoding="utf-8").read()
+    assert html.count("<svg") == 2 and "— M1" in html
