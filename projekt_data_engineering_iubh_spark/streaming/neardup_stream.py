@@ -140,7 +140,12 @@ def start_neardup_corpus_stream(
     curated = curate_stream(docs, **curate_kwargs)
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        index = batch_df.sparkSession.read.parquet(index_path)
+        from projekt_data_engineering_iubh_spark.pipeline import store
+
+        # resolve(): when the batch tier maintains the index as a manifest
+        # store (compaction rewrites), each trigger reads one consistent
+        # snapshot; plain-dir indexes resolve to themselves
+        index = batch_df.sparkSession.read.parquet(store.resolve(index_path))
         kept = neardup_filter_batch(batch_df, index, tau=tau)
         # persist: the frame feeds the store write AND the index append,
         # and the batch plan must not recompute through the stream source

@@ -166,3 +166,13 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quality_model_fit_predict_plan(spark):
+    # the trained scorer's predict join must be an equi-join on token and
+    # the whole fit+predict plan UDF-free; the only broadcast-nested-loop
+    # is the 1-row scalars crossJoin (bounded, deliberate)
+    plan = plan_of(spark, "docs_quality_model")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "token" in plan
