@@ -14,11 +14,18 @@ dependencies):
   naming the current version;
 * every write — initial load, compaction, Z-order relayout, a corrected
   day — lands in a FRESH version dir, invisible to readers while being
-  written (the one-writer-at-a-time model; multi-writer coordination is
-  exactly what the full table formats add on top);
+  written; the version dir is CLAIMED via atomic ``mkdir`` so two
+  writers can never interleave files in one snapshot;
 * the commit is ``os.replace(tmp, manifest)`` — atomic on POSIX (rename(2)
   within one filesystem), so a reader resolving the manifest sees the old
   snapshot or the new one, never a mix;
+* commits are OPTIMISTICALLY CONCURRENT (the Iceberg model): each commit
+  records the base version it derived from; at the commit point, under a
+  short ``flock`` on the manifest, the base must still be current — a
+  writer whose base was superseded gets :class:`CommitConflict` (its
+  orphan dir removed) and must re-derive from the new current snapshot.
+  First committer wins, no lost updates, and the lock is held only for
+  the pointer swap, never during data writes;
 * readers resolve through :func:`resolve` at plan-build time; old version
   dirs stay on disk until :func:`vacuum`, so in-flight scans that already
   resolved keep a consistent snapshot under their feet (snapshot
@@ -46,7 +53,14 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_FILE = "_MANIFEST.json"
+_LOCK_FILE = ".manifest.lock"
 _VERSION_FMT = "v{:08d}"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed after this commit's base snapshot was
+    read — the written snapshot does not include their changes. Re-derive
+    from the new current snapshot and retry (see commit_snapshot)."""
 
 
 @dataclass(frozen=True)
@@ -78,6 +92,45 @@ def read(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(resolve(path))
 
 
+def _claim_version_dir(root: Path, start: int) -> tuple[int, Path]:
+    """Atomically claim the next free version dir via mkdir (EEXIST ⇒
+    another writer holds it — move on). Two writers can therefore never
+    interleave files inside one snapshot dir."""
+    version = start
+    while True:
+        data_dir = root / _VERSION_FMT.format(version)
+        try:
+            data_dir.mkdir()
+            return version, data_dir
+        except FileExistsError:
+            version += 1
+
+
+def _publish(root: Path, version: int, dir_name: str, base: int | None) -> None:
+    """The commit point: under a short exclusive flock, verify the base
+    snapshot is still current, then atomically swap the pointer."""
+    import fcntl
+
+    mf = root / MANIFEST_FILE
+    with open(root / _LOCK_FILE, "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        current = (
+            int(json.loads(mf.read_text())["version"]) if mf.is_file() else None
+        )
+        if current != base:
+            raise CommitConflict(
+                f"base snapshot v{base} superseded by v{current}; "
+                "re-derive from the current snapshot and retry"
+            )
+        tmp = root / f".{MANIFEST_FILE}.tmp.{os.getpid()}"
+        tmp.write_text(
+            json.dumps(
+                {"version": version, "dir": dir_name, "committed_at": time.time()}
+            )
+        )
+        os.replace(tmp, mf)  # atomic pointer swap, readers never lock
+
+
 def commit_snapshot(
     path: str, write_fn: Callable[[str], None]
 ) -> Snapshot:
@@ -87,25 +140,25 @@ def commit_snapshot(
     (fresh, reader-invisible) ``data_dir``; on its success the manifest
     pointer is replaced atomically. On failure the orphan dir is removed
     and the store is untouched — a failed commit is invisible.
+
+    Concurrency: optimistic. The commit records the CURRENT version as
+    its base; if another writer publishes first, this commit raises
+    :class:`CommitConflict` (orphan removed) — the caller must re-derive
+    its snapshot from the new current (a write_fn reading via
+    :func:`resolve` at call time does this naturally on retry).
     """
     root = Path(path)
     root.mkdir(parents=True, exist_ok=True)
     mf = root / MANIFEST_FILE
-    version = (current_version(path) + 1) if mf.is_file() else 1
-    dir_name = _VERSION_FMT.format(version)
-    data_dir = root / dir_name
+    base = current_version(path) if mf.is_file() else None
+    version, data_dir = _claim_version_dir(root, (base or 0) + 1)
+    dir_name = data_dir.name
     try:
         write_fn(str(data_dir))
+        _publish(root, version, dir_name, base)
     except BaseException:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
-    tmp = root / f".{MANIFEST_FILE}.tmp.{os.getpid()}"
-    tmp.write_text(
-        json.dumps(
-            {"version": version, "dir": dir_name, "committed_at": time.time()}
-        )
-    )
-    os.replace(tmp, mf)  # THE commit point — atomic pointer swap
     return Snapshot(version=version, data_dir=str(data_dir))
 
 

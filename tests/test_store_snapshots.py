@@ -157,3 +157,83 @@ def test_reader_loop_racing_maintenance_sees_only_snapshots(spark, tmp_path):
     assert len(counts) >= 5  # the loop genuinely raced the maintenance
     assert set(counts) <= {600, 900}, sorted(set(counts))
     assert store.read(spark, root).count() == 900
+
+
+def test_concurrent_committers_no_lost_updates(spark, tmp_path):
+    """Optimistic concurrency: two writers each append 100 rows starting
+    from whatever snapshot is current, retrying on CommitConflict. No
+    interleaved snapshot dirs, no lost updates: the final store holds
+    BOTH appends, and at least one conflict was actually raised when the
+    writers collided."""
+    root = str(tmp_path / "occstore")
+    _write_rows(spark, 100, root)
+    store.init_store(root)
+
+    conflicts: list[int] = []
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(2)
+
+    def appender(tag: int) -> None:
+        try:
+            barrier.wait()  # maximize the collision window
+            for attempt in range(5):
+                cur = spark.read.parquet(store.resolve(root))
+                nxt = cur.unionByName(
+                    spark.range(10_000 * tag, 10_000 * tag + 100).select(
+                        F.col("id").alias("doc_id"),
+                        F.lit("train").alias("split"),
+                        (F.col("id") * 3).alias("payload"),
+                    )
+                ).localCheckpoint(eager=True)  # snapshot BEFORE the target moves
+                try:
+                    store.commit_snapshot(
+                        root,
+                        lambda d, df=nxt: df.write.mode("overwrite")
+                        .partitionBy("split")
+                        .parquet(d),
+                    )
+                    return
+                except store.CommitConflict:
+                    conflicts.append(tag)
+            errors.append(RuntimeError(f"writer {tag} never committed"))
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(t,)) for t in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    final = spark.read.parquet(store.resolve(root))
+    assert final.count() == 300  # 100 base + both appends — nothing lost
+    assert final.where(F.col("doc_id") >= 10_000).count() == 200
+
+
+def test_commit_conflict_is_raised_and_orphan_removed(spark, tmp_path):
+    import glob as _glob
+
+    root = str(tmp_path / "conflictstore")
+    _write_rows(spark, 50, root)
+    store.init_store(root)
+
+    store.commit_snapshot(root, lambda d: _write_rows(spark, 60, d))  # v2
+
+    with pytest.raises(store.CommitConflict):
+        # force the race deterministically: writer B commits INSIDE
+        # writer A's write_fn, so A's base (v2) is superseded before A
+        # reaches its publish point
+        def racing_write(d):
+            store.commit_snapshot(root, lambda d2: _write_rows(spark, 70, d2))
+            _write_rows(spark, 80, d)
+
+        store.commit_snapshot(root, racing_write)
+
+    # loser's orphan dir removed; store shows the winner (70 rows).
+    # A had claimed v3 before B started, so B's winning commit is v4;
+    # the conflicted v3 must be gone.
+    assert store.read(spark, root).count() == 70
+    assert store.current_version(root) == 4
+    dirs = {p.split("/")[-1] for p in _glob.glob(root + "/v*")}
+    assert dirs == {"v00000001", "v00000002", "v00000004"}, dirs
