@@ -22,9 +22,10 @@ nothing here because the index is content-addressed and append-only.
 
 Semantics and limits, stated plainly:
 
-* near-dups WITHIN one micro-batch are not caught (neither doc is in the
-  index when the batch joins); the periodic batch job
-  (``pipeline.corpus.run``) owns global transitive dedup — standard
+* near-dups WITHIN one micro-batch are dropped by a pairwise self-join
+  tier (keep the lowest doc_id — the batch tier's min-representative
+  convention); full TRANSITIVE clustering of in-batch chains remains
+  the periodic batch job's (``pipeline.corpus.run``) — standard
   two-tier ingest/compaction, same contract as the exact tier.
 * foreachBatch retries can append duplicate index rows; band rows are
   advisory (they only generate candidate matches), so duplicates cost
@@ -92,35 +93,56 @@ def build_signature_index(docs: DataFrame, index_path: str) -> None:
 
 
 def neardup_filter_batch(
-    batch: DataFrame, index: DataFrame, *, tau: float = NEAR_TAU
+    batch: DataFrame,
+    index: DataFrame,
+    *,
+    tau: float = NEAR_TAU,
+    within_batch: bool = True,
 ) -> DataFrame:
     """Drop batch docs whose signature agrees ≥ ``tau`` with any index doc
-    sharing an LSH band. Returns the surviving batch rows unchanged."""
+    sharing an LSH band, and (``within_batch``) docs near-duplicating a
+    LOWER-doc_id doc of the same micro-batch (the same min-representative
+    convention as the batch tier's connected components; the greedy
+    pairwise rule here — full transitive clustering stays the batch
+    job's). Returns the surviving batch rows unchanged."""
     bb = band_rows(signatures_from(batch)).withColumnRenamed(
         "minhash", "b_minhash"
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(
-                    F.col("b_minhash"), F.col("minhash"), lambda x, y: x == y
-                ),
-                lambda eq: eq,
+
+    def _est(a: str, b: str) -> F.Column:
+        return (
+            F.size(
+                F.filter(
+                    F.zip_with(F.col(a), F.col(b), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
             )
+            / F.lit(float(_MINHASH_K))
         )
-        / F.lit(float(_MINHASH_K))
-    )
+
     drops = (
         bb.join(
             index.withColumnRenamed("doc_id", "idx_doc_id"),
             ["band_no", "band_key"],
         )
         .filter(F.col("idx_doc_id") != F.col("doc_id"))
-        .filter(est >= tau)
+        .filter(_est("b_minhash", "minhash") >= tau)
         .select("doc_id")
-        .distinct()
     )
-    return batch.join(drops, "doc_id", "left_anti")
+    if within_batch:
+        a = bb.select("doc_id", "band_no", "band_key", "b_minhash")
+        b = (
+            bb.withColumnRenamed("doc_id", "hi_doc")
+            .withColumnRenamed("b_minhash", "hi_minhash")
+        )
+        intra = (
+            a.join(b, ["band_no", "band_key"])
+            .filter(F.col("doc_id") < F.col("hi_doc"))
+            .filter(_est("b_minhash", "hi_minhash") >= tau)
+            .select(F.col("hi_doc").alias("doc_id"))
+        )
+        drops = drops.unionByName(intra)
+    return batch.join(drops.distinct(), "doc_id", "left_anti")
 
 
 def start_neardup_corpus_stream(

@@ -236,3 +236,36 @@ def test_corpus_stream_cli_near_dup_mode(spark, tmp_path):
     ) == 0
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1}  # near-dup 2 dropped at ingest
+
+
+def test_neardup_within_single_trigger_dropped(spark, tmp_path):
+    """Two near-dups of EACH OTHER (neither in the index) arriving in the
+    same micro-batch: the lower doc_id survives, the higher is dropped by
+    the within-batch tier."""
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        band_rows,
+        neardup_filter_batch,
+    )
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        signatures_from,
+    )
+
+    empty_index = band_rows(
+        signatures_from(
+            spark.createDataFrame([], SCHEMA).select("doc_id", "text")
+        )
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, GOOD_EN, "en", _ts(0)),
+            (11, NEAR_EN, "en", _ts(1)),     # near-dup of 10, same batch
+            (12, UNRELATED, "en", _ts(2)),
+        ],
+        SCHEMA,
+    )
+    kept = neardup_filter_batch(batch, empty_index)
+    assert {r.doc_id for r in kept.collect()} == {10, 12}
+
+    # and the tier is switchable off (pure index mode)
+    kept_off = neardup_filter_batch(batch, empty_index, within_batch=False)
+    assert {r.doc_id for r in kept_off.collect()} == {10, 11, 12}
