@@ -88,8 +88,34 @@ def resolve(path: str) -> str:
     return str(Path(path) / m["dir"])
 
 
-def read(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(resolve(path))
+def read(
+    spark: SparkSession, path: str, *, version: int | None = None
+) -> DataFrame:
+    """Current snapshot, or time-travel to ``version`` (any snapshot not
+    yet vacuumed — the same read Delta/Iceberg expose as VERSION AS OF).
+    Raises FileNotFoundError for a vacuumed or never-committed version."""
+    if version is None:
+        return spark.read.parquet(resolve(path))
+    vdir = Path(path) / _VERSION_FMT.format(version)
+    if not vdir.is_dir():
+        raise FileNotFoundError(
+            f"snapshot v{version} not present in {path} (vacuumed or never "
+            f"committed); available: {[s.version for s in snapshots(path)]}"
+        )
+    return spark.read.parquet(str(vdir))
+
+
+def snapshots(path: str) -> list[Snapshot]:
+    """All readable snapshots, oldest first (the time-travel catalog)."""
+    root = Path(path)
+    out = []
+    for entry in sorted(root.iterdir() if root.is_dir() else []):
+        if entry.is_dir() and entry.name.startswith("v"):
+            try:
+                out.append(Snapshot(int(entry.name[1:]), str(entry)))
+            except ValueError:
+                continue
+    return out
 
 
 def _claim_version_dir(root: Path, start: int) -> tuple[int, Path]:

@@ -237,3 +237,21 @@ def test_commit_conflict_is_raised_and_orphan_removed(spark, tmp_path):
     assert store.current_version(root) == 4
     dirs = {p.split("/")[-1] for p in _glob.glob(root + "/v*")}
     assert dirs == {"v00000001", "v00000002", "v00000004"}, dirs
+
+
+def test_time_travel_reads(spark, tmp_path):
+    root = str(tmp_path / "ttstore")
+    _write_rows(spark, 100, root)
+    store.init_store(root)
+    store.commit_snapshot(root, lambda d: _write_rows(spark, 200, d))
+    store.commit_snapshot(root, lambda d: _write_rows(spark, 300, d))
+
+    assert store.read(spark, root).count() == 300
+    assert store.read(spark, root, version=1).count() == 100
+    assert store.read(spark, root, version=2).count() == 200
+    assert [s.version for s in store.snapshots(root)] == [1, 2, 3]
+
+    store.vacuum(root, keep=1)
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, root, version=1)
+    assert store.read(spark, root, version=3).count() == 300
