@@ -670,6 +670,211 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization + ADC search (the 100 TB vector-index memory lever)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subvectors
+_PQ_SUBDIM = EMB_DIM // _PQ_M
+_PQ_CODES = 16  # centroids per sub-codebook → 4 bits/subvector
+_PQ_K = 10
+_PQ_QUERIES = 5
+
+
+def _pq_centroid(m: int, j: int) -> list[float]:
+    """Deterministic sub-codebook entry (the per-subvector k-means a real
+    PQ trains — operators/kmeans.py is that trainer; fixed md5 seeds keep
+    both engines and every run identical, same policy as CENTROIDS)."""
+    out = []
+    for i in range(_PQ_SUBDIM):
+        h = int(hashlib.md5(f"pq_{m}_{j}_{i}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+PQ_CODEBOOKS = [
+    [_pq_centroid(m, j) for j in range(_PQ_CODES)] for m in range(_PQ_M)
+]
+
+
+def _pq_subdist_spark(m: int, j: int, sub: F.Column) -> F.Column:
+    c = F.array(*[F.lit(v) for v in PQ_CODEBOOKS[m][j]])
+    sq = F.zip_with(
+        sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_sub_sql(src_expr: str, m: int) -> str:
+    return f"({src_expr})[{m * _PQ_SUBDIM + 1}:{(m + 1) * _PQ_SUBDIM}]"
+
+
+def _pq_subdist_sql(sub_expr: str, m: int, j: int) -> str:
+    lits = "[" + ", ".join(repr(v) for v in PQ_CODEBOOKS[m][j]) + "]"
+    sq = (
+        f"list_transform(range(1, {_PQ_SUBDIM} + 1), "
+        f"i -> (CAST(({sub_expr})[i] AS DOUBLE) - ({lits})[i])"
+        f" * (CAST(({sub_expr})[i] AS DOUBLE) - ({lits})[i]))"
+    )
+    return f"list_reduce({sq}, (x, y) -> x + y)"
+
+
+def _l2_full_sql(a: str, b: str) -> str:
+    sq = (
+        f"list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> (CAST(({a})[i] AS DOUBLE) - CAST(({b})[i] AS DOUBLE))"
+        f" * (CAST(({a})[i] AS DOUBLE) - CAST(({b})[i] AS DOUBLE)))"
+    )
+    return f"list_reduce({sq}, (x, y) -> x + y)"
+
+
+def _pq_dtab_sql(m: int) -> str:
+    return (
+        "["
+        + ", ".join(
+            _pq_subdist_sql(_pq_sub_sql("qe", m), m, j)
+            for j in range(_PQ_CODES)
+        )
+        + "]"
+    )
+
+
+_PQ_SQL = f"""
+WITH codes AS (
+  SELECT vec_id, embedding,
+         {", ".join(
+             f"CAST(list_position(d{m}, list_min(d{m})) - 1 AS INTEGER) AS c{m}"
+             for m in range(_PQ_M))}
+  FROM (
+    SELECT vec_id, embedding,
+           {", ".join(
+               "[" + ", ".join(
+                   _pq_subdist_sql(_pq_sub_sql("embedding", m), m, j)
+                   for j in range(_PQ_CODES)) + f"] AS d{m}"
+               for m in range(_PQ_M))}
+    FROM embeddings
+  )
+), qd AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         {", ".join(f"{_pq_dtab_sql(m)} AS t{m}" for m in range(_PQ_M))}
+  FROM embeddings WHERE vec_id < {_PQ_QUERIES}
+), cand AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {" + ".join(f"t{m}[c{m} + 1]" for m in range(_PQ_M))} AS adc_dist,
+         {_l2_full_sql('qe', 'c.embedding')} AS exact_dist
+  FROM qd JOIN codes c ON c.vec_id != query_id
+), r AS (
+  SELECT query_id, neighbor_id, adc_dist, exact_dist,
+         abs(adc_dist - exact_dist) AS abs_err,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rn
+  FROM cand
+)
+SELECT query_id, neighbor_id, adc_dist, exact_dist, abs_err, rn
+FROM r WHERE rn <= {_PQ_K}
+"""
+
+
+@register("emb_pq_adc", oracle=_PQ_SQL, driver=False)
+def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with asymmetric distance computation — the
+    compression rung between int8 SQ (emb_quantize_int8, 4×) and IVF
+    cells: 4 sub-codebooks × 16 centroids encode each vector as 4×4-bit
+    codes (64 float32 → 2 bytes, 128×), queries stay full-precision, and
+    candidate distance is the sum of 4 per-subvector TABLE LOOKUPS
+    against the query's precomputed distance tables (Jégou et al.'s ADC,
+    public knowledge). abs_err vs the exact L2² quantifies the recall
+    trade exactly like the int8 entry.
+
+    Scale shape: encoding is one map-side projection (argmin over 16
+    fixed-literal distance folds per subvector — the same
+    array/array_position CSE pattern as IVF's _with_cell); the scored
+    scan is broadcast-queries × corpus CODES (the 2-byte codes, not the
+    float arrays, are what a 100 TB index stores and shuffles — the
+    point of PQ); per-query top-k is the standard window. Codebooks are
+    fixed md5-seeded literals (the trained equivalent would come from
+    operators/kmeans.py per subvector) embedded identically in both
+    engines, so ranks and distances tie out bit-exactly.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    dist_arrays = [
+        F.array(
+            *[
+                _pq_subdist_spark(
+                    m,
+                    j,
+                    F.slice(
+                        F.col("embedding"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM
+                    ),
+                )
+                for j in range(_PQ_CODES)
+            ]
+        ).alias(f"d{m}")
+        for m in range(_PQ_M)
+    ]
+    with_d = e.select("vec_id", "embedding", *dist_arrays)
+    codes = with_d.select(
+        "vec_id",
+        "embedding",
+        *[
+            (
+                F.array_position(F.col(f"d{m}"), F.array_min(f"d{m}")) - 1
+            ).cast("int").alias(f"c{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    qd = e.filter(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        *[
+            F.array(
+                *[
+                    _pq_subdist_spark(
+                        m,
+                        j,
+                        F.slice(F.col("embedding"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                    )
+                    for j in range(_PQ_CODES)
+                ]
+            ).alias(f"t{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    adc = None
+    for m in range(_PQ_M):
+        term = F.element_at(F.col(f"t{m}"), F.col(f"c{m}") + 1)
+        adc = term if adc is None else adc + term
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = codes.join(
+        F.broadcast(qd), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc.alias("adc_dist"),
+        exact.alias("exact_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("abs_err", F.abs(F.col("adc_dist") - F.col("exact_dist")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_K)
+        .select(
+            "query_id", "neighbor_id", "adc_dist", "exact_dist", "abs_err", "rn"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lloyd k-means training (the IVF coarse quantizer, actually trained)
 # ---------------------------------------------------------------------------
 

@@ -46,6 +46,7 @@ LOCAL_ONLY_FAMILY = {
     "docs_mixture_epochs",
     # round 4 (r2 policy: new entries stay local-only; driver set untouched)
     "docs_quality_model",
+    "emb_pq_adc",
 }
 
 
