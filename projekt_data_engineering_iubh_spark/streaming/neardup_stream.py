@@ -178,8 +178,13 @@ def start_neardup_corpus_stream(
             .partitionBy("split", "lang")
             .parquet(out_path)
         )
+        # append INTO the resolved snapshot (manifest stores would get
+        # loose part-files next to their version dirs otherwise); band
+        # rows are advisory, so appending to the current snapshot rather
+        # than committing a new one is the documented trade — compaction
+        # commits clean the accumulated appends up transactionally
         band_rows(signatures_from(kept)).write.mode("append").parquet(
-            index_path
+            store.resolve(index_path)
         )
 
     return (

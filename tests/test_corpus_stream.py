@@ -269,3 +269,44 @@ def test_neardup_within_single_trigger_dropped(spark, tmp_path):
     # and the tier is switchable off (pure index mode)
     kept_off = neardup_filter_batch(batch, empty_index, within_batch=False)
     assert {r.doc_id for r in kept_off.collect()} == {10, 11, 12}
+
+
+def test_neardup_stream_with_manifest_store_index(spark, tmp_path):
+    """The composition the resolver routing exists for: the signature
+    index maintained as a manifest store (batch compaction commits
+    snapshots) while the stream reads it per trigger."""
+    from projekt_data_engineering_iubh_spark.pipeline import store
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        build_signature_index,
+        start_neardup_corpus_stream,
+    )
+
+    index_path = str(tmp_path / "idx")
+    corpus = spark.createDataFrame([(1000, GOOD_EN, "en", _ts(0))], SCHEMA)
+    build_signature_index(corpus, index_path)
+    store.init_store(index_path)  # batch tier migrated the index
+
+    src = tmp_path / "src"
+    src.mkdir()
+    staging = tmp_path / "stage_ms"
+    spark.createDataFrame(
+        [(1, NEAR_EN, "en", _ts(1)), (2, UNRELATED, "en", _ts(2))], SCHEMA
+    ).coalesce(1).write.parquet(str(staging))
+    part = glob.glob(str(staging / "part-*.parquet"))[0]
+    shutil.move(part, str(src / "b1.parquet"))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = start_neardup_corpus_stream(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"), index_path
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {r.doc_id for r in out.collect()} == {2}  # near-dup of 1000 dropped
+    # the stream's index append landed INSIDE the current snapshot dir
+    assert store.is_store(index_path)
+    appended = spark.read.parquet(store.resolve(index_path))
+    assert appended.where(F.col("doc_id") == 2).count() > 0

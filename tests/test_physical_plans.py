@@ -107,6 +107,7 @@ def test_flagship_single_scan_branches(spark):
         "docs_text_stats",
         "docs_minhash_signatures",
         "emb_knn_brute",
+        "emb_pq_adc",
         "events_sessionize",
     ],
 )
