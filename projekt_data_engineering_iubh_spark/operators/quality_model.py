@@ -135,10 +135,32 @@ def fit_predict(d: DataFrame) -> DataFrame:
                 )
             ).alias("tok_sum"),
             F.min(
-                F.floor(
-                    F.ln(F.col("dg").cast("double") / F.col("db").cast("double"))
-                    * F.lit(float(SCALE))
-                ).cast("long")
+                # degenerate bootstrap (no doc beyond one threshold) would
+                # make ln(dg/db) ±Infinity → CAST_OVERFLOW under ANSI or a
+                # silent all-'bad' corpus under non-ANSI; fail loudly with
+                # the actionable cause instead
+                F.when(
+                    (F.col("dg") > 0) & (F.col("db") > 0),
+                    F.floor(
+                        F.ln(
+                            F.col("dg").cast("double")
+                            / F.col("db").cast("double")
+                        )
+                        * F.lit(float(SCALE))
+                    ).cast("long"),
+                ).otherwise(
+                    F.raise_error(
+                        F.format_string(
+                            "quality model: bootstrap slices empty "
+                            "(good docs=%s, bad docs=%s) — the heuristic "
+                            "thresholds found no unambiguous training "
+                            "slice; adjust GOOD_T/BAD_T or use the "
+                            "heuristic scorer",
+                            F.col("dg"),
+                            F.col("db"),
+                        )
+                    ).cast("long")
+                )
             ).alias("prior"),
         )
     )

@@ -106,10 +106,19 @@ def curate(
     langs: tuple[str, ...] = DEFAULT_LANGS,
     min_quality: float = DEFAULT_MIN_QUALITY,
     scorer: str = "heuristic",
+    _quality: DataFrame | None = None,
 ) -> DataFrame:
-    """The curated, split-tagged corpus as a DataFrame (lazy; no I/O)."""
+    """The curated, split-tagged corpus as a DataFrame (lazy; no I/O).
+
+    ``_quality`` lets :func:`run` share one (persisted) quality lane
+    between the curated write and its stats count — the trained scorer's
+    fit is the most expensive stage, and recomputing it per action would
+    double the job (r4 review finding).
+    """
     d = load_table(spark, sf_dir, "documents")
-    quality = _lane(d, langs, min_quality, scorer)
+    quality = (
+        _quality if _quality is not None else _lane(d, langs, min_quality, scorer)
+    )
 
     # transitive near-dup removal over the SURVIVING docs (graph edges
     # come from the full-corpus LSH pairs; restricting components to the
@@ -149,21 +158,34 @@ def run(
 ) -> CorpusStats:
     """Execute the pipeline and write (split, lang)-partitioned parquet."""
     d = load_table(spark, sf_dir, "documents")
-    curated = curate(
-        spark, sf_dir, langs=langs, min_quality=min_quality, scorer=scorer
-    )
-    curated.write.mode("overwrite").partitionBy("split", "lang").parquet(out_path)
+    quality = _lane(d, langs, min_quality, scorer).persist()
+    try:
+        curated = curate(
+            spark,
+            sf_dir,
+            langs=langs,
+            min_quality=min_quality,
+            scorer=scorer,
+            _quality=quality,
+        )
+        curated.write.mode("overwrite").partitionBy("split", "lang").parquet(
+            out_path
+        )
 
-    out = spark.read.parquet(out_path)
-    by_split = {
-        r["split"]: r["n"]
-        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    return CorpusStats(
-        n_raw=d.count(),
-        n_lang=d.filter(F.col("lang").isin(*langs)).count(),
-        n_quality=_lane(d, langs, min_quality, scorer).count(),
-        n_dedup=out.count(),
-        n_train=by_split.get("train", 0),
-        n_test=by_split.get("test", 0),
-    )
+        out = spark.read.parquet(out_path)
+        by_split = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return CorpusStats(
+            n_raw=d.count(),
+            n_lang=d.filter(F.col("lang").isin(*langs)).count(),
+            n_quality=quality.count(),
+            n_dedup=out.count(),
+            n_train=by_split.get("train", 0),
+            n_test=by_split.get("test", 0),
+        )
+    finally:
+        quality.unpersist()

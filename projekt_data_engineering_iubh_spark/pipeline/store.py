@@ -88,33 +88,46 @@ def resolve(path: str) -> str:
     return str(Path(path) / m["dir"])
 
 
+def _committed_versions(path: str) -> list[int]:
+    """Versions ever PUBLISHED (manifest history) — a claimed dir from an
+    in-flight or conflict-doomed writer is never in here. Older manifests
+    without a history fall back to 1..current (those stores were written
+    before concurrent writers existed, so every dir ≤ current is real)."""
+    mf = Path(path) / MANIFEST_FILE
+    if not mf.is_file():
+        return []
+    m = json.loads(mf.read_text())
+    return [int(v) for v in m.get("history", range(1, int(m["version"]) + 1))]
+
+
 def read(
     spark: SparkSession, path: str, *, version: int | None = None
 ) -> DataFrame:
-    """Current snapshot, or time-travel to ``version`` (any snapshot not
-    yet vacuumed — the same read Delta/Iceberg expose as VERSION AS OF).
-    Raises FileNotFoundError for a vacuumed or never-committed version."""
+    """Current snapshot, or time-travel to ``version`` (any COMMITTED
+    snapshot not yet vacuumed — the read Delta/Iceberg expose as VERSION
+    AS OF). Raises FileNotFoundError for a vacuumed, never-committed, or
+    in-flight version."""
     if version is None:
         return spark.read.parquet(resolve(path))
     vdir = Path(path) / _VERSION_FMT.format(version)
-    if not vdir.is_dir():
+    if version not in _committed_versions(path) or not vdir.is_dir():
         raise FileNotFoundError(
-            f"snapshot v{version} not present in {path} (vacuumed or never "
-            f"committed); available: {[s.version for s in snapshots(path)]}"
+            f"snapshot v{version} not readable in {path} (vacuumed, never "
+            f"committed, or still being written); available: "
+            f"{[s.version for s in snapshots(path)]}"
         )
     return spark.read.parquet(str(vdir))
 
 
 def snapshots(path: str) -> list[Snapshot]:
-    """All readable snapshots, oldest first (the time-travel catalog)."""
+    """All readable snapshots, oldest first (the time-travel catalog):
+    committed per the manifest history AND still on disk."""
     root = Path(path)
     out = []
-    for entry in sorted(root.iterdir() if root.is_dir() else []):
-        if entry.is_dir() and entry.name.startswith("v"):
-            try:
-                out.append(Snapshot(int(entry.name[1:]), str(entry)))
-            except ValueError:
-                continue
+    for v in sorted(_committed_versions(path)):
+        vdir = root / _VERSION_FMT.format(v)
+        if vdir.is_dir():
+            out.append(Snapshot(v, str(vdir)))
     return out
 
 
@@ -134,24 +147,32 @@ def _claim_version_dir(root: Path, start: int) -> tuple[int, Path]:
 
 def _publish(root: Path, version: int, dir_name: str, base: int | None) -> None:
     """The commit point: under a short exclusive flock, verify the base
-    snapshot is still current, then atomically swap the pointer."""
+    snapshot is still current, then atomically swap the pointer. The
+    manifest carries the COMMIT HISTORY — the set of versions that were
+    ever published — so time travel can never read a claimed-but-
+    unpublished (possibly half-written) version dir."""
     import fcntl
 
     mf = root / MANIFEST_FILE
     with open(root / _LOCK_FILE, "w") as lockf:
         fcntl.flock(lockf, fcntl.LOCK_EX)
-        current = (
-            int(json.loads(mf.read_text())["version"]) if mf.is_file() else None
-        )
+        prev = json.loads(mf.read_text()) if mf.is_file() else None
+        current = int(prev["version"]) if prev else None
         if current != base:
             raise CommitConflict(
                 f"base snapshot v{base} superseded by v{current}; "
                 "re-derive from the current snapshot and retry"
             )
+        history = (prev.get("history", [current]) if prev else []) + [version]
         tmp = root / f".{MANIFEST_FILE}.tmp.{os.getpid()}"
         tmp.write_text(
             json.dumps(
-                {"version": version, "dir": dir_name, "committed_at": time.time()}
+                {
+                    "version": version,
+                    "dir": dir_name,
+                    "committed_at": time.time(),
+                    "history": history,
+                }
             )
         )
         os.replace(tmp, mf)  # atomic pointer swap, readers never lock
@@ -202,11 +223,22 @@ def init_store(path: str) -> Snapshot:
     v1 = root / _VERSION_FMT.format(1)
     v1.mkdir(parents=True)
     for entry in list(root.iterdir()):
-        if entry.name != v1.name:
+        # underscore/dot-prefixed root entries are metadata or sidecar
+        # areas (the lock file, a streaming _appends delta dir) — they are
+        # not snapshot data and must survive the migration at the root;
+        # plain parquet readers ignore them anyway (Hadoop hidden-path rule)
+        if entry.name != v1.name and not entry.name.startswith(("_", ".")):
             entry.rename(v1 / entry.name)
     tmp = root / f".{MANIFEST_FILE}.tmp.{os.getpid()}"
     tmp.write_text(
-        json.dumps({"version": 1, "dir": v1.name, "committed_at": time.time()})
+        json.dumps(
+            {
+                "version": 1,
+                "dir": v1.name,
+                "committed_at": time.time(),
+                "history": [1],
+            }
+        )
     )
     os.replace(tmp, root / MANIFEST_FILE)
     return Snapshot(version=1, data_dir=str(v1))

@@ -145,6 +145,74 @@ def neardup_filter_batch(
     return batch.join(drops.distinct(), "doc_id", "left_anti")
 
 
+# Streaming appends live in an LSM-style delta area NEXT TO the index
+# snapshots: Spark/Hadoop readers skip underscore-prefixed paths, so the
+# delta never leaks into a plain scan of the index root — readers union
+# it in explicitly via load_index(), and compact_signature_index() folds
+# exactly the delta files it listed into the next snapshot (appends that
+# race the compaction stay in the delta and remain visible — no lost
+# rows, the property a resolved-dir append could not give).
+_APPENDS_SUBDIR = "_appends"
+
+
+def _appends_dir(index_path: str) -> str:
+    import os
+
+    return os.path.join(index_path, _APPENDS_SUBDIR)
+
+
+def _append_files(index_path: str) -> list[str]:
+    import glob as _glob
+    import os
+
+    return sorted(
+        f
+        for f in _glob.glob(os.path.join(_appends_dir(index_path), "*.parquet"))
+        if os.path.isfile(f)
+    )
+
+
+def load_index(spark, index_path: str) -> DataFrame:
+    """The full index view: current snapshot (manifest-resolved) plus the
+    streaming delta area."""
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    base = spark.read.parquet(store.resolve(index_path))
+    delta_files = _append_files(index_path)
+    if not delta_files:
+        return base
+    return base.unionByName(spark.read.parquet(*delta_files))
+
+
+def compact_signature_index(spark, index_path: str, *, _on_listed=None):
+    """Fold the streaming delta into the next index snapshot (the batch
+    tier's maintenance job). Lists the delta files FIRST, commits
+    snapshot+listed-delta as a new version, then deletes exactly the
+    files it folded — a concurrent trigger's new append lands after the
+    listing, survives the deletion, and stays visible through
+    load_index(). ``_on_listed`` is a test seam fired between listing
+    and folding."""
+    import os
+
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    store.init_store(index_path)  # no-op when already a manifest store
+    listed = _append_files(index_path)
+    if _on_listed is not None:
+        _on_listed()
+    base = spark.read.parquet(store.resolve(index_path))
+    merged = (
+        base.unionByName(spark.read.parquet(*listed)) if listed else base
+    ).localCheckpoint(eager=True)  # snapshot the fold before dirs move
+
+    store.commit_snapshot(
+        index_path,
+        lambda d: merged.write.mode("overwrite").parquet(d),
+    )
+    for f in listed:
+        os.remove(f)
+
+
 def start_neardup_corpus_stream(
     docs: DataFrame,
     out_path: str,
@@ -156,40 +224,63 @@ def start_neardup_corpus_stream(
 ):
     """Corpus curation stream with the near-dup tier wired in:
     quality lane + in-horizon exact dedup (curate_stream) run INSIDE the
-    stream plan, then each micro-batch near-dup-filters against the
-    signature index, appends survivors to the (split, lang)-partitioned
-    store, and appends their band rows to the index."""
+    stream plan, then each micro-batch near-dup-filters against the full
+    index view (snapshot + delta), writes survivors idempotently to the
+    (split, lang)-partitioned store, and appends their band rows to the
+    index delta area."""
     curated = curate_stream(docs, **curate_kwargs)
+    processor = make_batch_processor(out_path, index_path, tau=tau)
+    return (
+        curated.writeStream.outputMode("append")
+        .foreachBatch(processor)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        from projekt_data_engineering_iubh_spark.pipeline import store
 
-        # resolve(): when the batch tier maintains the index as a manifest
-        # store (compaction rewrites), each trigger reads one consistent
-        # snapshot; plain-dir indexes resolve to themselves
-        index = batch_df.sparkSession.read.parquet(store.resolve(index_path))
+def make_batch_processor(out_path: str, index_path: str, *, tau: float = NEAR_TAU):
+    """The foreachBatch body, exposed for direct (retry-semantics) tests.
+
+    Exactly-once store writes under foreachBatch's at-least-once contract:
+    survivors carry an ``_ingest_batch`` partition column and the write is
+    a DYNAMIC partition overwrite — a retried trigger rewrites exactly its
+    own (split, lang, batch) leaf dirs instead of appending duplicates.
+    The batch/compaction tier drops the bookkeeping column. Index delta
+    appends stay at-least-once — band rows are advisory (duplicates cost
+    bytes, never correctness).
+    """
+    import os
+    import uuid
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = load_index(spark, index_path)
         kept = neardup_filter_batch(batch_df, index, tau=tau)
         # persist: the frame feeds the store write AND the index append,
         # and the batch plan must not recompute through the stream source
         kept = kept.localCheckpoint(eager=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             kept.drop("text_hash")
-            .write.mode("append")
-            .partitionBy("split", "lang")
+            .withColumn("_ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("split", "lang", "_ingest_batch")
             .parquet(out_path)
         )
-        # append INTO the resolved snapshot (manifest stores would get
-        # loose part-files next to their version dirs otherwise); band
-        # rows are advisory, so appending to the current snapshot rather
-        # than committing a new one is the documented trade — compaction
-        # commits clean the accumulated appends up transactionally
-        band_rows(signatures_from(kept)).write.mode("append").parquet(
-            store.resolve(index_path)
-        )
+        delta = _appends_dir(index_path)
+        os.makedirs(delta, exist_ok=True)
+        # one delta file per trigger, landed by ATOMIC rename out of a
+        # hidden temp dir (readers list *.parquet files only — they never
+        # see a half-written file); unique names mean concurrent triggers
+        # never collide and a retry adds a duplicate advisory file at worst
+        import glob as _glob
+        import shutil
 
-    return (
-        curated.writeStream.outputMode("append")
-        .foreachBatch(_process)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
+        tmp = os.path.join(delta, f".tmp-{uuid.uuid4().hex}")
+        band_rows(signatures_from(kept)).coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if part:  # empty batches write no part file
+            os.replace(part[0], os.path.join(delta, f"{uuid.uuid4().hex}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return _process

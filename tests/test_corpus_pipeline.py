@@ -4,6 +4,7 @@ operators step by step."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from projekt_data_engineering_iubh_spark.pipeline import corpus
@@ -126,3 +127,27 @@ def test_model_scorer_agrees_with_heuristic_on_extremes(spark):
     # token-level generalization disagreeing with a borderline heuristic
     # label is the model working, not failing
     assert agree / len(labeled) >= 0.85, f"{agree}/{len(labeled)}"
+
+
+def test_model_scorer_fails_loudly_on_degenerate_bootstrap(spark):
+    """All-good (or all-bad) input leaves one bootstrap slice empty; the
+    prior would be ln(inf). The model must raise an actionable error, not
+    crash with CAST_OVERFLOW or silently classify everything 'bad'."""
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    from projekt_data_engineering_iubh_spark.operators.quality_model import (
+        fit_predict,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and the cat is in "
+        "the house and the dog is at the door and all of the animals are "
+        "in the garden of the old man who is happy to see them every day"
+    )
+    docs = spark.createDataFrame(
+        [(i, good + f" extra {i}") for i in range(5)], "doc_id long, text string"
+    )
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
+        fit_predict(docs).collect()
+    assert "bootstrap slices empty" in str(ei.value)

@@ -306,7 +306,104 @@ def test_neardup_stream_with_manifest_store_index(spark, tmp_path):
 
     out = spark.read.parquet(str(tmp_path / "out"))
     assert {r.doc_id for r in out.collect()} == {2}  # near-dup of 1000 dropped
-    # the stream's index append landed INSIDE the current snapshot dir
+    # the stream's index append landed in the delta area, visible through
+    # the full index view (snapshot ∪ delta)
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        load_index,
+    )
+
     assert store.is_store(index_path)
-    appended = spark.read.parquet(store.resolve(index_path))
-    assert appended.where(F.col("doc_id") == 2).count() > 0
+    assert load_index(spark, index_path).where(F.col("doc_id") == 2).count() > 0
+
+
+def test_batch_processor_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the same (batch, id) —
+    the crash-before-checkpoint scenario — must not duplicate store rows
+    (dynamic partition overwrite on the _ingest_batch column)."""
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        build_signature_index,
+        make_batch_processor,
+    )
+
+    index_path = str(tmp_path / "idx")
+    build_signature_index(
+        spark.createDataFrame([(1000, GOOD_EN, "en", _ts(0))], SCHEMA), index_path
+    )
+    out = str(tmp_path / "store")
+    process = make_batch_processor(out, index_path)
+
+    from projekt_data_engineering_iubh_spark.streaming.corpus_stream import (
+        curate_stream,
+    )
+
+    batch = curate_stream(
+        spark.createDataFrame(
+            [(1, UNRELATED, "en", _ts(1)), (3, GOOD_FR, "fr", _ts(2))], SCHEMA
+        )
+    )
+    process(batch, 7)
+    process(batch, 7)  # the retry
+    got = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in got.collect()) == [1, 3]  # no dups
+
+    # a LATER batch with a genuinely new doc appends alongside (no clobber)
+    fresh = (
+        "a completely different report describes the harvest of apples "
+        "and pears in the northern orchards where the weather was cold "
+        "and the workers finished early before the first snow arrived"
+    )
+    batch2 = curate_stream(
+        spark.createDataFrame([(5, fresh, "en", _ts(10))], SCHEMA)
+    )
+    process(batch2, 8)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 3, 5]
+
+
+def test_index_compaction_never_loses_racing_appends(spark, tmp_path):
+    """compact_signature_index folds exactly the delta files it listed;
+    an append landing between listing and commit survives in the delta
+    and stays visible through load_index()."""
+    from projekt_data_engineering_iubh_spark.streaming import neardup_stream as ns
+
+    index_path = str(tmp_path / "idx")
+    ns.build_signature_index(
+        spark.createDataFrame([(1000, GOOD_EN, "en", _ts(0))], SCHEMA), index_path
+    )
+
+    def delta_append(doc_id, text):
+        import os, uuid, glob as g, shutil
+
+        delta = ns._appends_dir(index_path)
+        os.makedirs(delta, exist_ok=True)
+        tmp = os.path.join(delta, f".tmp-{uuid.uuid4().hex}")
+        ns.band_rows(
+            ns.signatures_from(
+                spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+            )
+        ).coalesce(1).write.parquet(tmp)
+        os.replace(
+            g.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(delta, f"{uuid.uuid4().hex}.parquet"),
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    delta_append(1, UNRELATED)
+
+    raced: list[int] = []
+
+    def racing_append():  # fired AFTER listing, BEFORE the fold commits
+        delta_append(2, GOOD_FR)
+        raced.append(2)
+
+    ns.compact_signature_index(spark, index_path, _on_listed=racing_append)
+    assert raced == [2]
+
+    idx = ns.load_index(spark, index_path)
+    got = {r.doc_id for r in idx.select("doc_id").distinct().collect()}
+    assert got == {1000, 1, 2}  # folded + racing append both visible
+    # doc 1's bands were folded into the snapshot; doc 2's stay in delta
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    snap = spark.read.parquet(store.resolve(index_path))
+    assert {r.doc_id for r in snap.select("doc_id").distinct().collect()} == {1000, 1}
+    assert len(ns._append_files(index_path)) == 1

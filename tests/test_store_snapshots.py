@@ -255,3 +255,29 @@ def test_time_travel_reads(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         store.read(spark, root, version=1)
     assert store.read(spark, root, version=3).count() == 300
+
+
+def test_time_travel_never_exposes_uncommitted_dirs(spark, tmp_path):
+    """A version dir claimed by an in-flight (or conflict-doomed) writer
+    must be invisible to read(version=)/snapshots() — only PUBLISHED
+    versions are time-travelable."""
+    root = str(tmp_path / "inflight")
+    _write_rows(spark, 100, root)
+    store.init_store(root)
+
+    # simulate an in-flight writer: claimed dir with partial data, no commit
+    from pathlib import Path
+
+    claimed = Path(root) / "v00000002"
+    claimed.mkdir()
+    _write_rows(spark, 7, str(claimed / "partial_part"))
+
+    assert [s.version for s in store.snapshots(root)] == [1]
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, root, version=2)
+
+    # a real commit lands as v3 (v2 is claimed) and becomes visible
+    snap = store.commit_snapshot(root, lambda d: _write_rows(spark, 200, d))
+    assert snap.version == 3
+    assert [s.version for s in store.snapshots(root)] == [1, 3]
+    assert store.read(spark, root, version=3).count() == 200

@@ -64,8 +64,11 @@ def build_replicas(spark, src_dir: str, out_dir: str, k: int) -> None:
     for c in range(k):
         # NB: the prefix must be bound OUTSIDE the lambda — a second lambda
         # parameter would make F.transform pass the element INDEX into it
-        # (the (element, index) form), silently corrupting the remap
-        prefix = F.lit(f"c{c}")
+        # (the (element, index) form), silently corrupting the remap.
+        # The trailing "x" disambiguates copy indices ≥ 10 against tokens
+        # that start with digits ("c1"+"0foo" vs "c10"+"foo") — without
+        # it the disjoint-shingle-space invariant breaks at --copies 11+
+        prefix = F.lit(f"c{c}x")
         remapped = F.concat_ws(
             " ",
             F.transform(
@@ -213,7 +216,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: list[dict] = []
-    for sf in ("sf0.01", "sf0.1"):
+    # always measure the replicated base itself so the linearity ratios
+    # exist for any --base choice (not only the default two points)
+    points = list(dict.fromkeys(["sf0.01", "sf0.1", args.base]))
+    for sf in points:
         r = measure(spark, os.path.join(args.testdata, sf), sf)
         results.append(r)
         print(json.dumps(r), flush=True)
@@ -239,6 +245,14 @@ def main() -> int:
     k = args.copies
 
     # 1. content-banded pairs grow ~linearly; zero cross-copy contamination
+    if base["lsh_pairs"] == 0:
+        failures.append(
+            f"base {args.base} has zero LSH pairs — pick a base with "
+            "planted near-dups; linearity ratios are undefined"
+        )
+        print(json.dumps({"failures": failures}), flush=True)
+        spark.stop()
+        return 1
     ratio = r["lsh_pairs"] / (k * base["lsh_pairs"])
     if not 0.7 <= ratio <= 1.3:
         failures.append(
