@@ -245,7 +245,9 @@ def make_batch_processor(out_path: str, index_path: str, *, tau: float = NEAR_TA
     survivors carry an ``_ingest_batch`` partition column and the write is
     a DYNAMIC partition overwrite — a retried trigger rewrites exactly its
     own (split, lang, batch) leaf dirs instead of appending duplicates.
-    The batch/compaction tier drops the bookkeeping column. Index delta
+    The bookkeeping column rides along in the store (readers that don't
+    select it never pay for it; a compaction pass may fold it away by
+    repartitioning on (split, lang) and dropping the column). Index delta
     appends stay at-least-once — band rows are advisory (duplicates cost
     bytes, never correctness).
     """
