@@ -1203,3 +1203,104 @@ def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(
         spread(load_table(spark, sf_dir, "documents")), _PROFILE_COLS
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters (mergeable token-frequency sketch)
+# ---------------------------------------------------------------------------
+
+_CMS_W = 64  # buckets per row
+_CMS_D = 4  # hash rows
+_CMS_TOP = 20
+
+def _cms_bucket_sql(d: int) -> str:
+    salted = f"'cms{d}:' || token"
+    return f"{hashing.md5_hash60_sql(salted)} % {_CMS_W}"
+
+
+_CMS_ROWS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT {d} AS d, {_cms_bucket_sql(d)} AS bucket FROM toks"
+    for d in range(_CMS_D)
+)
+
+_CMS_LOOKUP_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT token, c, {d} AS d, {_cms_bucket_sql(d)} AS bucket FROM top"
+    for d in range(_CMS_D)
+)
+
+_CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({tx.tokens_sql('text')}) AS token FROM documents
+), cnt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+), top AS (
+  SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT {_CMS_TOP}
+), cells AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cell FROM (
+{_CMS_ROWS_SQL}
+  ) GROUP BY 1, 2
+), lookup AS (
+{_CMS_LOOKUP_SQL}
+)
+SELECT l.token, MIN(l.c) AS exact_count, MIN(s.cell) AS cms_estimate,
+       MIN(s.cell) >= MIN(l.c) AS never_underestimates
+FROM lookup l JOIN cells s ON s.d = l.d AND s.bucket = l.bucket
+GROUP BY 1
+"""
+
+
+@register("docs_cms_heavy_hitters", oracle=_CMS_SQL, driver=False)
+def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch token-frequency estimates for the corpus's top
+    tokens, next to their exact counts — the mergeable fixed-size sketch
+    (Cormode–Muthukrishnan, public knowledge) a 100 TB pipeline keeps per
+    shard for heavy-hitter monitoring where exact per-token counts are a
+    full shuffle of the vocabulary.
+
+    Build = one explode to D=4 salted md5 bucket rows per token
+    occurrence → groupBy((d, bucket)): a FIXED 4×64-cell table per
+    shard/agg — map-side combine reduces each partition to ≤256 rows
+    regardless of corpus size, and two sketches merge by cell-wise
+    addition (the property exact counts lack). Estimate = min over the
+    candidate's D cells (never under TRUE count — asserted per row in
+    the output). Candidates here are the exact top-20 so the driver can
+    verify estimate quality; a production flow sweeps candidate tokens
+    from the sketch itself. All hashing is the engine-portable md5,
+    so Spark and DuckDB build bit-identical sketches.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.orderBy(F.desc("c"), F.asc("token")).limit(_CMS_TOP)
+
+    def bucket(dd: int) -> F.Column:
+        return hashing.md5_hash60(
+            F.concat(F.lit(f"cms{dd}:"), F.col("token"))
+        ) % _CMS_W
+
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dd).alias("d"), bucket(dd).alias("bucket"))
+                for dd in range(_CMS_D)
+            ]
+        )
+    )
+    cells = (
+        toks.select(rows.alias("r"))
+        .select("r.d", "r.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    lookup = top.select("token", "c", rows.alias("r")).select(
+        "token", "c", "r.d", "r.bucket"
+    )
+    return (
+        lookup.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.min("c").alias("exact_count"),
+            F.min("cell").alias("cms_estimate"),
+            (F.min("cell") >= F.min("c")).alias("never_underestimates"),
+        )
+    )

@@ -47,6 +47,7 @@ LOCAL_ONLY_FAMILY = {
     # round 4 (r2 policy: new entries stay local-only; driver set untouched)
     "docs_quality_model",
     "emb_pq_adc",
+    "docs_cms_heavy_hitters",
 }
 
 
