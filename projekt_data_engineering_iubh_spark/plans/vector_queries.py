@@ -794,6 +794,14 @@ def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed md5-seeded literals (the trained equivalent would come from
     operators/kmeans.py per subvector) embedded identically in both
     engines, so ranks and distances tie out bit-exactly.
+
+    Perf note, measured: the 64 interpreted distance folds per corpus row
+    (16 codes × 4 subvectors) make THIS formulation the oracle-exact
+    diagnostic, not the production encoder — a production encode is one
+    numpy ``(n, M, sub) × (M, sub, K)`` einsum via the Arrow kernel
+    (operators/similarity.py pattern; the pair-compute shape where numpy
+    wins at every dim, NEXT.md r4 fact #1), with this query as its
+    bit-exact correctness baseline.
     """
     e = spread(load_table(spark, sf_dir, "embeddings"))
     dist_arrays = [
