@@ -163,7 +163,12 @@ def _publish(root: Path, version: int, dir_name: str, base: int | None) -> None:
                 f"base snapshot v{base} superseded by v{current}; "
                 "re-derive from the current snapshot and retry"
             )
-        history = (prev.get("history", [current]) if prev else []) + [version]
+        # legacy manifests (pre-history) committed versions 1..current —
+        # falling back to just [current] would erase the older versions
+        # from time travel on the first new commit
+        history = (
+            prev.get("history", list(range(1, current + 1))) if prev else []
+        ) + [version]
         tmp = root / f".{MANIFEST_FILE}.tmp.{os.getpid()}"
         tmp.write_text(
             json.dumps(

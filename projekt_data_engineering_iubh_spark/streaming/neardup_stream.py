@@ -161,14 +161,32 @@ def _appends_dir(index_path: str) -> str:
     return os.path.join(index_path, _APPENDS_SUBDIR)
 
 
-def _append_files(index_path: str) -> list[str]:
+_FOLDED_LEDGER = ".folded.json"
+
+
+def _folded_names(index_path: str) -> set[str]:
+    import json
+    import os
+
+    ledger = os.path.join(_appends_dir(index_path), _FOLDED_LEDGER)
+    if not os.path.isfile(ledger):
+        return set()
+    return set(json.load(open(ledger)))
+
+
+def _append_files(index_path: str, *, include_folded: bool = False) -> list[str]:
+    """Live delta files: on disk and not yet marked folded. Folded files
+    stay on disk until the NEXT compaction (one-cycle retention) so a
+    reader whose plan listed them before the fold can still scan them —
+    the delta-side analog of vacuum's snapshot retention."""
     import glob as _glob
     import os
 
+    folded = set() if include_folded else _folded_names(index_path)
     return sorted(
         f
         for f in _glob.glob(os.path.join(_appends_dir(index_path), "*.parquet"))
-        if os.path.isfile(f)
+        if os.path.isfile(f) and os.path.basename(f) not in folded
     )
 
 
@@ -181,36 +199,58 @@ def load_index(spark, index_path: str) -> DataFrame:
     delta_files = _append_files(index_path)
     if not delta_files:
         return base
-    return base.unionByName(spark.read.parquet(*delta_files))
+    # ignoreMissingFiles: a delta file purged after this listing (its
+    # grace window ended mid-plan) degrades to fewer advisory rows, never
+    # a failed trigger
+    return base.unionByName(
+        spark.read.option("ignoreMissingFiles", "true").parquet(*delta_files)
+    )
 
 
 def compact_signature_index(spark, index_path: str, *, _on_listed=None):
     """Fold the streaming delta into the next index snapshot (the batch
-    tier's maintenance job). Lists the delta files FIRST, commits
-    snapshot+listed-delta as a new version, then deletes exactly the
-    files it folded — a concurrent trigger's new append lands after the
-    listing, survives the deletion, and stays visible through
-    load_index(). ``_on_listed`` is a test seam fired between listing
-    and folding."""
+    tier's maintenance job). Lists the LIVE delta files first, commits
+    snapshot+listed-delta as a new version, then marks the folded files
+    in a ledger — they stay on disk until the NEXT compaction physically
+    purges them, so an in-flight reader whose plan listed them before
+    the fold never hits FileNotFoundError (the delta-side analog of
+    vacuum's version retention). A concurrent trigger's new append lands
+    after the listing and stays live. Concurrent compactions serialize
+    through the store's CommitConflict. ``_on_listed`` is a test seam
+    fired between listing and folding."""
+    import json
     import os
 
     from projekt_data_engineering_iubh_spark.pipeline import store
 
     store.init_store(index_path)  # no-op when already a manifest store
+    # purge the PREVIOUS cycle's folded files — their grace window ends now
+    for name in _folded_names(index_path):
+        try:
+            os.remove(os.path.join(_appends_dir(index_path), name))
+        except FileNotFoundError:
+            pass
     listed = _append_files(index_path)
     if _on_listed is not None:
         _on_listed()
     base = spark.read.parquet(store.resolve(index_path))
     merged = (
         base.unionByName(spark.read.parquet(*listed)) if listed else base
-    ).localCheckpoint(eager=True)  # snapshot the fold before dirs move
+    ).localCheckpoint(eager=True)  # snapshot the fold before files move
 
     store.commit_snapshot(
         index_path,
         lambda d: merged.write.mode("overwrite").parquet(d),
     )
-    for f in listed:
-        os.remove(f)
+    ledger_tmp = os.path.join(
+        _appends_dir(index_path), f".{_FOLDED_LEDGER}.tmp.{os.getpid()}"
+    )
+    os.makedirs(_appends_dir(index_path), exist_ok=True)
+    with open(ledger_tmp, "w") as fh:
+        json.dump(sorted(os.path.basename(f) for f in listed), fh)
+    os.replace(
+        ledger_tmp, os.path.join(_appends_dir(index_path), _FOLDED_LEDGER)
+    )
 
 
 def start_neardup_corpus_stream(
@@ -261,11 +301,14 @@ def make_batch_processor(out_path: str, index_path: str, *, tau: float = NEAR_TA
         # persist: the frame feeds the store write AND the index append,
         # and the batch plan must not recompute through the stream source
         kept = kept.localCheckpoint(eager=True)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             kept.drop("text_hash")
             .withColumn("_ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
+            # writer-scoped, NOT spark.conf.set: mutating the session conf
+            # would silently flip every later partitioned overwrite in the
+            # same session to dynamic semantics (review finding)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("split", "lang", "_ingest_batch")
             .parquet(out_path)
         )

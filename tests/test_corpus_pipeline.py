@@ -133,9 +133,6 @@ def test_model_scorer_fails_loudly_on_degenerate_bootstrap(spark):
     """All-good (or all-bad) input leaves one bootstrap slice empty; the
     prior would be ln(inf). The model must raise an actionable error, not
     crash with CAST_OVERFLOW or silently classify everything 'bad'."""
-    from pyspark.errors import PySparkRuntimeError
-    from py4j.protocol import Py4JJavaError
-
     from projekt_data_engineering_iubh_spark.operators.quality_model import (
         fit_predict,
     )
@@ -148,6 +145,7 @@ def test_model_scorer_fails_loudly_on_degenerate_bootstrap(spark):
     docs = spark.createDataFrame(
         [(i, good + f" extra {i}") for i in range(5)], "doc_id long, text string"
     )
-    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
+    # the wrapper type varies by Spark client path — the MESSAGE is the
+    # contract being tested
+    with pytest.raises(Exception, match="bootstrap slices empty"):
         fit_predict(docs).collect()
-    assert "bootstrap slices empty" in str(ei.value)

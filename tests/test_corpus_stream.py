@@ -406,4 +406,17 @@ def test_index_compaction_never_loses_racing_appends(spark, tmp_path):
 
     snap = spark.read.parquet(store.resolve(index_path))
     assert {r.doc_id for r in snap.select("doc_id").distinct().collect()} == {1000, 1}
-    assert len(ns._append_files(index_path)) == 1
+    assert len(ns._append_files(index_path)) == 1  # live: the racing append
+
+    # folded files get a one-compaction grace window: still on disk
+    # (ledgered, invisible to live listings) until the NEXT compaction
+    assert len(ns._append_files(index_path, include_folded=True)) == 2
+    ns.compact_signature_index(spark, index_path)
+    # doc 1's folded file was purged (its window ended); doc 2's file was
+    # folded THIS cycle, so it stays on disk in its own grace window
+    assert ns._append_files(index_path) == []
+    assert len(ns._append_files(index_path, include_folded=True)) == 1
+    final = ns.load_index(spark, index_path)
+    assert {r.doc_id for r in final.select("doc_id").distinct().collect()} == {
+        1000, 1, 2,
+    }

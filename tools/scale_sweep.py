@@ -224,6 +224,18 @@ def main() -> int:
         results.append(r)
         print(json.dumps(r), flush=True)
 
+    base = next(x for x in results if x["label"] == args.base)
+    if base["lsh_pairs"] == 0:
+        # fail BEFORE the expensive replica build: with no planted
+        # near-dups the linearity ratios are undefined
+        msg = (
+            f"base {args.base} has zero LSH pairs — pick a base with "
+            "planted near-dups; linearity ratios are undefined"
+        )
+        print(json.dumps({"failures": [msg]}), flush=True)
+        spark.stop()
+        return 1
+
     base_dir = os.path.join(args.testdata, args.base)
     with tempfile.TemporaryDirectory(prefix="scale_sweep_") as tmp:
         build_replicas(spark, base_dir, tmp, args.copies)
@@ -232,7 +244,6 @@ def main() -> int:
         print(json.dumps(r), flush=True)
 
         # the plane-scaling lever: +2 planes ≈ 4x buckets for 3x the data
-        base = next(x for x in results if x["label"] == args.base)
         scaled = ann_pairs_scaled_planes(spark, tmp, 10)
         lever = {
             "label": f"{args.base}x{args.copies}+10planes",
@@ -245,14 +256,6 @@ def main() -> int:
     k = args.copies
 
     # 1. content-banded pairs grow ~linearly; zero cross-copy contamination
-    if base["lsh_pairs"] == 0:
-        failures.append(
-            f"base {args.base} has zero LSH pairs — pick a base with "
-            "planted near-dups; linearity ratios are undefined"
-        )
-        print(json.dumps({"failures": failures}), flush=True)
-        spark.stop()
-        return 1
     ratio = r["lsh_pairs"] / (k * base["lsh_pairs"])
     if not 0.7 <= ratio <= 1.3:
         failures.append(
