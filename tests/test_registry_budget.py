@@ -48,6 +48,7 @@ LOCAL_ONLY_FAMILY = {
     "docs_quality_model",
     "emb_pq_adc",
     "docs_cms_heavy_hitters",
+    "docs_lm_perplexity",
 }
 
 
