@@ -824,3 +824,118 @@ def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership pre-filter (ingest-side shuffle saver)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1024  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_sql(d: int, expr: str) -> str:
+    salted = f"'bloom{d}:' || {expr}"
+    return f"{hashing.md5_hash60_sql(salted)} % {_BLOOM_M}"
+
+
+_BLOOM_BITS_SQL = "\n    UNION ALL\n".join(
+    f"    SELECT {_bloom_pos_sql(d, 'md5(text)')} AS pos FROM documents"
+    f" WHERE source = 'src0'"
+    for d in range(_BLOOM_K)
+)
+
+_BLOOM_PROBE_SQL = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, md5(text) AS h, {d} AS d,"
+    f" {_bloom_pos_sql(d, 'md5(text)')} AS pos FROM documents"
+    f" WHERE source != 'src0'"
+    for d in range(_BLOOM_K)
+)
+
+_BLOOM_SQL = f"""
+WITH bits AS (
+  SELECT DISTINCT pos FROM (
+{_BLOOM_BITS_SQL}
+  )
+), probes AS (
+{_BLOOM_PROBE_SQL}
+), hits AS (
+  SELECT p.doc_id, p.h, CAST(COUNT(b.pos) AS BIGINT) AS n_hits
+  FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+  GROUP BY 1, 2
+), exact AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE source = 'src0'
+)
+SELECT h2.doc_id,
+       h2.n_hits = {_BLOOM_K} AS bloom_maybe,
+       e.h IS NOT NULL AS exact_member,
+       (h2.n_hits = {_BLOOM_K}) AND e.h IS NULL AS is_false_positive,
+       (e.h IS NOT NULL) AND h2.n_hits < {_BLOOM_K} AS is_false_negative
+FROM hits h2 LEFT JOIN exact e ON e.h = h2.h
+"""
+
+
+@register("docs_bloom_membership", oracle=_BLOOM_SQL, driver=False)
+def docs_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter corpus-membership probe: does an arriving document's
+    content hash (maybe) already exist in the corpus? The classic
+    shuffle saver at ingest: the filter is m=1024 bits built once from
+    the corpus (k=3 salted md5 positions per member, distinct-folded —
+    map-side combine caps every partition's contribution at m rows, and
+    the whole filter broadcasts), and a probe touches NO corpus data —
+    definite misses skip the exact-dedup shuffle join entirely, which at
+    100 TB is most documents. Guarantees asserted per row: false
+    positives possible (measured), false negatives IMPOSSIBLE
+    (is_false_negative must be all-false — the property that makes the
+    pre-filter safe).
+
+    Production sizing: m/n ≈ 10 bits/member + k=7 gives ~1% FP; the
+    small m here makes FPs visible so the driver actually verifies the
+    FP accounting. Spark's own runtime bloom injection (plan-pinned in
+    test_physical_plans.py) is the optimizer-chosen cousin; this is the
+    explicit, engine-portable variant with a measurable contract.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    is_corpus = F.col("source") == "src0"
+
+    def pos(dd: int, h: F.Column) -> F.Column:
+        return hashing.md5_hash60(F.concat(F.lit(f"bloom{dd}:"), h)) % _BLOOM_M
+
+    member_h = d.filter(is_corpus).select(F.md5("text").alias("h"))
+    bits = (
+        member_h.select(
+            F.explode(
+                F.array(*[pos(dd, F.col("h")) for dd in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probes = (
+        d.filter(~is_corpus)
+        .select("doc_id", F.md5("text").alias("h"))
+        .select(
+            "doc_id",
+            "h",
+            F.explode(
+                F.array(*[pos(dd, F.col("h")) for dd in range(_BLOOM_K)])
+            ).alias("pos"),
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(bits.withColumnRenamed("pos", "bpos")),
+                    probes.pos == F.col("bpos"), "left")
+        .groupBy("doc_id", "h")
+        .agg(F.count("bpos").alias("n_hits"))
+    )
+    exact = member_h.distinct().withColumnRenamed("h", "eh")
+    return hits.join(exact, hits.h == F.col("eh"), "left").select(
+        "doc_id",
+        (F.col("n_hits") == _BLOOM_K).alias("bloom_maybe"),
+        F.col("eh").isNotNull().alias("exact_member"),
+        ((F.col("n_hits") == _BLOOM_K) & F.col("eh").isNull()).alias(
+            "is_false_positive"
+        ),
+        (F.col("eh").isNotNull() & (F.col("n_hits") < _BLOOM_K)).alias(
+            "is_false_negative"
+        ),
+    )

@@ -49,6 +49,7 @@ LOCAL_ONLY_FAMILY = {
     "emb_pq_adc",
     "docs_cms_heavy_hitters",
     "docs_lm_perplexity",
+    "docs_bloom_membership",
 }
 
 
