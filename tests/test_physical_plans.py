@@ -109,6 +109,9 @@ def test_flagship_single_scan_branches(spark):
         "emb_knn_brute",
         "emb_pq_adc",
         "events_sessionize",
+        "docs_cms_heavy_hitters",
+        "docs_lm_perplexity",
+        "docs_bloom_membership",
     ],
 )
 def test_no_python_udfs_on_hot_paths(spark, name):
