@@ -184,15 +184,19 @@ def model_quality_filter(d: DataFrame) -> DataFrame:
 # DuckDB oracle: same fit, same quantization, same predict
 # ---------------------------------------------------------------------------
 
-QUALITY_MODEL_SQL = f"""
-WITH st AS (
+def quality_model_ctes(src: str = "documents") -> str:
+    """The fit+predict CTE chain over ``src`` (ending in ``scored``) —
+    parameterized so composed oracles (the model-scored corpus pipeline)
+    can fit the model on a filtered slice, exactly as
+    :func:`model_quality_filter` does on the Spark side."""
+    return f"""st AS (
   SELECT doc_id, {tx.tokens_sql('text')} AS toks,
          CAST(len({tx.tokens_sql('text')}) AS INTEGER) AS nt,
          CAST(length(text) AS INTEGER) AS nc,
          CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS INTEGER) AS punct,
          CAST(len(list_filter({tx.tokens_sql('text')},
               t -> list_contains({_STOPWORDS_SQL}, t))) AS INTEGER) AS stop
-  FROM documents
+  FROM {src}
 ), lab AS (
   SELECT doc_id, toks,
          CASE WHEN ({quality_score_sql('nt', 'nc', 'punct', 'stop')}) >= {GOOD_T}
@@ -232,7 +236,13 @@ WITH st AS (
   LEFT JOIN weights w ON w.token = o.token
   CROSS JOIN scalars s
   GROUP BY o.doc_id
-)
+)"""
+
+
+QUALITY_MODEL_SQL = (
+    "WITH "
+    + quality_model_ctes("documents")
+    + f"""
 SELECT doc_id,
        -- DuckDB SUM(BIGINT) promotes to HUGEINT, which the compare layer
        -- stringifies as a float — pin the engine-portable width
@@ -240,3 +250,4 @@ SELECT doc_id,
        CASE WHEN tok_sum + prior > 0 THEN 'good' ELSE 'bad' END AS pred
 FROM scored
 """
+)

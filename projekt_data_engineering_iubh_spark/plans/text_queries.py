@@ -945,10 +945,10 @@ def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORPUS_LANGS = ("en", "de", "es", "fr")
 _CORPUS_MIN_QUALITY = 0.5
 
-# end-to-end oracle for pipeline/corpus.py::curate — quality gate,
-# transitive LSH dedup restricted to the quality lane, hash split
-_CORPUS_SQL = f"""
-WITH RECURSIVE qtoks AS (
+_CORPUS_LANGS_SQL = ", ".join(f"'{l}'" for l in _CORPUS_LANGS)
+
+# the heuristic quality lane as CTEs ending in `qual` (doc_id keep-set)
+_QUAL_HEURISTIC_CTES = f"""qtoks AS (
   SELECT doc_id, text, lang, {tx.tokens_sql('text')} AS toks FROM documents
 ), qstat AS (
   SELECT doc_id, lang,
@@ -962,10 +962,19 @@ WITH RECURSIVE qtoks AS (
 ), qual AS (
   SELECT doc_id FROM qstat
   WHERE n_tokens > 0
-    AND lang IN ({", ".join(f"'{l}'" for l in _CORPUS_LANGS)})
+    AND lang IN ({_CORPUS_LANGS_SQL})
     AND {quality_score_sql('n_tokens', 'n_chars_text', 'punct_count', 'stopword_count')}
         >= {_CORPUS_MIN_QUALITY}
-), stoks AS (
+)"""
+
+
+def _corpus_sql(qual_ctes: str) -> str:
+    """End-to-end oracle for pipeline/corpus.py::curate under either
+    quality lane: ``qual_ctes`` must end in a CTE named ``qual`` (the
+    doc_id keep-set); the dedup-restricted-to-lane + recursive
+    clustering + hash split body is shared."""
+    return f"""
+WITH RECURSIVE {qual_ctes}, stoks AS (
   SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
 ), ssh AS (
   SELECT doc_id, {tx.shingles_sql('toks')} AS sh FROM stoks
@@ -998,6 +1007,9 @@ JOIN comp ON d.doc_id = comp.doc_id AND d.doc_id = comp.cluster_id
 """
 
 
+_CORPUS_SQL = _corpus_sql(_QUAL_HEURISTIC_CTES)
+
+
 @register("docs_corpus_curated", oracle=_CORPUS_SQL, driver=False)
 def docs_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLIED corpus pipeline (pipeline/corpus.py::curate) as an
@@ -1013,6 +1025,40 @@ def docs_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         langs=_CORPUS_LANGS,
         min_quality=_CORPUS_MIN_QUALITY,
+    ).select("doc_id", "lang", "source", "n_chars", "split")
+
+
+# the same pipeline under the TRAINED quality lane (r4): fit the naive
+# Bayes on the lang-filtered corpus, keep docs it classifies good, then
+# the shared dedup-restricted-to-lane + clustering + split body
+from projekt_data_engineering_iubh_spark.operators.quality_model import (  # noqa: E402
+    quality_model_ctes,
+)
+
+_QUAL_MODEL_CTES = (
+    f"""lang_docs AS (
+  SELECT * FROM documents WHERE lang IN ({_CORPUS_LANGS_SQL})
+), """
+    + quality_model_ctes("lang_docs")
+    + """, qual AS (
+  SELECT doc_id FROM scored WHERE tok_sum + prior > 0
+)"""
+)
+
+_CORPUS_MODEL_SQL = _corpus_sql(_QUAL_MODEL_CTES)
+
+
+@register("docs_corpus_curated_model", oracle=_CORPUS_MODEL_SQL, driver=False)
+def docs_corpus_curated_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_corpus_curated with the TRAINED quality lane
+    (operators/quality_model.py) instead of the heuristic threshold —
+    the scorer="model" path of pipeline/corpus.py, cross-engine-verified
+    end-to-end: NB fit on the lang-filtered corpus, model keep-set,
+    transitive LSH dedup restricted to it, deterministic hash split."""
+    from projekt_data_engineering_iubh_spark.pipeline import corpus
+
+    return corpus.curate(
+        spark, sf_dir, langs=_CORPUS_LANGS, scorer="model"
     ).select("doc_id", "lang", "source", "n_chars", "split")
 
 

@@ -50,6 +50,7 @@ LOCAL_ONLY_FAMILY = {
     "docs_cms_heavy_hitters",
     "docs_lm_perplexity",
     "docs_bloom_membership",
+    "docs_corpus_curated_model",
 }
 
 
