@@ -33,6 +33,7 @@ from projekt_data_engineering_iubh_spark.operators.connected_components import (
     connected_components,
 )
 from projekt_data_engineering_iubh_spark.plans.text_queries import (
+    LSH_MAX_BUCKET,
     _PUNCT_RE,
     _SPLIT_PCT_TRAIN,
     _SPLIT_SALT,
@@ -123,7 +124,7 @@ def curate(
     # transitive near-dup removal over the SURVIVING docs (graph edges
     # come from the full-corpus LSH pairs; restricting components to the
     # quality lane keeps a quality doc that duplicated a filtered one)
-    edges = _lsh_pairs(spark, sf_dir).filter(
+    edges = _lsh_pairs(spark, sf_dir, max_bucket=LSH_MAX_BUCKET).filter(
         F.col("est_jaccard") >= NEAR_DUP_JACCARD
     )
     qdocs = quality.select("doc_id")

@@ -75,6 +75,18 @@ _MINHASH_K = 16
 _LSH_BANDS = 4
 _LSH_ROWS = _MINHASH_K // _LSH_BANDS
 
+# Hot-bucket skew guard (r4 VERDICT #1): a boilerplate-heavy corpus can
+# put B near-identical docs into ONE band bucket, and an uncapped
+# self-join materializes B²/2 candidate pairs there before any filtering.
+# With the cap, each member pairs only with the bucket's LSH_MAX_BUCKET
+# smallest doc_ids, so an oversized bucket emits ≤ B·cap pairs (linear in
+# B) while staying CONNECTED: member k>cap still gets edges to members
+# 1..cap, and min-label propagation collapses the whole bucket to one
+# component exactly as all-pairs would. Buckets at or under the cap are
+# bit-identical to the uncapped join (driver data tops out at occupancy 4
+# — see tools/scale_sweep.py --adversarial for the case where it binds).
+LSH_MAX_BUCKET = 32
+
 _SIG_CTE = f"""
 WITH toks AS (
   SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
@@ -199,9 +211,24 @@ JOIN sig sb ON sb.doc_id = doc_b
 )
 
 
-def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     """Candidate pairs with signature-estimated Jaccard (see the registered
-    query below for the design notes)."""
+    query below for the design notes).
+
+    ``max_bucket``: hot-bucket skew guard (see LSH_MAX_BUCKET). When set,
+    the left join side is restricted to each bucket's ``max_bucket``
+    smallest doc_ids (row_number over the bucket, ordered by doc_id) —
+    buckets at or under the cap produce the exact all-pairs set, oversized
+    buckets produce the multi-star that keeps the bucket connected at
+    O(B·cap) pairs. The capped form may emit a pair once per agreeing
+    band (the first-agreeing-band dedup predicate is unsound under
+    capping: a pair can agree on an earlier band in which neither doc was
+    within that bucket's cap, so "earlier band agrees" no longer implies
+    "already emitted"); duplicates are harmless for the CC consumer
+    (min-label propagation over a multigraph) and est_jaccard is
+    identical per emission."""
     # sentinel exclusion: see _bands_branches_sql. Docs with empty
     # shingle sets never enter candidate generation (they'd otherwise
     # share one band bucket and pair quadratically with est_jaccard 1.0).
@@ -231,7 +258,24 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", "minhash", band.alias("band")).select(
         "doc_id", "minhash", "band.band_no", "band.band_key"
     )
-    a = bands.alias("a")
+    if max_bucket is not None:
+        # Materialize the banded signature rows ONCE (eager localCheckpoint;
+        # at cluster scale configure a checkpoint dir and use checkpoint —
+        # same note as operators/connected_components.py). Capping only ONE
+        # side of the self-join otherwise breaks Spark's exchange reuse
+        # (the sides' plans differ), re-running the signature pipeline once
+        # per reference — measured 3.1 s → 5.5 s for docs_dedup_apply at
+        # sf0.1. From the shared materialization the signatures compute
+        # exactly once, and the capped left side is pruned BEFORE its join
+        # shuffle, so an adversarial hot bucket ships only `cap` left rows
+        # instead of B.
+        w = Window.partitionBy("band_no", "band_key").orderBy("doc_id")
+        bands = bands.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+            eager=True
+        )
+        a = bands.filter(F.col("rn") <= F.lit(max_bucket)).alias("a")
+    else:
+        a = bands.alias("a")
     b = bands.alias("b")
     overlap = F.size(
         F.filter(
@@ -251,14 +295,16 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = cond & ((F.col("a.band_no") <= bprev) | (sa != sb))
         return cond
 
+    cond = (
+        (F.col("a.band_no") == F.col("b.band_no"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    joined = a.join(b, cond)
+    if max_bucket is None:
+        joined = joined.filter(earlier_bands_disagree())
     return (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(earlier_bands_disagree())
+        joined
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -286,6 +332,44 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     would evaluate the signature computation two more times.
     """
     return _lsh_pairs(spark, sf_dir)
+
+
+_LSH_PAIRS_CAPPED_SQL = (
+    _BANDS_CTE
+    + f"""
+, bands_rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY band_no, band_key
+                               ORDER BY doc_id) AS rn
+  FROM bands
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_rn a JOIN bands_rn b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id AND a.rn <= 1
+)
+SELECT doc_a, doc_b,
+       len(list_filter(range(1, {_MINHASH_K + 1}), i -> sa.minhash[i] = sb.minhash[i]))
+         / {float(_MINHASH_K)} AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+"""
+)
+
+
+@register("docs_lsh_pairs_capped", oracle=_LSH_PAIRS_CAPPED_SQL)
+def docs_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket-guard candidate generator with the cap forced to 1
+    (every bucket member pairs only with the bucket's minimum doc_id) —
+    a diagnostic that makes the skew guard BIND on normal data, so its
+    row_number/cap semantics are verified cross-engine rather than only
+    on the adversarial fixture. Production consumers (docs_dedup_apply)
+    run the same plan at cap=LSH_MAX_BUCKET, where normal buckets are
+    untouched. Pair set is distinct'd because the capped form may emit a
+    pair once per agreeing band (see _lsh_pairs)."""
+    return _lsh_pairs(spark, sf_dir, max_bucket=1).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -681,7 +765,7 @@ HAVING COUNT(*) >= 5
 """
 
 
-@register("docs_word_count", oracle=_WORD_COUNT_SQL)
+@register("docs_word_count", oracle=_WORD_COUNT_SQL, driver=False)
 def docs_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode + aggregate: corpus term frequencies (words seen ≥5 times).
     The explode is map-side; the only shuffle carries (word, partial
@@ -709,11 +793,16 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, {hashing.minhash_signature_sql('hs', 16)} AS minhash FROM hs
 ), bands AS (
   {_bands_branches_sql("sig", carry_minhash=True)}
+), bands_rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY band_no, band_key
+                               ORDER BY doc_id) AS rn
+  FROM bands
 ),
 edges AS (
   SELECT a.doc_id AS s, b.doc_id AS d
-  FROM bands a JOIN bands b
-    ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  FROM bands_rn a JOIN bands_rn b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id AND a.rn <= {LSH_MAX_BUCKET}
   WHERE len(list_filter(range(1, 17), i -> a.minhash[i] = b.minhash[i])) / 16.0 >= 0.5
 ),
 und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
@@ -744,9 +833,22 @@ def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (operators/connected_components.py) — rounds = graph
     diameter (quasi-clique near-dup clusters → a handful), each round
     equi-joins on ids only. The oracle expresses the same fixpoint as a
-    recursive CTE."""
+    recursive CTE.
+
+    Hot-bucket skew guard (round 5): candidate generation caps each band
+    bucket at LSH_MAX_BUCKET left-side members (see _lsh_pairs) so a
+    boilerplate template cluster of B docs costs O(B·cap) edges, not
+    O(B²); the multi-star keeps every oversized bucket one connected
+    component, and the cap is mirrored in the oracle's edges CTE, so the
+    two engines implement identical edge semantics at ANY occupancy.
+    Approximation contract: within an oversized bucket, docs beyond the
+    cap connect via the first `cap` members; in the template-cluster
+    scenario that triggers capping, those members are near-identical to
+    the rest, so the ≥0.5 est_jaccard filter passes the star edges."""
     d = load_table(spark, sf_dir, "documents")
-    edges = _lsh_pairs(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    edges = _lsh_pairs(spark, sf_dir, max_bucket=LSH_MAX_BUCKET).filter(
+        F.col("est_jaccard") >= 0.5
+    )
     comp = connected_components(
         d.select("doc_id"),
         edges,
@@ -772,11 +874,16 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, {hashing.minhash_signature_sql('hs', 16)} AS minhash FROM hs
 ), bands AS (
   {_bands_branches_sql("sig", carry_minhash=True)}
+), bands_rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY band_no, band_key
+                               ORDER BY doc_id) AS rn
+  FROM bands
 ),
 edges AS (
   SELECT a.doc_id AS s, b.doc_id AS d
-  FROM bands a JOIN bands b
-    ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  FROM bands_rn a JOIN bands_rn b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id AND a.rn <= {LSH_MAX_BUCKET}
   WHERE len(list_filter(range(1, 17), i -> a.minhash[i] = b.minhash[i])) / 16.0 >= 0.5
 ),
 und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
@@ -797,9 +904,13 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diagnostic view of the transitive dedup: every document's near-dup
     cluster (min-doc_id representative) and the cluster's size — the
     intermediate docs_dedup_apply acts on, exposed for corpus analysis
-    (duplication-rate histograms, cluster inspection)."""
+    (duplication-rate histograms, cluster inspection). Candidate
+    generation carries the LSH_MAX_BUCKET hot-bucket guard (mirrored in
+    the oracle) — see docs_dedup_apply."""
     d = load_table(spark, sf_dir, "documents")
-    edges = _lsh_pairs(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    edges = _lsh_pairs(spark, sf_dir, max_bucket=LSH_MAX_BUCKET).filter(
+        F.col("est_jaccard") >= 0.5
+    )
     comp = connected_components(
         d.select("doc_id"),
         edges,
@@ -984,10 +1095,15 @@ WITH RECURSIVE {qual_ctes}, stoks AS (
   SELECT doc_id, {hashing.minhash_signature_sql('hs', 16)} AS minhash FROM shs
 ), sbands AS (
   {_bands_branches_sql("ssig", carry_minhash=True)}
+), sbands_rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY band_no, band_key
+                               ORDER BY doc_id) AS rn
+  FROM sbands
 ), edges AS (
   SELECT a.doc_id AS s, b.doc_id AS d
-  FROM sbands a JOIN sbands b
-    ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  FROM sbands_rn a JOIN sbands_rn b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id AND a.rn <= {LSH_MAX_BUCKET}
   WHERE len(list_filter(range(1, 17), i -> a.minhash[i] = b.minhash[i])) / 16.0 >= 0.5
     AND a.doc_id IN (SELECT doc_id FROM qual)
     AND b.doc_id IN (SELECT doc_id FROM qual)
@@ -1010,7 +1126,7 @@ JOIN comp ON d.doc_id = comp.doc_id AND d.doc_id = comp.cluster_id
 _CORPUS_SQL = _corpus_sql(_QUAL_HEURISTIC_CTES)
 
 
-@register("docs_corpus_curated", oracle=_CORPUS_SQL, driver=False)
+@register("docs_corpus_curated", oracle=_CORPUS_SQL)
 def docs_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLIED corpus pipeline (pipeline/corpus.py::curate) as an
     oracle-verified query: language + quality gates, transitive LSH
@@ -1295,7 +1411,7 @@ GROUP BY 1
 """
 
 
-@register("docs_cms_heavy_hitters", oracle=_CMS_SQL, driver=False)
+@register("docs_cms_heavy_hitters", oracle=_CMS_SQL)
 def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch token-frequency estimates for the corpus's top
     tokens, next to their exact counts — the mergeable fixed-size sketch

@@ -278,31 +278,71 @@ def emb_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-bucket skew guard (r4 VERDICT #1), same shape as the text LSH cap
+# (plans/text_queries.py::LSH_MAX_BUCKET): each member pairs only with
+# its bucket's ANN_MAX_BUCKET smallest vec_ids, bounding an adversarial
+# B-member bucket (e.g. thousands of duplicated vectors hashing to one
+# code) at B·cap pairs instead of B²/2. Buckets at or under the cap are
+# bit-identical to the uncapped all-pairs join — the cap is sized well
+# above every measured occupancy (sf0.1 max 23; 3× sweep ≈ 70) so the
+# birthday-law capacity model and the recall harness are unaffected at
+# test scales, while the production guard still bounds true skew. The
+# cap is mirrored in the oracle, so both engines implement identical
+# semantics at ANY occupancy.
+ANN_MAX_BUCKET = 128
+
 _LSH_ANN_SQL = f"""
 WITH b AS (
   SELECT vec_id, embedding, CAST({_bucket_sql()} AS INTEGER) AS bucket
   FROM embeddings
+), b_rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+  FROM b
 )
 SELECT x.bucket, x.vec_id AS vec_a, y.vec_id AS vec_b,
        {vx.cosine_sql('x.embedding', 'y.embedding')} AS cos_sim
-FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+FROM b_rn x JOIN b_rn y
+  ON x.bucket = y.bucket AND x.vec_id < y.vec_id AND x.rn <= {ANN_MAX_BUCKET}
 """
 
 
 @register("emb_lsh_ann_pairs", oracle=_LSH_ANN_SQL, headline=True)
-def emb_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def emb_lsh_ann_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = ANN_MAX_BUCKET
+) -> DataFrame:
     """ANN candidate pairs: equi-join on LSH bucket, exact cosine on the
-    survivors — linear-time ANN (the brute-force top-k's scale-out path)."""
+    survivors — linear-time ANN (the brute-force top-k's scale-out path).
+    The bucket self-join carries the ANN_MAX_BUCKET hot-bucket guard
+    (see constant above): left side restricted to each bucket's first
+    `max_bucket` members by vec_id, turning adversarial bucket blowup
+    from quadratic to linear while leaving every normal bucket's output
+    bit-identical."""
     e = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
         "nrm", vx.norm(F.col("embedding"))
     )
     b = _with_bucket(e).select("vec_id", "embedding", "nrm", "bucket")
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    # rn rides on BOTH sides and the cap predicate references both
+    # (least(x.rn, y.rn) = x.rn because vec_id order ⇒ rn order), so
+    # Catalyst cannot push it into one side — a single-side filter makes
+    # the sides' plans differ, breaking exchange reuse and re-running the
+    # 8 hyperplane dot-products per reference (measured 0.80 s → 1.19 s at
+    # sf0.1; an eager-checkpoint variant measured 1.42 s). With identical
+    # sides the bucket assignment computes once, the window's
+    # (bucket, vec_id) sort satisfies the sort-merge join's requirement,
+    # and the join OUTPUT from an oversized bucket stays ≤ B·cap — the
+    # cosine evaluation + materialization that dominates pair cost. The
+    # residual B² cheap rn-comparisons inside one degenerate bucket are
+    # the accepted trade; the production lever for sustained bucket skew
+    # is plane scaling (see the capacity-law notes / tools/scale_sweep.py).
+    b = b.withColumn("rn", F.row_number().over(w))
     x = b.alias("x")
     y = b.alias("y")
     return x.join(
         y,
         (F.col("x.bucket") == F.col("y.bucket"))
-        & (F.col("x.vec_id") < F.col("y.vec_id")),
+        & (F.col("x.vec_id") < F.col("y.vec_id"))
+        & (F.least(F.col("x.rn"), F.col("y.rn")) <= F.lit(max_bucket)),
     ).select(
         F.col("x.bucket").alias("bucket"),
         F.col("x.vec_id").alias("vec_a"),
@@ -774,7 +814,7 @@ FROM r WHERE rn <= {_PQ_K}
 """
 
 
-@register("emb_pq_adc", oracle=_PQ_SQL, driver=False)
+@register("emb_pq_adc", oracle=_PQ_SQL)
 def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN with asymmetric distance computation — the
     compression rung between int8 SQ (emb_quantize_int8, 4×) and IVF
@@ -898,7 +938,7 @@ SELECT vec_id, cell, dist FROM {_KM_FINAL}
 """
 
 
-@register("emb_kmeans", oracle=_KMEANS_SQL, driver=False)
+@register("emb_kmeans", oracle=_KMEANS_SQL)
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means over the embedding corpus: 3 assign/update rounds from
     deterministic seeds (the k lowest vec_ids), output the final

@@ -86,3 +86,101 @@ def test_dedup_survivors_grow_linearly(spark, replicated):
     # every copy keeps its own representatives: exact k× up to estimator
     # noise on borderline pairs
     assert 0.9 * K * base <= big <= 1.1 * K * base, (base, big)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial hot-bucket skew (r4 VERDICT #1): a boilerplate template
+# cluster funnels ALL its docs into one band bucket — the uncapped
+# self-join would materialize bands·B²/2 candidate pairs there. The
+# LSH_MAX_BUCKET guard must keep candidates linear in B while the dedup
+# still collapses the cluster to exactly one representative.
+# ---------------------------------------------------------------------------
+
+ADV_N = 300
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, tmp_path_factory):
+    from scale_sweep import plant_template_cluster
+
+    out = str(tmp_path_factory.mktemp("adv"))
+    plant_template_cluster(spark, SF_BASE, out, ADV_N)
+    return out
+
+
+def test_hot_bucket_candidates_stay_linear(spark, adversarial_dir):
+    from scale_sweep import ADV_OFFSET
+
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        _LSH_BANDS,
+        LSH_MAX_BUCKET,
+        _lsh_pairs,
+    )
+
+    capped = _lsh_pairs(spark, adversarial_dir, max_bucket=LSH_MAX_BUCKET)
+    tmpl_pairs = capped.filter(F.col("doc_a") >= ADV_OFFSET).count()
+    linear_bound = _LSH_BANDS * LSH_MAX_BUCKET * ADV_N
+    quadratic = _LSH_BANDS * ADV_N * (ADV_N - 1) // 2
+    # the guard binds: well under the all-pairs blowup, within the
+    # bands·cap·B linear envelope
+    assert 0 < tmpl_pairs <= linear_bound, (tmpl_pairs, linear_bound)
+    assert tmpl_pairs < quadratic / 3, (tmpl_pairs, quadratic)
+
+
+def test_hot_bucket_cluster_still_collapses_to_one(spark, adversarial_dir):
+    from scale_sweep import ADV_OFFSET
+
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        docs_dedup_apply,
+        docs_dedup_clusters,
+    )
+
+    # multi-star connectivity: every planted doc lands in ONE component,
+    # so exactly one representative survives and the cluster map shows a
+    # single cluster of size ADV_N
+    survivors = (
+        docs_dedup_apply(spark, adversarial_dir)
+        .filter(F.col("doc_id") >= ADV_OFFSET)
+        .count()
+    )
+    assert survivors == 1, survivors
+    clusters = (
+        docs_dedup_clusters(spark, adversarial_dir)
+        .filter(F.col("doc_id") >= ADV_OFFSET)
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
+    assert clusters == 1, clusters
+
+
+def test_hot_bucket_guard_ann_pairs(spark, tmp_path):
+    """Same guard on the embedding LSH: B copies of one vector share one
+    bucket; capped pairs stay ≤ cap·B instead of B²/2."""
+    import os
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+    from projekt_data_engineering_iubh_spark.plans.vector_queries import (
+        ANN_MAX_BUCKET,
+        emb_lsh_ann_pairs,
+    )
+
+    b = 400
+    e = load_table(spark, SF_BASE, "embeddings")
+    one = e.limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(50_000_000 + i, one.embedding, one.label) for i in range(b)],
+        schema=e.schema,
+    )
+    out = str(tmp_path / "annadv")
+    os.makedirs(out, exist_ok=True)
+    e.unionByName(dup).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    pairs = (
+        emb_lsh_ann_pairs(spark, out)
+        .filter(F.col("vec_a") >= 50_000_000)
+        .count()
+    )
+    assert 0 < pairs <= ANN_MAX_BUCKET * b, (pairs, ANN_MAX_BUCKET * b)
+    assert pairs < b * (b - 1) / 2, pairs

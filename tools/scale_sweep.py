@@ -108,6 +108,90 @@ def build_replicas(spark, src_dir: str, out_dir: str, k: int) -> None:
     )
 
 
+ADV_OFFSET = 50_000_000  # template-cluster id namespace (≫ replica ids)
+
+
+def plant_template_cluster(spark, src_dir: str, out_dir: str, n: int) -> None:
+    """documents.parquet = src docs + an n-doc boilerplate TEMPLATE cluster:
+    every planted doc shares one 60-token boilerplate body and differs only
+    in a trailing unique token — the adversarial shape for LSH banding
+    (near-identical signatures → every band funnels the whole cluster into
+    ONE bucket). Tokens are 'advtmpl'-prefixed so the cluster cannot band
+    with real corpus docs (disjoint shingle space, same trick as
+    build_replicas)."""
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+
+    d = load_table(spark, src_dir, "documents")
+    boiler = " ".join(f"advtmpl{i}" for i in range(60))
+    tmpl = spark.range(n).select(
+        (F.col("id") + F.lit(ADV_OFFSET)).alias("doc_id"),
+        F.concat(F.lit(boiler + " advtmplunique"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+        F.lit("en").alias("lang"),
+        F.lit("template").alias("source"),
+    )
+    tmpl = tmpl.withColumn("n_chars", F.length("text"))
+    d.unionByName(tmpl).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def adversarial_check(spark, base_dir: str, tmp_root: str, n: int = 1000) -> dict:
+    """The hot-bucket skew guard under adversarial load: an n-doc template
+    cluster would cost the uncapped band self-join ~bands·n²/2 candidate
+    pairs; the capped generator (LSH_MAX_BUCKET) must stay ≤ bands·cap·n
+    (linear in n) while the dedup STILL collapses the whole cluster to one
+    representative (the multi-star keeps every oversized bucket connected)."""
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        _LSH_BANDS,
+        LSH_MAX_BUCKET,
+        _lsh_pairs,
+        docs_dedup_apply,
+    )
+
+    adv_dir = os.path.join(tmp_root, "adversarial")
+    os.makedirs(adv_dir, exist_ok=True)
+    plant_template_cluster(spark, base_dir, adv_dir, n)
+
+    capped = _lsh_pairs(spark, adv_dir, max_bucket=LSH_MAX_BUCKET)
+    tmpl_pairs, secs = _timed(
+        lambda: capped.filter(F.col("doc_a") >= ADV_OFFSET).count()
+    )
+    bound = _LSH_BANDS * LSH_MAX_BUCKET * n
+    quadratic = _LSH_BANDS * n * (n - 1) // 2
+    survivors = (
+        docs_dedup_apply(spark, adv_dir)
+        .filter(F.col("doc_id") >= ADV_OFFSET)
+        .count()
+    )
+    out = {
+        "label": f"adversarial_n{n}",
+        "template_docs": n,
+        "capped_template_pairs": tmpl_pairs,
+        "linear_bound": bound,
+        "uncapped_would_be": quadratic,
+        "template_survivors": survivors,
+        "secs": secs,
+    }
+    failures = []
+    if tmpl_pairs > bound:
+        failures.append(
+            f"capped template pairs {tmpl_pairs} exceed linear bound {bound}"
+        )
+    if survivors != 1:
+        failures.append(
+            f"template cluster kept {survivors} representatives, want 1 "
+            "(star connectivity broken)"
+        )
+    out["failures"] = failures
+    return out
+
+
 def _timed(fn):
     t0 = time.time()
     out = fn()
@@ -208,6 +292,12 @@ def main() -> int:
     ap.add_argument("--base", default="sf0.1", help="replicated base sf dir name")
     ap.add_argument("--copies", type=int, default=3)
     ap.add_argument("--testdata", default="/root/testdata")
+    ap.add_argument(
+        "--adversarial-n",
+        type=int,
+        default=1000,
+        help="template-cluster size for the hot-bucket skew check (0 = skip)",
+    )
     args = ap.parse_args()
 
     from projekt_data_engineering_iubh_spark.session import get_spark
@@ -252,7 +342,14 @@ def main() -> int:
         }
         print(json.dumps(lever), flush=True)
 
+        adv = None
+        if args.adversarial_n > 0:
+            adv = adversarial_check(spark, base_dir, tmp, args.adversarial_n)
+            print(json.dumps(adv), flush=True)
+
     failures: list[str] = []
+    if adv:
+        failures.extend(adv["failures"])
     k = args.copies
 
     # 1. content-banded pairs grow ~linearly; zero cross-copy contamination
