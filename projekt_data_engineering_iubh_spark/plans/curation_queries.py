@@ -521,7 +521,7 @@ FROM ranked GROUP BY 1
 """
 
 
-@register("docs_span_dedup", oracle=_SPAN_SQL, driver=False)
+@register("docs_span_dedup", oracle=_SPAN_SQL)
 def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-span removal (the C4 pipeline's span dedup,
     there over three-sentence spans; here over fixed 8-token spans since
@@ -707,7 +707,7 @@ from projekt_data_engineering_iubh_spark.operators.quality_model import (  # noq
 )
 
 
-@register("docs_quality_model", oracle=QUALITY_MODEL_SQL, driver=False)
+@register("docs_quality_model", oracle=QUALITY_MODEL_SQL)
 def docs_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-bootstrapped naive-Bayes quality classifier: fit on the
     heuristic score's unambiguous good/bad slices (CCNet-style reference
@@ -758,7 +758,7 @@ GROUP BY 1
 """
 
 
-@register("docs_lm_perplexity", oracle=_LM_SQL, driver=False)
+@register("docs_lm_perplexity", oracle=_LM_SQL)
 def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model quality scoring — the CCNet-style third
     quality signal next to the heuristic (docs_text_stats) and the

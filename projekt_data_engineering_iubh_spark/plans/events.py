@@ -290,7 +290,7 @@ def events_flagship_session_rollup(spark: SparkSession, sf_dir: str) -> DataFram
 _DATES_SQL = "SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events"
 
 
-@register("events_distinct_dates", oracle=_DATES_SQL)
+@register("events_distinct_dates", oracle=_DATES_SQL, driver=False)
 def events_distinct_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: DISTINCT projection (dashboard available-dates query)."""
     ev = load_table(spark, sf_dir, "events")
@@ -304,7 +304,7 @@ WHERE CAST(ts AS DATE) = DATE '2024-01-15'
 """
 
 
-@register("events_day_slice", oracle=_DAY_SLICE_SQL)
+@register("events_day_slice", oracle=_DAY_SLICE_SQL, driver=False)
 def events_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: parameterized day-slice scan (dashboard), partition-prunable when
     the summary is stored partitioned by date."""

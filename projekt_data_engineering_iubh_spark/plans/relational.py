@@ -375,7 +375,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
-@register("join_semi_anti", oracle=_JOIN_SEMI_ANTI_SQL)
+@register("join_semi_anti", oracle=_JOIN_SEMI_ANTI_SQL, driver=False)
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi (EXISTS) + left-anti (NOT EXISTS) joins, tag-unioned into
     one driver entry (registry curation): the semi branch probes 'F'
@@ -400,7 +400,7 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_CROSS_SQL = "SELECT n_name, r_name FROM nation CROSS JOIN region"
 
 
-@register("join_cross_nation_region", oracle=_JOIN_CROSS_SQL)
+@register("join_cross_nation_region", oracle=_JOIN_CROSS_SQL, driver=False)
 def join_cross_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product (tiny × tiny only — never on facts)."""
     n = load_table(spark, sf_dir, "nation")
@@ -479,7 +479,7 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """
 
 
-@register("window_distribution_funcs", oracle=_WINDOW_DIST_SQL)
+@register("window_distribution_funcs", oracle=_WINDOW_DIST_SQL, driver=False)
 def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
     cume_dist — exact rational formulas, identical across engines."""
@@ -792,7 +792,7 @@ SELECT 'except', custkey, NULL FROM (
 """
 
 
-@register("set_ops", oracle=_SET_OPS_SQL)
+@register("set_ops", oracle=_SET_OPS_SQL, driver=False)
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full set-operation surface tag-unioned into one driver entry
     (registry curation): UNION ALL (bag union + agg), UNION (distinct),
@@ -872,7 +872,7 @@ FROM part
 """
 
 
-@register("scalar_string_funcs", oracle=_STRING_SQL)
+@register("scalar_string_funcs", oracle=_STRING_SQL, driver=False)
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function surface over part, one driver entry (registry
     curation): string (case/length/substring/concat/replace/LIKE/padding),
@@ -923,7 +923,7 @@ FROM orders
 """
 
 
-@register("scalar_date_funcs", oracle=_DATE_SQL)
+@register("scalar_date_funcs", oracle=_DATE_SQL, driver=False)
 def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time function surface. DuckDB's dayofweek is 0=Sunday vs
     Spark's 1=Sunday; the oracle shifts by one."""
@@ -954,7 +954,7 @@ FROM lineitem
 """
 
 
-@register("scalar_math_funcs", oracle=_MATH_SQL)
+@register("scalar_math_funcs", oracle=_MATH_SQL, driver=False)
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function surface; transcendentals rounded to 6dp (libm vs JVM
     StrictMath can differ in the last ulp)."""
@@ -1344,7 +1344,7 @@ GROUP BY s.s_suppkey, s.s_name
 """
 
 
-@register("q21_waiting_suppliers", oracle=_Q21_SQL, driver=False)
+@register("q21_waiting_suppliers", oracle=_Q21_SQL)
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole-late-supplier-in-a-multi-supplier-order
     pattern (correlated EXISTS + NOT EXISTS over the same derived
@@ -1545,7 +1545,7 @@ FROM trade GROUP BY o_year
 """
 
 
-@register("q8_market_share", oracle=_Q8_SQL, driver=False)
+@register("q8_market_share", oracle=_Q8_SQL)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's PROMO-part trade
     by order year — an eight-relation join where region and part type

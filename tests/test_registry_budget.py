@@ -18,14 +18,20 @@ def test_driver_set_fits_budget():
     )
 
 
-# round-2/3 additions past the full 50-entry budget: locally
-# oracle-verified (test_oracle_differential.py), deliberately not shipped
-# to the driver — every pre-existing family member must stay driver-checked
+# Additions past the full 50-entry budget: locally oracle-verified
+# (test_oracle_differential.py), deliberately not shipped to the driver.
+# Round 5 rotated ten long-green driver slots (scalar_*, set_ops,
+# join_semi_anti, join_cross_nation_region, window_distribution_funcs,
+# docs_word_count, events_distinct_dates, events_day_slice) out to promote
+# the strongest r3/r4 families (q8/q21, emb_pq_adc, emb_kmeans,
+# docs_quality_model, docs_lm_perplexity, docs_span_dedup,
+# docs_corpus_curated, docs_cms_heavy_hitters, docs_lsh_pairs_capped) so
+# they get external CORRECTNESS rows; demoted entries stay oracle-green on
+# every local test run.
 LOCAL_ONLY_FAMILY = {
     "docs_tfidf_top_terms",
     "docs_train_test_split",
     "docs_dedup_clusters",
-    "docs_corpus_curated",
     "emb_ivf_ann",
     # round 3
     "docs_repetition_stats",
@@ -37,20 +43,16 @@ LOCAL_ONLY_FAMILY = {
     "docs_chunk",
     "docs_pack_sequences",
     "docs_dedup_incremental",
-    "docs_span_dedup",
     "emb_quantize_int8",
-    "emb_kmeans",
     "emb_semantic_dedup",
     "emb_ann_recall",
     "emb_cluster_stats",
     "docs_mixture_epochs",
-    # round 4 (r2 policy: new entries stay local-only; driver set untouched)
-    "docs_quality_model",
-    "emb_pq_adc",
-    "docs_cms_heavy_hitters",
-    "docs_lm_perplexity",
+    # round 4
     "docs_bloom_membership",
     "docs_corpus_curated_model",
+    # round 5 rotation (demoted after four green rounds)
+    "docs_word_count",
 }
 
 
