@@ -152,7 +152,10 @@ def render_timeseries_svg(
         lx += w
     mb = 24 + 16 * rows_
     pw, ph = width - ml - mr, height - mt - mb
-    vmax = max((max(vals) if len(vals) else 0.0) for _, vals in series)
+    vmax = max(
+        max((v for v in vals if v is not None), default=0.0)
+        for _, vals in series
+    )
     ticks = _nice_ticks(float(vmax))
     top = ticks[-1] or 1.0
     nx = max(len(x_labels), 1)
@@ -198,12 +201,27 @@ def render_timeseries_svg(
     )
     for si, (name, vals) in enumerate(series):
         color = f"var(--s{si % len(_PALETTE)})"
-        pts = " ".join(f"{X(i):.1f},{Y(v):.1f}" for i, v in enumerate(vals))
-        parts.append(
-            f'<polyline points="{pts}" fill="none" stroke="{color}" '
-            f'stroke-width="2" stroke-linejoin="round"/>'
-        )
+        # None = no measurement at that hour: BREAK the line into
+        # per-segment polylines instead of plotting a fabricated value
+        # (the single-point runs still get their marker below)
+        runs: list[list[tuple[int, float]]] = [[]]
+        for i, v in enumerate(vals):
+            if v is None:
+                if runs[-1]:
+                    runs.append([])
+            else:
+                runs[-1].append((i, v))
+        for run in runs:
+            if len(run) < 2:
+                continue
+            pts = " ".join(f"{X(i):.1f},{Y(v):.1f}" for i, v in run)
+            parts.append(
+                f'<polyline points="{pts}" fill="none" stroke="{color}" '
+                f'stroke-width="2" stroke-linejoin="round"/>'
+            )
         for i, v in enumerate(vals):  # 8px markers, native hover tooltip
+            if v is None:
+                continue
             parts.append(
                 f'<circle cx="{X(i):.1f}" cy="{Y(v):.1f}" r="4" fill="{color}" '
                 f'stroke="{surface}" stroke-width="2">'
@@ -256,8 +274,10 @@ def _machine_series(
     rows: list[dict], hours: list, cols: Sequence[str]
 ) -> list[tuple[str, list[float]]]:
     """Reference-parity mode: one series per (metric, machine); a machine
-    with no row for an hour plots 0 (the reference draws nothing there —
-    its interleaved trace simply skips the x position)."""
+    with no row for an hour yields ``None`` and the renderers BREAK the
+    line there (the reference draws nothing at that x position). A
+    fabricated 0.0 would be indistinguishable from a real instant-cycle
+    measurement and drag min/avg lines to the axis (r4 ADVICE)."""
     machines = sorted({r["machine_id"] for r in rows})
     cell = {
         (r["timestamp_hour"], r["machine_id"], c): r[c]
@@ -267,7 +287,10 @@ def _machine_series(
     return [
         (
             f"{_LABELS[c]} — {m}",
-            [float(cell.get((h, m, c)) or 0) for h in hours],
+            [
+                None if cell.get((h, m, c)) is None else float(cell[(h, m, c)])
+                for h in hours
+            ],
         )
         for c in cols
         for m in machines

@@ -82,7 +82,13 @@ def compact(
 
     after_df = spark.read.parquet(snapstore.resolve(path))
     after = len(after_df.inputFiles())
-    assert after_df.count() == n_rows, "compaction must not change row count"
+    # explicit raise, not `assert`: python -O strips asserts, which would
+    # silently disable the only post-commit data check (r4 ADVICE)
+    n_after = after_df.count()
+    if n_after != n_rows:
+        raise RuntimeError(
+            f"compaction changed row count: {n_rows} -> {n_after} at {path}"
+        )
     return CompactStats(n_rows=n_rows, n_files_before=before, n_files_after=after)
 
 

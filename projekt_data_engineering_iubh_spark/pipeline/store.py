@@ -250,23 +250,53 @@ def init_store(path: str) -> Snapshot:
 
 
 def vacuum(path: str, *, keep: int = 2) -> list[str]:
-    """Delete snapshot dirs older than the newest ``keep`` (current is
-    always kept). Run it with a retention lag in production — a reader
-    that resolved just before a commit may still be scanning the previous
-    version; keeping ≥2 plus time-based lag is the Delta/Iceberg default
-    posture. Returns removed dir names."""
+    """Delete all but the newest ``keep`` READABLE snapshots (committed
+    per the manifest history and on disk; current is always kept). Run it
+    with a retention lag in production — a reader that resolved just
+    before a commit may still be scanning the previous version; keeping
+    ≥2 plus time-based lag is the Delta/Iceberg default posture. Returns
+    removed dir names.
+
+    Retention counts actual snapshots, not version-number arithmetic:
+    version numbers can have gaps (a CommitConflict loser's claimed dir
+    is removed), and `v <= cur - keep` on history [1, 3] with keep=2
+    would delete v1, leaving only ONE readable snapshot — fewer than the
+    documented reader-retention guarantee. Vacuumed versions are pruned
+    from the manifest history (under the commit flock) so the
+    time-travel catalog and the history itself don't grow unboundedly.
+    Claimed-but-uncommitted dirs are never touched — they may belong to
+    an in-flight writer."""
     if not is_store(path):
         return []
     root = Path(path)
-    cur = current_version(path)
+    snaps = snapshots(path)  # committed AND on disk, oldest first
+    keep_set = {s.version for s in snaps[-keep:]} | {current_version(path)}
     removed = []
-    for entry in sorted(root.iterdir()):
-        if entry.is_dir() and entry.name.startswith("v"):
-            try:
-                v = int(entry.name[1:])
-            except ValueError:
-                continue
-            if v <= cur - keep:
-                shutil.rmtree(entry)
-                removed.append(entry.name)
+    for s in snaps:
+        if s.version not in keep_set:
+            shutil.rmtree(s.data_dir)
+            removed.append(Path(s.data_dir).name)
+    if removed:
+        _prune_history(root, keep_set)
     return removed
+
+
+def _prune_history(root: Path, surviving: set[int]) -> None:
+    """Drop vacuumed versions from the manifest history. Runs under the
+    same flock as _publish so it cannot interleave with a commit's
+    read-modify-write of the manifest; the pointer fields are untouched."""
+    import fcntl
+
+    mf = root / MANIFEST_FILE
+    with open(root / _LOCK_FILE, "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        m = json.loads(mf.read_text())
+        history = [
+            int(v)
+            for v in m.get("history", range(1, int(m["version"]) + 1))
+            if int(v) in surviving
+        ]
+        m["history"] = history
+        tmp = root / f".{MANIFEST_FILE}.tmp.{os.getpid()}"
+        tmp.write_text(json.dumps(m))
+        os.replace(tmp, mf)

@@ -86,10 +86,36 @@ def band_rows(sig: DataFrame) -> DataFrame:
 
 def build_signature_index(docs: DataFrame, index_path: str) -> None:
     """Materialize the corpus signature index (the batch pipeline's job):
-    band rows of every corpus doc, written as plain parquet."""
-    band_rows(signatures_from(docs)).write.mode("overwrite").parquet(
-        index_path
-    )
+    band rows of every corpus doc, written as plain parquet.
+
+    Guarded against a migrated index (r4 ADVICE): a blind
+    ``mode('overwrite')`` on a manifest store would delete
+    ``_MANIFEST.json``, every committed version dir, and the ``_appends``
+    delta — destroying snapshots OUTSIDE the commit protocol every other
+    writer in this module routes through. On a store the rebuild goes
+    through :func:`store.commit_snapshot` (old snapshots stay readable
+    until vacuum), and it REFUSES while live delta files exist — those
+    appends are not part of ``docs`` and would be silently orphaned;
+    run :func:`compact_signature_index` first."""
+    import glob as _glob
+    import os
+
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    rows = band_rows(signatures_from(docs))
+    if store.is_store(index_path):
+        live = _glob.glob(os.path.join(_appends_dir(index_path), "*.parquet"))
+        if live:
+            raise RuntimeError(
+                f"{index_path} has {len(live)} live append delta file(s); "
+                "rebuilding now would orphan them — run "
+                "compact_signature_index() first"
+            )
+        store.commit_snapshot(
+            index_path, lambda d: rows.write.mode("overwrite").parquet(d)
+        )
+        return
+    rows.write.mode("overwrite").parquet(index_path)
 
 
 def neardup_filter_batch(

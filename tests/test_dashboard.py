@@ -109,22 +109,33 @@ def test_svg_geometry_in_bounds():
 def test_machine_series_mode_one_series_per_machine(day_df):
     """Reference-parity mode (r3 VERDICT #7): each figure draws one
     series per (metric, machine) — geometry-asserted as polyline count
-    and per-machine legend labels."""
+    and per-machine legend labels.
+
+    Gap semantics (r4 ADVICE): the fixture day gives M1 rows in both
+    hours but M2 only in hour 00 — M2's series must BREAK at the missing
+    hour (marker at its one real point, no line, no fabricated 0.0 that
+    would drag cycle-time mins to the axis). So only M1 contributes
+    polylines; M2 contributes markers + legend entries."""
     import re
 
     html = build_dashboard_html(day_df, "2024-05-01", machine_series=True)
     svgs = re.findall(r"<svg.*?</svg>", html, flags=re.S)
     assert len(svgs) == 2
     err_svg, cyc_svg = svgs
-    # fixture day has machines M1 and M2
-    assert err_svg.count("<polyline") == len(ERROR_COLUMNS) * 2
-    assert cyc_svg.count("<polyline") == len(CYCLE_TIME_COLUMNS) * 2
+    # only M1 spans ≥2 hours → one polyline per metric; M2's single
+    # point draws no line segment
+    assert err_svg.count("<polyline") == len(ERROR_COLUMNS)
+    assert cyc_svg.count("<polyline") == len(CYCLE_TIME_COLUMNS)
     for c in ERROR_COLUMNS:
         assert f"{_LABELS[c]} — M1" in err_svg
         assert f"{_LABELS[c]} — M2" in err_svg
     for c in CYCLE_TIME_COLUMNS:
         assert f"{_LABELS[c]} — M1" in cyc_svg
         assert f"{_LABELS[c]} — M2" in cyc_svg
+        # M1: marker in both hours + legend = 3 mentions; M2: one marker
+        # + legend = 2 (the missing hour draws NOTHING for M2)
+        assert cyc_svg.count(f"{_LABELS[c]} — M1") == 3
+        assert cyc_svg.count(f"{_LABELS[c]} — M2") == 2
 
 
 def test_dashboard_cli_builds_artifact(spark, tmp_path):

@@ -281,3 +281,78 @@ def test_time_travel_never_exposes_uncommitted_dirs(spark, tmp_path):
     assert snap.version == 3
     assert [s.version for s in store.snapshots(root)] == [1, 3]
     assert store.read(spark, root, version=3).count() == 200
+
+
+def test_vacuum_retains_keep_snapshots_across_version_gaps(spark, tmp_path):
+    """r4 ADVICE: version numbers can have gaps (a CommitConflict loser's
+    claimed dir is removed). vacuum(keep=N) must retain the newest N
+    ACTUAL snapshots — version arithmetic (v <= cur - keep) on history
+    [1, 3] would delete v1 and leave only one — and prune vacuumed
+    versions from the manifest history."""
+    from pathlib import Path
+
+    root = str(tmp_path / "gapstore")
+    _write_rows(spark, 100, root)
+    store.init_store(root)
+
+    # burn v2: a conflict-doomed writer claims the dir, the next committer
+    # lands as v3, then the loser's orphan cleanup removes v2 — leaving
+    # committed history [1, 3] with a version-number gap
+    claimed = Path(root) / "v00000002"
+    claimed.mkdir()
+    snap3 = store.commit_snapshot(root, lambda d: _write_rows(spark, 300, d))
+    claimed.rmdir()
+    assert snap3.version == 3  # gap: committed history is [1, 3]
+
+    removed = store.vacuum(root, keep=2)
+    # both committed snapshots are within keep=2 — nothing may go
+    assert removed == []
+    assert [s.version for s in store.snapshots(root)] == [1, 3]
+    assert store.read(spark, root, version=1).count() == 100
+
+    store.commit_snapshot(root, lambda d: _write_rows(spark, 400, d))
+    removed = store.vacuum(root, keep=2)
+    assert removed == ["v00000001"]
+    # history pruned: vacuumed v1 no longer in the time-travel catalog
+    assert [s.version for s in store.snapshots(root)] == [3, 4]
+    assert store._committed_versions(root) == [3, 4]
+    # and the surviving snapshots still read
+    assert store.read(spark, root, version=3).count() == 300
+    assert store.read(spark, root).count() == 400
+
+
+def test_build_signature_index_respects_manifest_store(spark, tmp_path):
+    """r4 ADVICE: a rebuild over a migrated index must route through the
+    commit protocol (old snapshots stay readable), and must REFUSE while
+    live _appends delta files exist (they would be silently orphaned)."""
+    import os
+
+    from projekt_data_engineering_iubh_spark.streaming import neardup_stream as nd
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "sigidx")
+    nd.build_signature_index(docs, idx)
+    store.init_store(idx)
+    v1_dir = store.resolve(idx)
+    v1_rows = spark.read.parquet(v1_dir).count()
+
+    # rebuild on a manifest store → a NEW committed snapshot, not a clobber
+    more = spark.createDataFrame(
+        [(3, "seven eight nine ten eleven twelve")], ["doc_id", "text"]
+    )
+    nd.build_signature_index(docs.unionByName(more), idx)
+    assert store.current_version(idx) == 2
+    assert store.is_store(idx)  # manifest survived
+    assert spark.read.parquet(v1_dir).count() == v1_rows  # old snapshot intact
+    assert spark.read.parquet(store.resolve(idx)).count() > v1_rows
+
+    # live delta files → refuse (compaction must fold them first)
+    delta = nd._appends_dir(idx)
+    os.makedirs(delta, exist_ok=True)
+    with open(os.path.join(delta, "stray.parquet"), "wb") as f:
+        f.write(b"x")
+    with pytest.raises(RuntimeError, match="live append delta"):
+        nd.build_signature_index(docs, idx)
