@@ -1,0 +1,212 @@
+"""Incremental transitive-cluster maintenance for the near-dup index.
+
+The gap this closes (r4 VERDICT #3): incremental ingest dedup
+(plans/curation_queries.py::docs_dedup_incremental) drops a new doc that
+matches the corpus, but a new doc that BRIDGES two existing clusters —
+near-duplicating a member of each — did not merge them anywhere; the
+full-corpus CC rerun (docs_dedup_apply) was the only healer. This module
+persists the cluster map next to the signature index and merges
+components incrementally at ingest time.
+
+Layout under one index root:
+  ``<root>/bands/``     LSH band rows (doc_id, band_no, band_key, minhash)
+                        — the same rows streaming/neardup_stream.py keeps,
+                        append-only;
+  ``<root>/clusters/``  the cluster map (doc_id, cluster_id), rewritten
+                        per ingest (only touched rows change value).
+
+Invariant: ``cluster_id`` is the MINIMUM doc_id of the cluster — the same
+representative convention as the batch CC
+(operators/connected_components.py), so an incremental map and a
+from-scratch ``docs_dedup_clusters`` run agree exactly (pinned by
+tests/test_cluster_index.py against the registered query).
+
+Scale shape: ingest cost is linear in batch size. The batch's band rows
+equi-join the stored index (both sides keyed on (band_no, band_key));
+the connected-components round runs over the TOUCHED subgraph only —
+batch doc_ids plus the cluster ids they matched — never over the corpus
+map. The corpus map update is one equi-join against a relabel frame of
+at most |touched clusters| rows. Nothing rescans corpus text.
+
+Reference parity: the reference engine has no incremental dedup tier —
+this extends its dedup semantics (single-batch, see
+/root/reference/src/daily_aggregator.py's drop-duplicates stage) to an
+append-only corpus, following the MinHash-LSH + union-of-components
+construction of the batch queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from projekt_data_engineering_iubh_spark.operators.connected_components import (
+    connected_components,
+)
+from projekt_data_engineering_iubh_spark.plans.text_queries import (
+    _MINHASH_K,
+    signatures_from,
+)
+from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+    band_rows,
+)
+
+DEFAULT_TAU = 0.5  # signature-agreement threshold, same as docs_dedup_apply
+
+
+def _bands_dir(root: str) -> str:
+    return os.path.join(root, "bands")
+
+
+def _clusters_dir(root: str) -> str:
+    return os.path.join(root, "clusters")
+
+
+def _est(a: str, b: str) -> F.Column:
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(F.col(a), F.col(b), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(_MINHASH_K))
+    )
+
+
+def _pairs_within(bands: DataFrame, tau: float) -> DataFrame:
+    """Near-dup edges among one band-row set (small frames — a batch, or
+    the init corpus; the production full-corpus path is the capped
+    _lsh_pairs, see plans/text_queries.py::LSH_MAX_BUCKET)."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(_est("a.minhash", "b.minhash") >= tau)
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+
+
+def init_cluster_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    *,
+    tau: float = DEFAULT_TAU,
+) -> None:
+    """Bootstrap the index from a corpus: band rows + the full-batch
+    cluster map (one CC over the corpus's near-dup graph)."""
+    bands = band_rows(signatures_from(docs))
+    bands.write.mode("overwrite").parquet(_bands_dir(root))
+    stored = spark.read.parquet(_bands_dir(root))  # CC joins it per round
+    comp = connected_components(
+        docs.select("doc_id"),
+        _pairs_within(stored, tau),
+        id_col="doc_id",
+        src_col="src",
+        dst_col="dst",
+        component_col="cluster_id",
+    )
+    comp.write.mode("overwrite").parquet(_clusters_dir(root))
+
+
+def load_cluster_map(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(_clusters_dir(root))
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str,
+    *,
+    tau: float = DEFAULT_TAU,
+) -> DataFrame:
+    """Fold one new batch into the index: assign every batch doc a
+    cluster, MERGING existing clusters that a batch doc (or a chain of
+    batch docs) bridges. Returns the updated cluster map.
+
+    Batch doc_ids must be new (not present in the index) — the caller's
+    ingest contract, same as the streaming tiers'.
+
+    Mechanics: batch→corpus and batch→batch near-dup edges feed one
+    connected-components run over the TOUCHED subgraph — batch docs plus
+    the matched clusters' representative ids (each cluster contracted to
+    its representative: its members are mutually reachable already, so
+    the contraction preserves exactly the reachability the new edges
+    add). Because the representative is the cluster MINIMUM, the merged
+    component's new label — min over batch ids and touched cluster ids —
+    equals the from-scratch min over every member, keeping the map
+    identical to a full docs_dedup_clusters rerun on the union corpus.
+    A batch doc with no matches (including empty-shingle sentinel docs,
+    which never band) becomes its own singleton cluster."""
+    idx = spark.read.parquet(_bands_dir(root)).select(
+        F.col("doc_id").alias("c_doc"),
+        "band_no",
+        "band_key",
+        F.col("minhash").alias("c_minhash"),
+    )
+    clusters = load_cluster_map(spark, root)
+    bb = band_rows(signatures_from(batch))
+
+    # batch → corpus edges, contracted to the matched cluster's rep
+    touch = (
+        bb.join(idx, ["band_no", "band_key"])
+        .filter(_est("minhash", "c_minhash") >= tau)
+        .select("doc_id", "c_doc")
+        .join(
+            clusters.select(
+                F.col("doc_id").alias("c_doc"), "cluster_id"
+            ),
+            "c_doc",
+        )
+        .select("doc_id", "cluster_id")
+        .distinct()
+    )
+    touched_reps = touch.select(F.col("cluster_id").alias("doc_id")).distinct()
+
+    verts = batch.select("doc_id").unionByName(touched_reps).distinct()
+    edges = _pairs_within(bb, tau).unionByName(
+        touch.select(
+            F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
+        )
+    )
+    comp = connected_components(
+        verts,
+        edges,
+        id_col="doc_id",
+        src_col="src",
+        dst_col="dst",
+        component_col="cluster_id",
+    ).localCheckpoint(eager=True)
+
+    # relabel merged clusters (at most |touched| rows change), add batch
+    relab = comp.join(
+        touched_reps.select(F.col("doc_id").alias("old_rep")),
+        comp.doc_id == F.col("old_rep"),
+    ).select("old_rep", F.col("cluster_id").alias("new_rep"))
+    updated = (
+        clusters.join(
+            relab, clusters.cluster_id == relab.old_rep, "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("new_rep", "cluster_id").alias("cluster_id"),
+        )
+    )
+    batch_rows = comp.join(batch.select("doc_id"), "doc_id", "left_semi")
+    new_map = updated.unionByName(batch_rows).localCheckpoint(eager=True)
+
+    # persist: the map is rewritten (it is being read above — the eager
+    # checkpoint breaks the read-your-own-overwrite hazard); band rows
+    # append-only
+    new_map.write.mode("overwrite").parquet(_clusters_dir(root))
+    bb.write.mode("append").parquet(_bands_dir(root))
+    return new_map

@@ -1,0 +1,112 @@
+"""Incremental transitive-cluster maintenance (r4 VERDICT #3).
+
+The critical case: a NEW doc that bridges two existing near-dup clusters
+must merge them in the persisted cluster map — and the post-ingest map
+must equal a from-scratch run of the registered ``docs_dedup_clusters``
+query on the union corpus (same min-representative convention).
+
+Fixture texts are deterministic: the bridge doc X concatenates the two
+cluster cores A and B, and the token sets were searched offline (under
+the engine's exact md5/universal-hash constants) so that X's signature
+agrees with A's on ≥ 8 of 16 slots including one full band AND with B's
+likewise, while A and B share neither (est 0, no common band). That
+makes X a ≥ 0.5-est LSH candidate of both clusters and the clusters
+non-candidates of each other — the bridge shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from projekt_data_engineering_iubh_spark.pipeline import cluster_index as ci
+
+# offline-searched token cores (see module docstring)
+_A = "word56 word235 word34 word177 word427 word446 word83 word488"
+_B = "word107 word372 word292 word460 word475 word444 word47 word11"
+
+CORPUS = [
+    (1, _A, "en", "src0"),
+    (2, _A + " extraalpha", "en", "src0"),  # near-dup of 1
+    (10, _B, "en", "src0"),
+    (11, _B + " extrabeta", "en", "src0"),  # near-dup of 10
+    (20, "completely unrelated content about warehouse machinery logs", "en", "src0"),
+    (21, "tiny", "en", "src0"),  # <3 tokens: sentinel, always a singleton
+]
+BRIDGE = [(30, _A + " " + _B, "en", "batch1")]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+@pytest.fixture(scope="module")
+def index_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("clidx") / "index")
+    ci.init_cluster_index(spark, _docs(spark, CORPUS), root)
+    return root
+
+
+def test_init_builds_expected_clusters(spark, index_root):
+    got = {
+        r.doc_id: r.cluster_id
+        for r in ci.load_cluster_map(spark, index_root).collect()
+    }
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+
+def test_bridge_batch_merges_two_clusters(spark, index_root):
+    new_map = ci.ingest_batch(spark, _docs(spark, BRIDGE), index_root)
+    got = {r.doc_id: r.cluster_id for r in new_map.collect()}
+    # doc 30 bridges {1,2} and {10,11}: ONE merged cluster labeled by the
+    # global minimum member (1); untouched clusters keep their labels
+    assert got == {1: 1, 2: 1, 10: 1, 11: 1, 30: 1, 20: 20, 21: 21}
+    # and the persisted map agrees with what was returned
+    persisted = {
+        r.doc_id: r.cluster_id
+        for r in ci.load_cluster_map(spark, index_root).collect()
+    }
+    assert persisted == got
+
+
+def test_post_ingest_map_equals_from_scratch_clusters(
+    spark, index_root, tmp_path
+):
+    """The done-criterion: incremental map == the registered
+    docs_dedup_clusters query run from scratch on the union corpus."""
+    import os
+
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        docs_dedup_clusters,
+    )
+
+    union_dir = str(tmp_path / "union")
+    os.makedirs(union_dir, exist_ok=True)
+    _docs(spark, CORPUS + BRIDGE).write.mode("overwrite").parquet(
+        os.path.join(union_dir, "documents.parquet")
+    )
+    scratch = {
+        r.doc_id: r.cluster_id
+        for r in docs_dedup_clusters(spark, union_dir).collect()
+    }
+    incremental = {
+        r.doc_id: r.cluster_id
+        for r in ci.load_cluster_map(spark, index_root).collect()
+    }
+    assert incremental == scratch
+
+
+def test_followup_batch_sees_merged_cluster(spark, index_root):
+    """A later doc matching either old cluster's content lands in the
+    MERGED cluster (the index's band rows + relabeled map serve it)."""
+    new_map = ci.ingest_batch(
+        spark, _docs(spark, [(40, _B + " extrabeta", "en", "batch2")]),
+        index_root,
+    )
+    got = {r.doc_id: r.cluster_id for r in new_map.collect()}
+    assert got[40] == 1  # matched b-side content -> merged cluster label
+    # singleton + sentinel still untouched
+    assert got[20] == 20 and got[21] == 21
