@@ -123,22 +123,33 @@ def update_centroids(assign: DataFrame, dim: int) -> DataFrame:
     )
 
 
-def kmeans_fixed_point(
-    emb: DataFrame, k: int, iters: int, dim: int
+def kmeans_train(
+    vectors: DataFrame, k: int, iters: int, dim: int
 ) -> DataFrame:
-    """Train k-means and return the final assignment (vec_id, cell, dist).
-
-    Seeds are the k lowest vec_ids (deterministic — a production variant
-    would hash-sample seeds, same shape). ``iters`` full Lloyd rounds,
-    then one final assignment against the trained centroids.
-    """
-    vectors = emb.select("vec_id", quantize(F.col("embedding")).alias("qemb"))
+    """``iters`` Lloyd rounds over (vec_id, qemb) fixed-point vectors →
+    the trained centroids (cell, cq). Seeds are the k lowest vec_ids
+    (deterministic — a production variant would hash-sample seeds, same
+    shape). Exposed separately from :func:`kmeans_fixed_point` so callers
+    that need the CODEBOOK itself (per-subspace PQ training,
+    plans/vector_queries.py::emb_pq_adc_trained) reuse the exact same
+    rounds the assignment query verifies cross-engine."""
     centroids = vectors.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("qemb").alias("cq")
     )
     for _ in range(iters):
         assign = assign_cells(vectors, centroids)
         centroids = update_centroids(assign, dim)
+    return centroids
+
+
+def kmeans_fixed_point(
+    emb: DataFrame, k: int, iters: int, dim: int
+) -> DataFrame:
+    """Train k-means and return the final assignment (vec_id, cell, dist):
+    ``iters`` full Lloyd rounds (:func:`kmeans_train`), then one final
+    assignment against the trained centroids."""
+    vectors = emb.select("vec_id", quantize(F.col("embedding")).alias("qemb"))
+    centroids = kmeans_train(vectors, k, iters, dim)
     return assign_cells(vectors, centroids).select("vec_id", "cell", "dist")
 
 
@@ -174,6 +185,28 @@ def _update_sql(assign: str, dim: int) -> str:
         f"  GROUP BY cell, i\n"
         f") GROUP BY cell"
     )
+
+
+def kmeans_train_sql_ctes(
+    src_sql: str, k: int, iters: int, dim: int, prefix: str
+) -> tuple[str, str]:
+    """CTE chain mirroring :func:`kmeans_train` over an arbitrary source
+    query producing (vec_id, qemb). Returns (CTE list fragment, name of
+    the final CENTROID CTE). ``prefix`` namespaces the chain so several
+    trainings (one per PQ subspace) compose in one statement."""
+    parts = [
+        f"{prefix}qv AS ({src_sql})",
+        f"{prefix}c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, qemb AS cq"
+        f" FROM {prefix}qv WHERE vec_id < {k})",
+    ]
+    cent = f"{prefix}c0"
+    for r in range(1, iters + 1):
+        parts.append(
+            f"{prefix}a{r} AS ({_assign_sql(f'{prefix}qv', cent, dim)})"
+        )
+        parts.append(f"{prefix}c{r} AS ({_update_sql(f'{prefix}a{r}', dim)})")
+        cent = f"{prefix}c{r}"
+    return ",\n".join(parts), cent
 
 
 def kmeans_sql_ctes(k: int, iters: int, dim: int) -> tuple[str, str]:

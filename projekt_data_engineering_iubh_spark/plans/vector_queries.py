@@ -960,6 +960,197 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trained product quantization: per-subspace k-means codebooks + ADC
+# ---------------------------------------------------------------------------
+
+_PQT_ITERS = 2
+_PQT_SCALE2 = float(km.FIXED_SCALE) ** 2  # squared-L2 fixed-point unit
+
+
+def _pqt_sql() -> str:
+    """The full trained-PQ oracle: per-subspace k-means CTE chains →
+    encoded corpus with chosen-centroid vectors attached → ADC vs exact
+    fixed-point squared-L2 → per-query top-k."""
+    parts = []
+    encs = []
+    for m in range(_PQ_M):
+        src = (
+            f"SELECT vec_id, {km.quantize_sql(_pq_sub_sql('embedding', m))}"
+            f" AS qemb FROM embeddings"
+        )
+        ctes, cent = km.kmeans_train_sql_ctes(
+            src, _PQ_CODES, _PQT_ITERS, _PQ_SUBDIM, f"s{m}"
+        )
+        parts.append(ctes)
+        parts.append(
+            f"s{m}enc AS (SELECT a.vec_id, a.cell, c.cq FROM "
+            f"({km._assign_sql(f's{m}qv', cent, _PQ_SUBDIM)}) a "
+            f"JOIN {cent} c USING (cell))"
+        )
+        encs.append(f"s{m}enc")
+    parts.append(
+        f"qfull AS (SELECT vec_id, {km.quantize_sql('embedding')} AS qemb"
+        f" FROM embeddings)"
+    )
+    parts.append(
+        f"qd AS (SELECT vec_id AS query_id, qemb FROM qfull"
+        f" WHERE vec_id < {_PQ_QUERIES})"
+    )
+    adc = " + ".join(
+        f"list_reduce(list_transform(range(1, {_PQ_SUBDIM} + 1), "
+        f"i -> (q.qemb[{m * _PQ_SUBDIM} + i] - e{m}.cq[i])"
+        f" * (q.qemb[{m * _PQ_SUBDIM} + i] - e{m}.cq[i])), (x, y) -> x + y)"
+        for m in range(_PQ_M)
+    )
+    exact = (
+        f"list_reduce(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> (q.qemb[i] - x.qemb[i]) * (q.qemb[i] - x.qemb[i])), "
+        f"(x, y) -> x + y)"
+    )
+    enc_joins = " ".join(
+        f"JOIN {e} e{m} ON e{m}.vec_id = x.vec_id"
+        for m, e in enumerate(encs)
+    )
+    parts.append(
+        f"cand AS (SELECT q.query_id, x.vec_id AS neighbor_id, "
+        f"CAST({adc} AS DOUBLE) / {_PQT_SCALE2!r} AS adc_dist, "
+        f"CAST({exact} AS DOUBLE) / {_PQT_SCALE2!r} AS exact_dist "
+        f"FROM qd q JOIN qfull x ON x.vec_id != q.query_id {enc_joins})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+, r AS (
+  SELECT query_id, neighbor_id, adc_dist, exact_dist,
+         abs(adc_dist - exact_dist) AS abs_err,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rn
+  FROM cand
+)
+SELECT query_id, neighbor_id, adc_dist, exact_dist, abs_err, rn
+FROM r WHERE rn <= {_PQ_K}
+"""
+    )
+
+
+_PQT_SQL = _pqt_sql()
+
+
+@register("emb_pq_adc_trained", oracle=_PQT_SQL, driver=False)
+def emb_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with TRAINED codebooks (r4 VERDICT #4):
+    per-subspace Lloyd k-means (operators/kmeans.py, the exact
+    fixed-point trainer emb_kmeans verifies) replaces emb_pq_adc's fixed
+    md5-seeded codebooks; same 4×16 geometry, same ADC search. Training
+    on the data cuts quantization error materially —
+    tests/test_pq_trained.py pins mean and max abs_err strictly below
+    the untrained variant's on the same queries.
+
+    Distances are exact fixed-point (bigint squared-L2 at 2^20 scale, as
+    the trainer): every engine computes bit-identical integers, and the
+    final /2^40 rescale to float units is a power-of-two exponent shift
+    — still exact. The codebooks are collected to the driver (4×16×16
+    bigints — k×dim-sized like the CC round counter, never data-sized)
+    and embedded as literals, so encoding is ONE map-side argmin scan
+    with no per-subspace shuffle; the oracle expresses the identical
+    argmin as its rn=1 assign join. Scale shape otherwise matches
+    emb_pq_adc: broadcast queries × corpus codes, per-query top-k
+    window; at 100 TB the 2-byte codes are the stored index and the
+    trainer runs on a sample.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = e.select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
+
+    # per-subspace training; codebooks are k×dim driver literals
+    books: list[tuple[list[int], list[list[int]]]] = []
+    for m in range(_PQ_M):
+        subv = qv.select(
+            "vec_id",
+            F.slice("qemb", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("qemb"),
+        )
+        cents = (
+            km.kmeans_train(subv, _PQ_CODES, _PQT_ITERS, _PQ_SUBDIM)
+            .orderBy("cell")
+            .collect()
+        )
+        books.append(([r.cell for r in cents], [list(r.cq) for r in cents]))
+
+    def sub(col: str, m: int) -> F.Column:
+        return F.slice(F.col(col), m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+
+    def isq(a: F.Column, b: F.Column) -> F.Column:
+        sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    # encode: argmin over the trained centroids (cell-ascending order →
+    # first-position-of-min reproduces the trainer's dist-then-lowest-cell
+    # tie-break, which the oracle's rn=1 join also implements)
+    code_cols = []
+    for m, (_cells, cqs) in enumerate(books):
+        dists = F.array(
+            *[
+                isq(sub("qemb", m), F.array(*[F.lit(v) for v in cq]))
+                for cq in cqs
+            ]
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"c{m}")
+        )
+    codes = qv.select("vec_id", "qemb", *code_cols)
+
+    # per-query ADC distance tables against the same literal codebooks
+    qd = qv.filter(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qemb").alias("qq"),
+        *[
+            F.array(
+                *[
+                    isq(
+                        F.slice(
+                            F.col("qemb"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM
+                        ),
+                        F.array(*[F.lit(v) for v in cq]),
+                    )
+                    for cq in books[m][1]
+                ]
+            ).alias(f"t{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    adc = sum(
+        F.element_at(F.col(f"t{m}"), F.col(f"c{m}") + 1)
+        for m in range(_PQ_M)
+    )
+    cand = codes.join(
+        F.broadcast(qd), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (adc.cast("double") / F.lit(_PQT_SCALE2)).alias("adc_dist"),
+        (
+            isq(F.col("qq"), F.col("qemb")).cast("double")
+            / F.lit(_PQT_SCALE2)
+        ).alias("exact_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn(
+            "abs_err", F.abs(F.col("adc_dist") - F.col("exact_dist"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_K)
+        .select(
+            "query_id", "neighbor_id", "adc_dist", "exact_dist", "abs_err", "rn"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style: cluster-confined cosine pruning)
 # ---------------------------------------------------------------------------
 

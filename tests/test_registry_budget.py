@@ -53,6 +53,8 @@ LOCAL_ONLY_FAMILY = {
     "docs_corpus_curated_model",
     # round 5 rotation (demoted after four green rounds)
     "docs_word_count",
+    # round 5 additions (driver set already at budget)
+    "emb_pq_adc_trained",
 }
 
 
