@@ -156,8 +156,13 @@ def run(
     langs: tuple[str, ...] = DEFAULT_LANGS,
     min_quality: float = DEFAULT_MIN_QUALITY,
     scorer: str = "heuristic",
+    bucketed_table: str | None = None,
 ) -> CorpusStats:
-    """Execute the pipeline and write (split, lang)-partitioned parquet."""
+    """Execute the pipeline and write (split, lang)-partitioned parquet.
+
+    ``bucketed_table``: additionally publish the curated corpus as a
+    content-hash-bucketed catalog table (pipeline/corpus_store.py) so
+    later incremental-dedup joins read it exchange-free."""
     d = load_table(spark, sf_dir, "documents")
     quality = _lane(d, langs, min_quality, scorer).persist()
     try:
@@ -172,6 +177,17 @@ def run(
         curated.write.mode("overwrite").partitionBy("split", "lang").parquet(
             out_path
         )
+        if bucketed_table is not None:
+            from projekt_data_engineering_iubh_spark.pipeline.corpus_store import (
+                write_bucketed_corpus,
+            )
+
+            # re-read the persisted parquet rather than re-running the
+            # curation plan (the quality lane is persisted but the dedup
+            # CC is not)
+            write_bucketed_corpus(
+                spark.read.parquet(out_path), bucketed_table
+            )
 
         out = spark.read.parquet(out_path)
         by_split = {
