@@ -159,7 +159,18 @@ def test_reader_loop_racing_maintenance_sees_only_snapshots(spark, tmp_path):
     assert store.read(spark, root).count() == 900
 
 
-def test_concurrent_committers_no_lost_updates(spark, tmp_path):
+@pytest.fixture(params=["flock", "conditional_put"])
+def backend(request):
+    """Race every concurrency test against BOTH commit backends: the
+    POSIX flock CAS and the object-store conditional-PUT shape (r4
+    VERDICT #6) — the protocol must not depend on which one is under
+    it."""
+    if request.param == "flock":
+        return store.FlockBackend()
+    return store.ConditionalPutBackend()
+
+
+def test_concurrent_committers_no_lost_updates(spark, tmp_path, backend):
     """Optimistic concurrency: two writers each append 100 rows starting
     from whatever snapshot is current, retrying on CommitConflict. No
     interleaved snapshot dirs, no lost updates: the final store holds
@@ -191,6 +202,7 @@ def test_concurrent_committers_no_lost_updates(spark, tmp_path):
                         lambda d, df=nxt: df.write.mode("overwrite")
                         .partitionBy("split")
                         .parquet(d),
+                        backend=backend,
                     )
                     return
                 except store.CommitConflict:
@@ -211,24 +223,28 @@ def test_concurrent_committers_no_lost_updates(spark, tmp_path):
     assert final.where(F.col("doc_id") >= 10_000).count() == 200
 
 
-def test_commit_conflict_is_raised_and_orphan_removed(spark, tmp_path):
+def test_commit_conflict_is_raised_and_orphan_removed(spark, tmp_path, backend):
     import glob as _glob
 
     root = str(tmp_path / "conflictstore")
     _write_rows(spark, 50, root)
     store.init_store(root)
 
-    store.commit_snapshot(root, lambda d: _write_rows(spark, 60, d))  # v2
+    store.commit_snapshot(
+        root, lambda d: _write_rows(spark, 60, d), backend=backend
+    )  # v2
 
     with pytest.raises(store.CommitConflict):
         # force the race deterministically: writer B commits INSIDE
         # writer A's write_fn, so A's base (v2) is superseded before A
         # reaches its publish point
         def racing_write(d):
-            store.commit_snapshot(root, lambda d2: _write_rows(spark, 70, d2))
+            store.commit_snapshot(
+                root, lambda d2: _write_rows(spark, 70, d2), backend=backend
+            )
             _write_rows(spark, 80, d)
 
-        store.commit_snapshot(root, racing_write)
+        store.commit_snapshot(root, racing_write, backend=backend)
 
     # loser's orphan dir removed; store shows the winner (70 rows).
     # A had claimed v3 before B started, so B's winning commit is v4;
