@@ -116,11 +116,27 @@ def make_sessionizer(
         state.update((seq, start_us if start_us is not None else -1, n))
         if start_us is not None and open_session_timeout_ms is not None:
             state.setTimeoutDuration(open_session_timeout_ms)
-        if start_us is not None and max_open_session_event_ms is not None:
-            # fire when the watermark passes start + max duration; the
-            # timestamp must sit above the current watermark, so a
-            # session already past due fires at the very next trigger
-            due_ms = start_us // 1000 + max_open_session_event_ms
+        if max_open_session_event_ms is not None and (
+            start_us is not None or chunks
+        ):
+            # fire when the watermark passes the due point; the timestamp
+            # must sit above the current watermark, so a state already
+            # past due fires at the very next trigger.
+            if start_us is not None:
+                # open session: due at start + max duration
+                due_ms = start_us // 1000 + max_open_session_event_ms
+            else:
+                # IDLE key (sessions all closed): the state row only
+                # carries the seq counter. Reclaim it once the watermark
+                # passes the key's last event + the same bound — this is
+                # what keeps total state rows ≤ live keys instead of
+                # ≤ keys-ever-seen (tests/test_sessionize_state_scale.py).
+                # A machine returning after eviction restarts numbering
+                # at 1; sequence uniqueness therefore holds within the
+                # retention horizon, and the batch operator is the healer
+                # beyond it (the same tiering as the dedup stack).
+                last_ts_ms = int(pdf[ts_col].max().value // 1_000_000)
+                due_ms = last_ts_ms + max_open_session_event_ms
             state.setTimeoutTimestamp(
                 max(due_ms, state.getCurrentWatermarkMs() + 1)
             )
