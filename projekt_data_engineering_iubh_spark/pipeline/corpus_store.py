@@ -42,6 +42,78 @@ def write_bucketed_corpus(
     )
 
 
+def write_band_index(
+    docs: DataFrame, table: str, *, buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Persist the LSH band-row index (doc_id, band_no, band_key,
+    minhash) bucketed + sorted on ``band_key`` — the join key of the
+    incremental NEAR-dup tier. ``band_key`` is xxhash64(band_no, slice),
+    so band_no is already folded into it and a band_key equi-join alone
+    is exact; bucketing on the single key is what lets the corpus side
+    skip its shuffle entirely."""
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        signatures_from,
+    )
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        band_rows,
+    )
+
+    (
+        band_rows(signatures_from(docs))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(table)
+    )
+
+
+def near_matches(
+    spark: SparkSession, batch: DataFrame, table: str, *, tau: float = 0.5
+) -> DataFrame:
+    """The incremental near-dup tier against the bucketed band index:
+    for each batch doc, the lowest corpus doc sharing an LSH band with
+    signature agreement ≥ ``tau`` (plus the max agreement). The corpus
+    side reads pre-bucketed on band_key — no exchange (plan-pinned);
+    the batch's band rows shuffle into the index's bucketing."""
+    from pyspark.sql import functions as F2
+
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        _MINHASH_K,
+        signatures_from,
+    )
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        band_rows,
+    )
+
+    idx = spark.table(table).select(
+        F2.col("doc_id").alias("c_doc"),
+        "band_key",
+        F2.col("minhash").alias("c_minhash"),
+    )
+    bb = band_rows(signatures_from(batch))
+    est = (
+        F2.size(
+            F2.filter(
+                F2.zip_with(
+                    F2.col("minhash"), F2.col("c_minhash"), lambda x, y: x == y
+                ),
+                lambda eq: eq,
+            )
+        )
+        / F2.lit(float(_MINHASH_K))
+    )
+    return (
+        bb.join(idx, "band_key")
+        .select("doc_id", "c_doc", est.alias("est"))
+        .filter(F2.col("est") >= tau)
+        .groupBy("doc_id")
+        .agg(
+            F2.min("c_doc").alias("match_doc_id"),
+            F2.max("est").alias("est_jaccard"),
+        )
+    )
+
+
 def exact_matches(
     spark: SparkSession, batch: DataFrame, table: str
 ) -> DataFrame:

@@ -75,3 +75,66 @@ def test_bucketed_write_via_corpus_run_matches_parquet(spark, bucketed):
     # bucketing column present and equal to md5(text)
     bad = t.filter(F.col("text_hash") != F.md5("text")).count()
     assert bad == 0
+
+
+def test_band_index_near_tier_exchange_free_and_correct(spark, tmp_path):
+    """The NEAR tier counterpart: batch band rows join the band_key-
+    bucketed index with zero exchanges on the index side, and the
+    matches agree with an inline (unbucketed) computation."""
+    docs = load_table(spark, SF_DIR, "documents")
+    table = "band_index_test"
+    try:
+        corpus_store.write_band_index(docs, table)
+        # batch: near-identical copies of 3 corpus docs (id-offset,
+        # one token appended) + 1 novel doc
+        batch = docs.filter(F.col("doc_id") < 3).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            m = corpus_store.near_matches(spark, batch, table)
+            plan = m._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Bucketed: true" in plan
+            # three exchanges, ALL on the small/batch path: the batch's
+            # signature groupBy, the batch side of the join, the final
+            # groupBy — the index branch goes FileScan(Bucketed) →
+            # Filter/Project → Sort → join with zero exchanges (an
+            # unbucketed index adds a fourth)
+            assert plan.count("Exchange hashpartitioning") == 3, plan
+            got = {r.doc_id: r.match_doc_id for r in m.collect()}
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+        # inline reference: same signatures, unbucketed join
+        from projekt_data_engineering_iubh_spark.plans.text_queries import (
+            signatures_from,
+        )
+        from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+            band_rows,
+        )
+
+        bb = band_rows(signatures_from(batch))
+        ib = band_rows(signatures_from(docs)).select(
+            F.col("doc_id").alias("c_doc"),
+            "band_key",
+            F.col("minhash").alias("c_minhash"),
+        )
+        est = F.size(
+            F.filter(
+                F.zip_with(F.col("minhash"), F.col("c_minhash"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ) / F.lit(16.0)
+        ref = (
+            bb.join(ib, "band_key")
+            .select("doc_id", "c_doc", est.alias("est"))
+            .filter(F.col("est") >= 0.5)
+            .groupBy("doc_id")
+            .agg(F.min("c_doc").alias("match_doc_id"))
+        )
+        expected = {r.doc_id: r.match_doc_id for r in ref.collect()}
+        assert got == expected and len(got) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
