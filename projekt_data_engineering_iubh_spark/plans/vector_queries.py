@@ -960,6 +960,77 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trained IVF: the k-means assignment as the coarse quantizer
+# ---------------------------------------------------------------------------
+
+_IVFT_SQL = f"""{_KM_CTES},
+tcells AS (SELECT vec_id, cell FROM {_KM_FINAL}),
+tj AS (SELECT t.vec_id, t.cell, e.embedding
+       FROM tcells t JOIN embeddings e USING (vec_id)),
+tq AS (SELECT vec_id AS query_id, embedding AS qe, cell FROM tj
+       WHERE vec_id < {_IVF_QUERIES}),
+tcand AS (
+  SELECT tq.query_id, e.vec_id AS neighbor_id, tq.cell,
+         {vx.cosine_sql('qe', 'e.embedding')} AS cos_sim
+  FROM tq JOIN tj e ON e.cell = tq.cell AND e.vec_id != tq.query_id
+), tr AS (
+  SELECT query_id, neighbor_id, cell, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
+  FROM tcand
+)
+SELECT query_id, neighbor_id, cell, cos_sim, rn FROM tr WHERE rn <= {_IVF_K}
+"""
+
+
+@register("emb_ivf_ann_trained", oracle=_IVFT_SQL, driver=False)
+def emb_ivf_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN over TRAINED cells: the coarse quantizer is the
+    exact fixed-point Lloyd assignment (emb_kmeans's 3 rounds) instead
+    of emb_ivf_ann's fixed pseudo-random centroids — the trained-index
+    counterpart, completing the pair with emb_pq_adc_trained. Search is
+    identical: probe the query's own cell (nprobe=1), exact cosine,
+    per-query top-k. Trained cells track the data distribution, so cell
+    sizes are balanced by construction (Lloyd's update equalizes
+    within-cell variance) — at 100 TB this is what keeps per-probe cost
+    even instead of hostage to where random centroids landed."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", vx.norm(F.col("embedding"))
+    )
+    asg = km.kmeans_fixed_point(e, _KM_K, _KM_ITERS, EMB_DIM).select(
+        "vec_id", "cell"
+    )
+    cells = e.join(asg, "vec_id")
+    q = cells.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cell").alias("qcell"),
+    )
+    cand = cells.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (
+            vx.dot(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_K)
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Trained product quantization: per-subspace k-means codebooks + ADC
 # ---------------------------------------------------------------------------
 

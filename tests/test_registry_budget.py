@@ -55,6 +55,7 @@ LOCAL_ONLY_FAMILY = {
     "docs_word_count",
     # round 5 additions (driver set already at budget)
     "emb_pq_adc_trained",
+    "emb_ivf_ann_trained",
 }
 
 
