@@ -111,6 +111,17 @@ def minhash_signature_sql(hashes_expr: str, k: int = 16) -> str:
     return f"[{slots}]"
 
 
+def signature_agreement(a: Column, b: Column, k: int = 16) -> Column:
+    """Fraction of agreeing MinHash slots between two signatures — the
+    est_jaccard estimator. ONE shared definition for every near-dup tier
+    (batch pair queries, incremental ingest, streaming filter, cluster
+    index, bucketed band index): a tau or estimator change lands
+    everywhere at once instead of drifting across re-implementations."""
+    return F.size(
+        F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda eq: eq)
+    ) / F.lit(float(k))
+
+
 def simhash(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over distinct tokens: per bit, +1 if the token's hash has the
     bit set else -1; output bit is 1 when the sum is positive. Packed into

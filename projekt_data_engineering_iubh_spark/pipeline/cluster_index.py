@@ -18,8 +18,23 @@ Layout under one index root:
 Invariant: ``cluster_id`` is the MINIMUM doc_id of the cluster — the same
 representative convention as the batch CC
 (operators/connected_components.py), so an incremental map and a
-from-scratch ``docs_dedup_clusters`` run agree exactly (pinned by
-tests/test_cluster_index.py against the registered query).
+from-scratch ``docs_dedup_clusters`` run agree exactly while every band
+bucket stays at or under LSH_MAX_BUCKET (the normal regime; pinned by
+tests/test_cluster_index.py against the registered query). In an
+adversarially oversized bucket the from-scratch query caps candidate
+generation (plans/text_queries.py::LSH_MAX_BUCKET) while this ingest
+path does not — the incremental map is then AT LEAST as connective
+(it can merge what the capped rerun leaves split, never the reverse),
+and the periodic batch rerun is the reconciler, the same two-tier
+contract as the streaming dedup.
+
+Durability: the cluster map commits through pipeline/store.py (manifest
+pointer, optimistic concurrency) — readers never see a torn map, racing
+ingests surface CommitConflict for retry. Band rows append BEFORE the
+map commit; a crash in between leaves advisory band rows whose docs are
+not yet mapped (matches against them drop out at the cluster join) —
+re-running the failed batch completes the map, and its re-appended band
+rows are duplicates, which only generate duplicate candidate edges.
 
 Scale shape: ingest cost is linear in batch size. The batch's band rows
 equi-join the stored index (both sides keyed on (band_no, band_key));
@@ -41,9 +56,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from projekt_data_engineering_iubh_spark.functions import hashing
 from projekt_data_engineering_iubh_spark.operators.connected_components import (
     connected_components,
 )
+from projekt_data_engineering_iubh_spark.pipeline import store
 from projekt_data_engineering_iubh_spark.plans.text_queries import (
     _MINHASH_K,
     signatures_from,
@@ -64,15 +81,7 @@ def _clusters_dir(root: str) -> str:
 
 
 def _est(a: str, b: str) -> F.Column:
-    return (
-        F.size(
-            F.filter(
-                F.zip_with(F.col(a), F.col(b), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(_MINHASH_K))
-    )
+    return hashing.signature_agreement(F.col(a), F.col(b), _MINHASH_K)
 
 
 def _pairs_within(bands: DataFrame, tau: float) -> DataFrame:
@@ -115,11 +124,14 @@ def init_cluster_index(
         dst_col="dst",
         component_col="cluster_id",
     )
-    comp.write.mode("overwrite").parquet(_clusters_dir(root))
+    store.commit_snapshot(
+        _clusters_dir(root),
+        lambda d: comp.write.mode("overwrite").parquet(d),
+    )
 
 
 def load_cluster_map(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(_clusters_dir(root))
+    return spark.read.parquet(store.resolve(_clusters_dir(root)))
 
 
 def ingest_batch(
@@ -204,9 +216,14 @@ def ingest_batch(
     batch_rows = comp.join(batch.select("doc_id"), "doc_id", "left_semi")
     new_map = updated.unionByName(batch_rows).localCheckpoint(eager=True)
 
-    # persist: the map is rewritten (it is being read above — the eager
-    # checkpoint breaks the read-your-own-overwrite hazard); band rows
-    # append-only
-    new_map.write.mode("overwrite").parquet(_clusters_dir(root))
+    # persist: bands append FIRST (advisory rows — see the module
+    # docstring's crash contract), then the map commits atomically
+    # through the snapshot store; a racing ingest raises CommitConflict
+    # and the caller re-runs against the new current map. The eager
+    # checkpoint above also breaks the read-your-own-overwrite hazard.
     bb.write.mode("append").parquet(_bands_dir(root))
+    store.commit_snapshot(
+        _clusters_dir(root),
+        lambda d: new_map.write.mode("overwrite").parquet(d),
+    )
     return new_map

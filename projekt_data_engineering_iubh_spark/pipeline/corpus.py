@@ -109,7 +109,14 @@ def curate(
     scorer: str = "heuristic",
     _quality: DataFrame | None = None,
 ) -> DataFrame:
-    """The curated, split-tagged corpus as a DataFrame (lazy; no I/O).
+    """The curated, split-tagged corpus as a DataFrame.
+
+    NOT fully lazy since round 5: the capped near-dup candidate
+    generator eagerly materializes the banded signature rows
+    (localCheckpoint inside _lsh_pairs — the skew guard's exchange-reuse
+    fix), so CONSTRUCTING this frame already runs the signature
+    pipeline. Callers that only need the schema or plan shape should not
+    call curate().
 
     ``_quality`` lets :func:`run` share one (persisted) quality lane
     between the curated write and its stats count — the trained scorer's

@@ -75,8 +75,7 @@ def near_matches(
     signature agreement ≥ ``tau`` (plus the max agreement). The corpus
     side reads pre-bucketed on band_key — no exchange (plan-pinned);
     the batch's band rows shuffle into the index's bucketing."""
-    from pyspark.sql import functions as F2
-
+    from projekt_data_engineering_iubh_spark.functions import hashing
     from projekt_data_engineering_iubh_spark.plans.text_queries import (
         _MINHASH_K,
         signatures_from,
@@ -86,30 +85,22 @@ def near_matches(
     )
 
     idx = spark.table(table).select(
-        F2.col("doc_id").alias("c_doc"),
+        F.col("doc_id").alias("c_doc"),
         "band_key",
-        F2.col("minhash").alias("c_minhash"),
+        F.col("minhash").alias("c_minhash"),
     )
     bb = band_rows(signatures_from(batch))
-    est = (
-        F2.size(
-            F2.filter(
-                F2.zip_with(
-                    F2.col("minhash"), F2.col("c_minhash"), lambda x, y: x == y
-                ),
-                lambda eq: eq,
-            )
-        )
-        / F2.lit(float(_MINHASH_K))
+    est = hashing.signature_agreement(
+        F.col("minhash"), F.col("c_minhash"), _MINHASH_K
     )
     return (
         bb.join(idx, "band_key")
         .select("doc_id", "c_doc", est.alias("est"))
-        .filter(F2.col("est") >= tau)
+        .filter(F.col("est") >= tau)
         .groupBy("doc_id")
         .agg(
-            F2.min("c_doc").alias("match_doc_id"),
-            F2.max("est").alias("est_jaccard"),
+            F.min("c_doc").alias("match_doc_id"),
+            F.max("est").alias("est_jaccard"),
         )
     )
 

@@ -360,6 +360,11 @@ def vacuum(
     time-travel catalog and the history itself don't grow unboundedly.
     Claimed-but-uncommitted dirs are never touched — they may belong to
     an in-flight writer."""
+    if keep < 1:
+        # keep=0 would silently keep EVERYTHING (snaps[-0:] is the whole
+        # list) while reading as "keep nothing" — and the documented
+        # contract always retains the current snapshot anyway
+        raise ValueError(f"vacuum keep must be >= 1, got {keep}")
     if not is_store(path):
         return []
     root = Path(path)
@@ -387,7 +392,12 @@ def _prune_history(
     untouched."""
     for _ in range(64):
         m, token = backend.read(root)
-        assert m is not None  # vacuum already checked is_store
+        if m is None:
+            # explicit raise, not assert (python -O strips asserts): the
+            # manifest vanished between vacuum's is_store check and here
+            raise RuntimeError(
+                f"manifest disappeared during history prune at {root}"
+            )
         m["history"] = [
             int(v)
             for v in m.get("history", range(1, int(m["version"]) + 1))

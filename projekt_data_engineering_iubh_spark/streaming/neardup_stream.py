@@ -97,14 +97,14 @@ def build_signature_index(docs: DataFrame, index_path: str) -> None:
     until vacuum), and it REFUSES while live delta files exist — those
     appends are not part of ``docs`` and would be silently orphaned;
     run :func:`compact_signature_index` first."""
-    import glob as _glob
-    import os
-
     from projekt_data_engineering_iubh_spark.pipeline import store
 
     rows = band_rows(signatures_from(docs))
     if store.is_store(index_path):
-        live = _glob.glob(os.path.join(_appends_dir(index_path), "*.parquet"))
+        # the module's own liveness definition: ledger-folded files kept
+        # for the one-cycle reader grace window are NOT live — a raw glob
+        # would spuriously refuse a rebuild right after a compaction
+        live = _append_files(index_path)
         if live:
             raise RuntimeError(
                 f"{index_path} has {len(live)} live append delta file(s); "
@@ -136,15 +136,7 @@ def neardup_filter_batch(
     )
 
     def _est(a: str, b: str) -> F.Column:
-        return (
-            F.size(
-                F.filter(
-                    F.zip_with(F.col(a), F.col(b), lambda x, y: x == y),
-                    lambda eq: eq,
-                )
-            )
-            / F.lit(float(_MINHASH_K))
-        )
+        return hashing.signature_agreement(F.col(a), F.col(b), _MINHASH_K)
 
     drops = (
         bb.join(

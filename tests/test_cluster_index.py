@@ -110,3 +110,17 @@ def test_followup_batch_sees_merged_cluster(spark, index_root):
     assert got[40] == 1  # matched b-side content -> merged cluster label
     # singleton + sentinel still untouched
     assert got[20] == 20 and got[21] == 21
+
+
+def test_cluster_map_commits_are_versioned(spark, index_root):
+    """Review fix: the map persists through the snapshot store — every
+    ingest is an atomic manifest commit (no torn reads), and prior maps
+    stay time-travelable until vacuum."""
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    clusters_dir = ci._clusters_dir(index_root)
+    assert store.is_store(clusters_dir)
+    # module fixture ran init + two ingests by the time this test runs
+    assert store.current_version(clusters_dir) >= 3
+    v1 = store.read(spark, clusters_dir, version=1)
+    assert {r.doc_id for r in v1.collect()} == {1, 2, 10, 11, 20, 21}
