@@ -42,6 +42,43 @@ def write_bucketed_corpus(
     )
 
 
+def append_bucketed_corpus(
+    df: DataFrame, table: str, *, buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Append new docs to the bucketed corpus table with the SAME bucket
+    spec (appends into a bucketed table must restate it — Spark rejects
+    a spec-less append and a mismatched spec would silently break the
+    zero-exchange join contract)."""
+    (
+        df.withColumn("text_hash", F.md5("text"))
+        .write.mode("append")
+        .bucketBy(buckets, "text_hash")
+        .sortBy("text_hash")
+        .saveAsTable(table)
+    )
+
+
+def append_band_index(
+    docs: DataFrame, table: str, *, buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Append new docs' band rows to the bucketed index (same spec rule
+    as :func:`append_bucketed_corpus`)."""
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        signatures_from,
+    )
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        band_rows,
+    )
+
+    (
+        band_rows(signatures_from(docs))
+        .write.mode("append")
+        .bucketBy(buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(table)
+    )
+
+
 def write_band_index(
     docs: DataFrame, table: str, *, buckets: int = DEFAULT_BUCKETS
 ) -> None:

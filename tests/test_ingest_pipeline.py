@@ -1,0 +1,122 @@
+"""Composed incremental corpus ingest (pipeline/ingest.py): exact tier →
+near tier → cluster-map merge → bucketed-store appends, end to end over
+two batches — including a SECOND batch matching content that arrived via
+the FIRST (proving the appends actually protect later triggers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from projekt_data_engineering_iubh_spark.pipeline import (
+    cluster_index as ci,
+    corpus_store,
+    ingest,
+)
+
+# reuse the deterministic bridge fixture (tests/test_cluster_index.py)
+_A = "word56 word235 word34 word177 word427 word446 word83 word488"
+_B = "word107 word372 word292 word460 word475 word444 word47 word11"
+
+CORPUS = [
+    (1, _A, "en", "src0"),
+    (2, _A + " extraalpha", "en", "src0"),
+    (10, _B, "en", "src0"),
+    (11, _B + " extrabeta", "en", "src0"),
+    (20, "completely unrelated content about warehouse machinery logs", "en", "src0"),
+]
+
+COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows], COLS
+    )
+
+
+@pytest.fixture(scope="module")
+def stores(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ingest") / "clusters")
+    docs = _docs(spark, CORPUS)
+    corpus_store.write_bucketed_corpus(docs, "ing_corpus")
+    corpus_store.write_band_index(docs, "ing_bands")
+    ci.init_cluster_index(spark, docs, root)
+    yield ("ing_corpus", "ing_bands", root)
+    spark.sql("DROP TABLE IF EXISTS ing_corpus")
+    spark.sql("DROP TABLE IF EXISTS ing_bands")
+
+
+def test_batch_one_statuses_appends_and_merge(spark, stores):
+    corpus_table, band_table, root = stores
+    batch1 = _docs(
+        spark,
+        [
+            (30, _A, "en", "b1"),                 # exact copy of doc 1
+            (31, _B + " extrabeta", "en", "b1"),  # exact copy of doc 11
+            (32, _A + " " + _B, "en", "b1"),      # bridge: near-dup of both clusters
+            (33, "novel text that matches nothing at all here", "en", "b1"),
+        ],
+    )
+    status, stats = ingest.ingest(
+        spark,
+        batch1,
+        corpus_table=corpus_table,
+        band_table=band_table,
+        cluster_root=root,
+    )
+    got = {r.doc_id: (r.status, r.match_doc_id) for r in status.collect()}
+    assert got[30] == ("dup_exact", 1)
+    assert got[31] == ("dup_exact", 11)
+    assert got[32][0] == "dup_near"  # bridges — near-matched, lowest match
+    assert got[33] == ("kept", None)
+    assert stats.n_batch == 4 and stats.n_kept == 1
+    assert stats.n_dup_exact == 2 and stats.n_dup_near == 1
+
+    # only the survivor was appended to both bucketed stores
+    assert spark.table(corpus_table).count() == len(CORPUS) + 1
+    assert {
+        r.doc_id for r in spark.table(corpus_table).select("doc_id").collect()
+    } == {1, 2, 10, 11, 20, 33}
+
+    # the bridge doc merged the two clusters in the map (even though it
+    # was itself dropped as a near-dup — its cluster membership is the
+    # merge information)
+    cmap = {
+        r.doc_id: r.cluster_id
+        for r in ci.load_cluster_map(spark, root).collect()
+    }
+    assert cmap[1] == cmap[2] == cmap[10] == cmap[11] == cmap[32] == 1
+    assert cmap[33] == 33 and cmap[20] == 20
+
+
+def test_batch_two_matches_batch_one_survivor(spark, stores):
+    corpus_table, band_table, root = stores
+    batch2 = _docs(
+        spark,
+        [
+            (40, "novel text that matches nothing at all here", "en", "b2"),
+            (41, "another fresh document with its own words", "en", "b2"),
+        ],
+    )
+    status, stats = ingest.ingest(
+        spark,
+        batch2,
+        corpus_table=corpus_table,
+        band_table=band_table,
+        cluster_root=root,
+    )
+    got = {r.doc_id: (r.status, r.match_doc_id) for r in status.collect()}
+    # doc 40 exactly duplicates batch ONE's survivor (doc 33) — caught
+    # because ingest appended 33 to the bucketed corpus table
+    assert got[40] == ("dup_exact", 33)
+    assert got[41] == ("kept", None)
+    assert stats.n_kept == 1
+    assert {
+        r.doc_id for r in spark.table(corpus_table).select("doc_id").collect()
+    } == {1, 2, 10, 11, 20, 33, 41}
+    cmap = {
+        r.doc_id: r.cluster_id
+        for r in ci.load_cluster_map(spark, root).collect()
+    }
+    assert cmap[40] == 33 and cmap[41] == 41
