@@ -124,3 +124,83 @@ def test_cluster_map_commits_are_versioned(spark, index_root):
     assert store.current_version(clusters_dir) >= 3
     v1 = store.read(spark, clusters_dir, version=1)
     assert {r.doc_id for r in v1.collect()} == {1, 2, 10, 11, 20, 21}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_randomized_ingest_equals_from_scratch(spark, tmp_path, seed):
+    """Randomized equivalence: for seeded random corpora with planted
+    near-dup groups, bridges, and novel docs split across init + TWO
+    ingest batches, the incremental map must equal a from-scratch CC over
+    the union's band graph (same machinery, same tau) — the general form
+    of the deterministic bridge test."""
+    import random
+
+    from projekt_data_engineering_iubh_spark.operators.connected_components import (
+        connected_components,
+    )
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        signatures_from,
+    )
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        band_rows,
+    )
+
+    rng = random.Random(seed)
+    pool = [f"w{seed}x{i}" for i in range(400)]
+    bases = [" ".join(rng.sample(pool, 8)) for _ in range(6)]
+
+    def member(gid, i):
+        return bases[gid] + f" uniq{gid}x{i}"
+
+    rows, next_id = [], 0
+
+    def add(text):
+        nonlocal next_id
+        rows.append((next_id, text, "en", "gen"))
+        next_id += 1
+
+    for g in range(6):
+        for i in range(rng.randint(1, 3)):
+            add(member(g, i))
+    for _ in range(4):
+        add(" ".join(rng.sample(pool, 7)))  # novel singletons
+    n_corpus = next_id
+    # batches: more members, bridges (concat of two bases), novelties
+    for _ in range(3):
+        g = rng.randrange(6)
+        add(member(g, 90 + rng.randrange(100)))
+    g1, g2 = rng.sample(range(6), 2)
+    add(bases[g1] + " " + bases[g2])  # bridge
+    add(" ".join(rng.sample(pool, 7)))
+    n_b1 = next_id
+    for _ in range(2):
+        g = rng.randrange(6)
+        add(member(g, 200 + rng.randrange(100)))
+    g3, g4 = rng.sample(range(6), 2)
+    add(bases[g3] + " " + bases[g4])  # second bridge
+    n_b2 = next_id
+
+    corpus = _docs(spark, rows[:n_corpus])
+    b1 = _docs(spark, rows[n_corpus:n_b1])
+    b2 = _docs(spark, rows[n_b1:n_b2])
+
+    root = str(tmp_path / f"ridx{seed}")
+    ci.init_cluster_index(spark, corpus, root)
+    ci.ingest_batch(spark, b1, root)
+    ci.ingest_batch(spark, b2, root)
+    incremental = {
+        r.doc_id: r.cluster_id
+        for r in ci.load_cluster_map(spark, root).collect()
+    }
+
+    union = _docs(spark, rows)
+    scratch_comp = connected_components(
+        union.select("doc_id"),
+        ci._pairs_within(band_rows(signatures_from(union)), ci.DEFAULT_TAU),
+        id_col="doc_id",
+        src_col="src",
+        dst_col="dst",
+        component_col="cluster_id",
+    )
+    scratch = {r.doc_id: r.cluster_id for r in scratch_comp.collect()}
+    assert incremental == scratch
