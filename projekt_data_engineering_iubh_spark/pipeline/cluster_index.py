@@ -227,3 +227,29 @@ def ingest_batch(
         lambda d: new_map.write.mode("overwrite").parquet(d),
     )
     return new_map
+
+
+def maintain(
+    spark: SparkSession, root: str, *, keep: int = 2
+) -> dict[str, int]:
+    """Periodic upkeep: vacuum superseded cluster-map snapshots (one per
+    ingest accumulates otherwise) and compact the band dir — crash-retry
+    re-appends leave duplicate band rows (advisory, correct, but paying
+    bytes and candidate duplicates forever). The dedup'd bands rewrite
+    goes through an eager checkpoint (the rewrite reads the same path)
+    and keeps the append-only contract for everything after it. Returns
+    counters for observability."""
+    bands = spark.read.parquet(_bands_dir(root))
+    n_before = bands.count()
+    deduped = bands.dropDuplicates(
+        ["doc_id", "band_no", "band_key"]
+    ).localCheckpoint(eager=True)
+    n_after = deduped.count()
+    if n_after < n_before:
+        deduped.write.mode("overwrite").parquet(_bands_dir(root))
+    removed = store.vacuum(_clusters_dir(root), keep=keep)
+    return {
+        "band_rows_before": n_before,
+        "band_rows_after": n_after,
+        "map_snapshots_removed": len(removed),
+    }

@@ -204,3 +204,45 @@ def test_randomized_ingest_equals_from_scratch(spark, tmp_path, seed):
     )
     scratch = {r.doc_id: r.cluster_id for r in scratch_comp.collect()}
     assert incremental == scratch
+
+
+def test_maintain_dedups_bands_and_vacuums_map(spark, tmp_path):
+    """Upkeep: duplicate band rows from a crash-retry re-append are
+    compacted away; superseded map snapshots are vacuumed; matching
+    still works afterwards."""
+    root = str(tmp_path / "maintidx")
+    corpus = _docs(spark, CORPUS)
+    ci.init_cluster_index(spark, corpus, root)
+    b1 = _docs(spark, BRIDGE)
+    ci.ingest_batch(spark, b1, root)
+    # simulate a crash-retry: the same batch's bands appended again
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        signatures_from,
+    )
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        band_rows,
+    )
+
+    band_rows(signatures_from(b1)).write.mode("append").parquet(
+        ci._bands_dir(root)
+    )
+    ci.ingest_batch(
+        spark, _docs(spark, [(40, _B + " extrabeta", "en", "b2")]), root
+    )
+
+    stats = ci.maintain(spark, root, keep=2)
+    assert stats["band_rows_after"] < stats["band_rows_before"]
+    assert stats["map_snapshots_removed"] >= 1
+
+    # post-maintenance: the map still reads, and a new near-dup batch
+    # still matches via the compacted bands
+    cmap = {
+        r.doc_id: r.cluster_id
+        for r in ci.load_cluster_map(spark, root).collect()
+    }
+    assert cmap[40] == 1
+    m2 = ci.ingest_batch(
+        spark, _docs(spark, [(50, _A + " extraalpha", "en", "b3")]), root
+    )
+    got = {r.doc_id: r.cluster_id for r in m2.collect()}
+    assert got[50] == 1
