@@ -113,3 +113,44 @@ def ingest(
         n_kept=by.get("kept", 0),
     )
     return status, stats
+
+
+def main(argv: list[str]) -> int:
+    """``python -m …pipeline.ingest <batch.parquet> <corpus_table>
+    <band_table> <cluster_root>`` — run one batch through the composed
+    ingest (deploy runbook's incremental-ingest step). Prints the
+    counters as one JSON line."""
+    import json
+
+    from pyspark.sql import SparkSession
+
+    from projekt_data_engineering_iubh_spark.session import get_spark
+
+    if len(argv) < 5:
+        print(
+            "usage: ingest.py <batch.parquet> <corpus_table> <band_table>"
+            " <cluster_root>"
+        )
+        return 1
+    borrowed = SparkSession.getActiveSession() is not None
+    spark = get_spark("ingest")
+    try:
+        batch = spark.read.parquet(argv[1])
+        _, stats = ingest(
+            spark,
+            batch,
+            corpus_table=argv[2],
+            band_table=argv[3],
+            cluster_root=argv[4],
+        )
+        print(json.dumps(stats.__dict__))
+        return 0
+    finally:
+        if not borrowed:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(main(sys.argv))

@@ -120,3 +120,35 @@ def test_batch_two_matches_batch_one_survivor(spark, stores):
         for r in ci.load_cluster_map(spark, root).collect()
     }
     assert cmap[40] == 33 and cmap[41] == 41
+
+
+def test_ingest_cli_end_to_end(spark, tmp_path):
+    """The deploy runbook's batch-ingest step: CLI main() in-process
+    (borrowed-session guard keeps the test session alive)."""
+    import json
+
+    from projekt_data_engineering_iubh_spark.pipeline.ingest import main
+
+    root = str(tmp_path / "cliclusters")
+    docs = _docs(spark, CORPUS)
+    corpus_store.write_bucketed_corpus(docs, "ing_cli_corpus")
+    corpus_store.write_band_index(docs, "ing_cli_bands")
+    ci.init_cluster_index(spark, docs, root)
+    try:
+        batch_path = str(tmp_path / "batch.parquet")
+        _docs(
+            spark,
+            [(60, _A, "en", "cli"), (61, "wholly new cli text content", "en", "cli")],
+        ).write.parquet(batch_path)
+        rc = main(
+            ["ingest.py", batch_path, "ing_cli_corpus", "ing_cli_bands", root]
+        )
+        assert rc == 0
+        assert spark.sparkContext is not None  # borrowed session survives
+        assert {
+            r.doc_id
+            for r in spark.table("ing_cli_corpus").select("doc_id").collect()
+        } == {1, 2, 10, 11, 20, 61}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ing_cli_corpus")
+        spark.sql("DROP TABLE IF EXISTS ing_cli_bands")
