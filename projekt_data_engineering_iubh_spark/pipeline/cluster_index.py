@@ -140,13 +140,18 @@ def ingest_batch(
     root: str,
     *,
     tau: float = DEFAULT_TAU,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Fold one new batch into the index: assign every batch doc a
     cluster, MERGING existing clusters that a batch doc (or a chain of
     batch docs) bridges. Returns the updated cluster map.
 
-    Batch doc_ids must be new (not present in the index) — the caller's
-    ingest contract, same as the streaming tiers'.
+    Re-running the same batch is IDEMPOTENT: any prior map rows for the
+    batch's doc_ids are dropped and recomputed (so a crash-and-retry
+    never accumulates duplicate map rows), and a doc's own band rows
+    from a crashed earlier run are excluded from its candidate matches.
+    ``bands`` lets the composed ingest reuse already-computed batch band
+    rows instead of re-running the signature pipeline.
 
     Mechanics: batch→corpus and batch→batch near-dup edges feed one
     connected-components run over the TOUCHED subgraph — batch docs plus
@@ -165,12 +170,20 @@ def ingest_batch(
         "band_key",
         F.col("minhash").alias("c_minhash"),
     )
-    clusters = load_cluster_map(spark, root)
-    bb = band_rows(signatures_from(batch))
+    # idempotent re-ingest: prior rows for these ids are recomputed, not
+    # duplicated (their components reassemble through the surviving
+    # corpus rows and the batch-internal edges)
+    clusters = load_cluster_map(spark, root).join(
+        batch.select("doc_id"), "doc_id", "left_anti"
+    )
+    bb = bands if bands is not None else band_rows(signatures_from(batch))
 
-    # batch → corpus edges, contracted to the matched cluster's rep
+    # batch → corpus edges, contracted to the matched cluster's rep;
+    # self-matches (this batch's own band rows from a crashed earlier
+    # run) excluded
     touch = (
         bb.join(idx, ["band_no", "band_key"])
+        .filter(F.col("c_doc") != F.col("doc_id"))
         .filter(_est("minhash", "c_minhash") >= tau)
         .select("doc_id", "c_doc")
         .join(
@@ -235,18 +248,33 @@ def maintain(
     """Periodic upkeep: vacuum superseded cluster-map snapshots (one per
     ingest accumulates otherwise) and compact the band dir — crash-retry
     re-appends leave duplicate band rows (advisory, correct, but paying
-    bytes and candidate duplicates forever). The dedup'd bands rewrite
-    goes through an eager checkpoint (the rewrite reads the same path)
-    and keeps the append-only contract for everything after it. Returns
-    counters for observability."""
-    bands = spark.read.parquet(_bands_dir(root))
+    bytes and candidate duplicates forever).
+
+    Run WITHOUT concurrent ingests (a maintenance window, the same
+    contract as store.init_store's migration): the band compaction is a
+    write-aside + directory swap, so a crash never destroys the only
+    copy — the swap leaves either the old dir, or the new dir, or (in
+    the narrow window between the two renames) the compacted data parked
+    at ``bands.__old__``/``bands.__compact__`` to rename back by hand —
+    but an ingest APPENDING between the read and the swap would lose its
+    rows, hence the no-concurrent-writers contract."""
+    import shutil
+
+    bands_path = _bands_dir(root)
+    bands = spark.read.parquet(bands_path)
     n_before = bands.count()
-    deduped = bands.dropDuplicates(
-        ["doc_id", "band_no", "band_key"]
-    ).localCheckpoint(eager=True)
-    n_after = deduped.count()
+    deduped = bands.dropDuplicates(["doc_id", "band_no", "band_key"])
+    tmp = bands_path + ".__compact__"
+    old = bands_path + ".__old__"
+    deduped.write.mode("overwrite").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
     if n_after < n_before:
-        deduped.write.mode("overwrite").parquet(_bands_dir(root))
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(bands_path, old)
+        os.rename(tmp, bands_path)
+        shutil.rmtree(old)
+    else:
+        shutil.rmtree(tmp)
     removed = store.vacuum(_clusters_dir(root), keep=keep)
     return {
         "band_rows_before": n_before,

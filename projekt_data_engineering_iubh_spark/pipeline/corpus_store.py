@@ -28,41 +28,32 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 DEFAULT_BUCKETS = 16  # sized for tests; production sizes to ~executor count
 
 
-def write_bucketed_corpus(
-    df: DataFrame, table: str, *, buckets: int = DEFAULT_BUCKETS
-) -> None:
-    """Write a curated-corpus frame as a text_hash-bucketed catalog table
-    (idempotent overwrite)."""
+# ONE statement of each bucket spec: appends into a bucketed table must
+# restate the spec (Spark rejects a spec-less append), and a second copy
+# that drifted would silently break the zero-exchange join contract —
+# so write and append share these private writers.
+
+
+def _write_corpus(df: DataFrame, table: str, mode: str, buckets: int) -> None:
     (
         df.withColumn("text_hash", F.md5("text"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .bucketBy(buckets, "text_hash")
         .sortBy("text_hash")
         .saveAsTable(table)
     )
 
 
-def append_bucketed_corpus(
-    df: DataFrame, table: str, *, buckets: int = DEFAULT_BUCKETS
-) -> None:
-    """Append new docs to the bucketed corpus table with the SAME bucket
-    spec (appends into a bucketed table must restate it — Spark rejects
-    a spec-less append and a mismatched spec would silently break the
-    zero-exchange join contract)."""
+def _write_bands(bands: DataFrame, table: str, mode: str, buckets: int) -> None:
     (
-        df.withColumn("text_hash", F.md5("text"))
-        .write.mode("append")
-        .bucketBy(buckets, "text_hash")
-        .sortBy("text_hash")
+        bands.write.mode(mode)
+        .bucketBy(buckets, "band_key")
+        .sortBy("band_key")
         .saveAsTable(table)
     )
 
 
-def append_band_index(
-    docs: DataFrame, table: str, *, buckets: int = DEFAULT_BUCKETS
-) -> None:
-    """Append new docs' band rows to the bucketed index (same spec rule
-    as :func:`append_bucketed_corpus`)."""
+def _band_rows_of(docs: DataFrame) -> DataFrame:
     from projekt_data_engineering_iubh_spark.plans.text_queries import (
         signatures_from,
     )
@@ -70,12 +61,39 @@ def append_band_index(
         band_rows,
     )
 
-    (
-        band_rows(signatures_from(docs))
-        .write.mode("append")
-        .bucketBy(buckets, "band_key")
-        .sortBy("band_key")
-        .saveAsTable(table)
+    return band_rows(signatures_from(docs))
+
+
+def write_bucketed_corpus(
+    df: DataFrame, table: str, *, buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Write a curated-corpus frame as a text_hash-bucketed catalog table
+    (idempotent overwrite)."""
+    _write_corpus(df, table, "overwrite", buckets)
+
+
+def append_bucketed_corpus(
+    df: DataFrame, table: str, *, buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Append new docs to the bucketed corpus table."""
+    _write_corpus(df, table, "append", buckets)
+
+
+def append_band_index(
+    docs: DataFrame,
+    table: str,
+    *,
+    buckets: int = DEFAULT_BUCKETS,
+    bands: DataFrame | None = None,
+) -> None:
+    """Append new docs' band rows to the bucketed index. ``bands`` lets a
+    caller that already computed the batch's band rows (the composed
+    ingest) avoid re-running the signature pipeline."""
+    _write_bands(
+        bands if bands is not None else _band_rows_of(docs),
+        table,
+        "append",
+        buckets,
     )
 
 
@@ -88,37 +106,34 @@ def write_band_index(
     so band_no is already folded into it and a band_key equi-join alone
     is exact; bucketing on the single key is what lets the corpus side
     skip its shuffle entirely."""
-    from projekt_data_engineering_iubh_spark.plans.text_queries import (
-        signatures_from,
-    )
-    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
-        band_rows,
-    )
-
-    (
-        band_rows(signatures_from(docs))
-        .write.mode("overwrite")
-        .bucketBy(buckets, "band_key")
-        .sortBy("band_key")
-        .saveAsTable(table)
-    )
+    _write_bands(_band_rows_of(docs), table, "overwrite", buckets)
 
 
 def near_matches(
-    spark: SparkSession, batch: DataFrame, table: str, *, tau: float = 0.5
+    spark: SparkSession,
+    batch: DataFrame,
+    table: str,
+    *,
+    tau: float = 0.5,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """The incremental near-dup tier against the bucketed band index:
     for each batch doc, the lowest corpus doc sharing an LSH band with
     signature agreement ≥ ``tau`` (plus the max agreement). The corpus
     side reads pre-bucketed on band_key — no exchange (plan-pinned);
-    the batch's band rows shuffle into the index's bucketing."""
+    the batch's band rows shuffle into the index's bucketing. Pass
+    ``bands`` to reuse already-computed batch band rows.
+
+    Self-matches (same doc_id on both sides) are excluded so a re-run
+    of a partially-crashed ingest — whose band rows already landed in
+    the index — doesn't classify a doc as a near-dup of ITSELF.
+    Scale note: the join is linear in batch size but bucket-unbounded
+    on the index side; the LSH_MAX_BUCKET cap applies to the
+    from-scratch candidate generator, not the stored index (see
+    cluster_index.py's parity contract)."""
     from projekt_data_engineering_iubh_spark.functions import hashing
     from projekt_data_engineering_iubh_spark.plans.text_queries import (
         _MINHASH_K,
-        signatures_from,
-    )
-    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
-        band_rows,
     )
 
     idx = spark.table(table).select(
@@ -126,12 +141,13 @@ def near_matches(
         "band_key",
         F.col("minhash").alias("c_minhash"),
     )
-    bb = band_rows(signatures_from(batch))
+    bb = bands if bands is not None else _band_rows_of(batch)
     est = hashing.signature_agreement(
         F.col("minhash"), F.col("c_minhash"), _MINHASH_K
     )
     return (
         bb.join(idx, "band_key")
+        .filter(F.col("c_doc") != F.col("doc_id"))
         .select("doc_id", "c_doc", est.alias("est"))
         .filter(F.col("est") >= tau)
         .groupBy("doc_id")
@@ -155,8 +171,11 @@ def exact_matches(
         "text_hash", F.col("doc_id").alias("match_doc_id")
     )
     bh = batch.select("doc_id", F.md5("text").alias("text_hash"))
+    # self-exclusion: see near_matches — a crashed-and-rerun ingest must
+    # not see a doc's own earlier append as an exact duplicate
     return (
         bh.join(corpus, "text_hash")
+        .filter(F.col("match_doc_id") != F.col("doc_id"))
         .groupBy("doc_id")
         .agg(F.min("match_doc_id").alias("match_doc_id"))
     )

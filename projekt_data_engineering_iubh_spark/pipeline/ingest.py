@@ -12,15 +12,29 @@ that ties the dedup storage pieces together:
       → survivors appended to the corpus table and the band index
 
 Returns a per-doc status frame (kept / dup_exact / dup_near with the
-matched corpus doc), mirroring docs_dedup_incremental's output contract,
-plus ingest counters.
+matched doc), mirroring docs_dedup_incremental's output contract, plus
+ingest counters. Both tiers also run WITHIN the batch (greedy min-id
+convention, the same as streaming/neardup_stream.py's intra tier): two
+identical docs arriving in one batch store ONE copy.
 
 Scale shape: every stage is an equi-join whose BIG side is pre-bucketed
-on the join key (shuffle paid once at write time); the cluster-map CC
-runs over the touched subgraph only. Per-batch cost is linear in batch
-size — nothing rescans corpus text, and nothing in the pipeline is
-all-pairs (the LSH candidate generator upstream of the stored index
-carries the hot-bucket cap).
+on the join key (shuffle paid once at write time); the batch's MinHash
+signatures compute ONCE (checkpointed band rows threaded into every
+consumer); the cluster-map CC runs over the touched subgraph only.
+Per-batch cost is linear in batch size and nothing rescans corpus text.
+Bucket-occupancy caveat: the stored-index joins are per-batch linear
+but bucket-unbounded (the LSH_MAX_BUCKET cap guards the from-scratch
+candidate generator, not the stored index — see cluster_index.py's
+parity contract for why, and the batch rerun for the reconciliation).
+
+Crash recovery: RE-RUN THE FAILED BATCH — every step tolerates replay.
+cluster_index.ingest_batch is idempotent (prior map rows recomputed),
+the match tiers exclude self-matches (a doc's own rows from the crashed
+run never classify it as its own duplicate), band-index re-appends are
+advisory duplicates (compacted by cluster_index.maintain), and the
+corpus-table append runs LAST so content lands exactly once unless the
+append job itself dies mid-write (the one remaining boundary; route the
+corpus through pipeline/store.py snapshots if that matters).
 
 Note the policy difference from the streaming near-dup tier
 (streaming/neardup_stream.py): that tier DROPS near-dups at the trigger
@@ -59,48 +73,81 @@ def ingest(
     survivors to both bucketed stores, and return (status frame, stats).
 
     The status frame has (doc_id, status, match_doc_id) with
-    status ∈ {'dup_exact', 'dup_near', 'kept'} — exact beats near, the
-    match is the lowest matching corpus doc (deterministic), same
-    contract as the docs_dedup_incremental diagnostic query.
+    status ∈ {'dup_exact', 'dup_near', 'kept'} — exact beats near, a
+    corpus match beats an intra-batch match, the match is the lowest
+    matching doc (deterministic), same contract as the
+    docs_dedup_incremental diagnostic query extended with the
+    intra-batch tier.
     """
     batch = batch.localCheckpoint(eager=True)  # one stable input snapshot
+    # the batch's band rows compute ONCE for every consumer below
+    bb = corpus_store._band_rows_of(batch).localCheckpoint(eager=True)
 
     exact = corpus_store.exact_matches(spark, batch, corpus_table).select(
         "doc_id", F.col("match_doc_id").alias("exact_match")
     )
-    near = corpus_store.near_matches(spark, batch, band_table, tau=tau).select(
-        "doc_id", F.col("match_doc_id").alias("near_match")
+    near = corpus_store.near_matches(
+        spark, batch, band_table, tau=tau, bands=bb
+    ).select("doc_id", F.col("match_doc_id").alias("near_match"))
+
+    # intra-batch tiers, greedy min-id (neardup_stream convention;
+    # transitive intra chains remain the batch rerun's)
+    bh = batch.select("doc_id", F.md5("text").alias("h"))
+    lows = bh.groupBy("h").agg(F.min("doc_id").alias("low"))
+    intra_exact = (
+        bh.join(lows, "h")
+        .filter(F.col("doc_id") != F.col("low"))
+        .select("doc_id", F.col("low").alias("intra_exact"))
     )
+    intra_near = (
+        cluster_index._pairs_within(bb, tau)
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min("src").alias("intra_near"))
+    )
+
     status = (
         batch.select("doc_id")
         .join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
+        .join(intra_exact, "doc_id", "left")
+        .join(intra_near, "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("exact_match").isNotNull(), "dup_exact")
-            .when(F.col("near_match").isNotNull(), "dup_near")
+            F.when(
+                F.col("exact_match").isNotNull()
+                | F.col("intra_exact").isNotNull(),
+                "dup_exact",
+            )
+            .when(
+                F.col("near_match").isNotNull()
+                | F.col("intra_near").isNotNull(),
+                "dup_near",
+            )
             .otherwise("kept")
             .alias("status"),
-            F.coalesce("exact_match", "near_match").alias("match_doc_id"),
+            F.coalesce(
+                "exact_match", "intra_exact", "near_match", "intra_near"
+            ).alias("match_doc_id"),
         )
         .localCheckpoint(eager=True)
     )
 
-    kept = batch.join(
-        status.filter(F.col("status") == "kept").select("doc_id"),
-        "doc_id",
-        "left_semi",
-    ).localCheckpoint(eager=True)
+    kept_ids = status.filter(F.col("status") == "kept").select("doc_id")
+    kept = batch.join(kept_ids, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
 
-    # cluster map first (atomic snapshot commit; crash here → re-run the
-    # batch, see cluster_index's crash contract), then the bucketed
-    # stores. The full batch — kept AND dropped — goes into the cluster
-    # map: a dropped near-dup still belongs to its match's cluster, which
-    # is exactly the bridge-merge information the map exists to carry.
-    cluster_index.ingest_batch(spark, batch, cluster_root, tau=tau)
+    # order per the crash contract (module docstring): idempotent map
+    # ingest, then the advisory band index, then the corpus table LAST.
+    # The full batch — kept AND dropped — goes into the cluster map: a
+    # dropped near-dup still belongs to its match's cluster, which is
+    # exactly the bridge-merge information the map exists to carry.
+    cluster_index.ingest_batch(spark, batch, cluster_root, tau=tau, bands=bb)
+    corpus_store.append_band_index(
+        kept, band_table, bands=bb.join(kept_ids, "doc_id", "left_semi")
+    )
     corpus_cols = [c for c in spark.table(corpus_table).columns if c != "text_hash"]
     corpus_store.append_bucketed_corpus(kept.select(*corpus_cols), corpus_table)
-    corpus_store.append_band_index(kept, band_table)
 
     by = {
         r["status"]: r["n"]

@@ -47,7 +47,9 @@ def stores(spark, tmp_path_factory):
     spark.sql("DROP TABLE IF EXISTS ing_bands")
 
 
-def test_batch_one_statuses_appends_and_merge(spark, stores):
+def test_two_batch_ingest_end_to_end(spark, stores):
+    """Phases run IN ONE TEST because phase two depends on phase one's
+    appends (a split version only passed in file order — review fix)."""
     corpus_table, band_table, root = stores
     batch1 = _docs(
         spark,
@@ -89,9 +91,7 @@ def test_batch_one_statuses_appends_and_merge(spark, stores):
     assert cmap[1] == cmap[2] == cmap[10] == cmap[11] == cmap[32] == 1
     assert cmap[33] == 33 and cmap[20] == 20
 
-
-def test_batch_two_matches_batch_one_survivor(spark, stores):
-    corpus_table, band_table, root = stores
+    # ---- phase two: a later batch matching phase one's survivor ----
     batch2 = _docs(
         spark,
         [
@@ -152,3 +152,103 @@ def test_ingest_cli_end_to_end(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ing_cli_corpus")
         spark.sql("DROP TABLE IF EXISTS ing_cli_bands")
+
+
+def test_intra_batch_duplicates_store_one_copy(spark, tmp_path):
+    """Review fix: two identical (and two near-identical) docs arriving
+    in ONE batch must store a single copy — batch-internal exact and
+    near tiers, greedy min-id convention."""
+    root = str(tmp_path / "intraclusters")
+    docs = _docs(spark, CORPUS)
+    corpus_store.write_bucketed_corpus(docs, "ing_intra_corpus")
+    corpus_store.write_band_index(docs, "ing_intra_bands")
+    ci.init_cluster_index(spark, docs, root)
+    try:
+        novel = "fresh crawl content the corpus has never seen"
+        batch = _docs(
+            spark,
+            [
+                (70, novel, "en", "b"),
+                (71, novel, "en", "b"),             # intra exact dup of 70
+                (72, novel + " trailingbit", "en", "b"),  # intra near dup
+                (73, "something else entirely new today", "en", "b"),
+            ],
+        )
+        status, stats = ingest.ingest(
+            spark,
+            batch,
+            corpus_table="ing_intra_corpus",
+            band_table="ing_intra_bands",
+            cluster_root=root,
+        )
+        got = {r.doc_id: (r.status, r.match_doc_id) for r in status.collect()}
+        assert got[70] == ("kept", None)
+        assert got[71] == ("dup_exact", 70)
+        assert got[72] == ("dup_near", 70)
+        assert got[73] == ("kept", None)
+        assert stats.n_kept == 2
+        stored = {
+            r.doc_id
+            for r in spark.table("ing_intra_corpus").select("doc_id").collect()
+        }
+        assert stored == {1, 2, 10, 11, 20, 70, 73}
+        # the map still clusters all three variants together
+        cmap = {
+            r.doc_id: r.cluster_id
+            for r in ci.load_cluster_map(spark, root).collect()
+        }
+        assert cmap[70] == cmap[71] == cmap[72] == 70
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ing_intra_corpus")
+        spark.sql("DROP TABLE IF EXISTS ing_intra_bands")
+
+
+def test_crash_replay_is_idempotent(spark, tmp_path):
+    """Review fix: re-running a batch after a mid-ingest crash must
+    converge — no duplicate cluster-map rows, no doc classified as a
+    duplicate of ITSELF, survivors stored once."""
+    root = str(tmp_path / "replayclusters")
+    docs = _docs(spark, CORPUS)
+    corpus_store.write_bucketed_corpus(docs, "ing_rp_corpus")
+    corpus_store.write_band_index(docs, "ing_rp_bands")
+    ci.init_cluster_index(spark, docs, root)
+    try:
+        batch = _docs(
+            spark,
+            [(80, "replayable novel content for this test", "en", "b")],
+        )
+        # simulate the crash: map ingest + band append happened, corpus
+        # append did NOT (the documented worst window)
+        bb = corpus_store._band_rows_of(batch)
+        ci.ingest_batch(spark, batch, root)
+        corpus_store.append_band_index(batch, "ing_rp_bands", bands=bb)
+
+        # full re-run
+        status, stats = ingest.ingest(
+            spark,
+            batch,
+            corpus_table="ing_rp_corpus",
+            band_table="ing_rp_bands",
+            cluster_root=root,
+        )
+        got = {r.doc_id: (r.status, r.match_doc_id) for r in status.collect()}
+        # self-exclusion: its own earlier band rows must not make it a
+        # dup of itself
+        assert got[80] == ("kept", None)
+        # map has exactly ONE row for the doc (idempotent re-ingest)
+        rows = (
+            ci.load_cluster_map(spark, root)
+            .filter(F.col("doc_id") == 80)
+            .collect()
+        )
+        assert len(rows) == 1 and rows[0].cluster_id == 80
+        # survivor stored exactly once
+        n = (
+            spark.table("ing_rp_corpus")
+            .filter(F.col("doc_id") == 80)
+            .count()
+        )
+        assert n == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ing_rp_corpus")
+        spark.sql("DROP TABLE IF EXISTS ing_rp_bands")

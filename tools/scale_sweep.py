@@ -212,6 +212,15 @@ def adversarial_check(spark, base_dir: str, tmp_root: str, n: int = 1000) -> dic
             f"capped dedup kept {survivors} template representatives vs "
             f"uncapped {unc_survivors} (star connectivity broken)"
         )
+    # absolute sanity alongside neutrality: a regression in the SHARED
+    # signature/threshold path (broken est, dead edges) would keep ~all
+    # n docs in BOTH variants and neutrality alone would miss it
+    loose = max(3, n // 100)
+    if survivors > loose:
+        failures.append(
+            f"dedup kept {survivors} of {n} template docs (> {loose}); "
+            "the near-dup path is not clustering at all"
+        )
     out["failures"] = failures
     return out
 
