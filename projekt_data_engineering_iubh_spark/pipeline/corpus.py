@@ -64,6 +64,22 @@ def _lane(
         )
 
         return model_quality_filter(d.filter(F.col("lang").isin(*langs)))
+    if scorer == "lm":
+        # CCNet-style perplexity lane: fit the bigram LM on the
+        # lang-filtered corpus, drop the high-avg-NLL tail (and docs too
+        # short to score) — the third lane of the quality trio
+        from projekt_data_engineering_iubh_spark.operators.lm_model import (
+            LM_MAX_NLL_MICRO,
+            lm_scores_from,
+        )
+
+        lang_docs = d.filter(F.col("lang").isin(*langs))
+        keep = (
+            lm_scores_from(lang_docs)
+            .filter(F.col("avg_nll_micro") <= LM_MAX_NLL_MICRO)
+            .select("doc_id")
+        )
+        return lang_docs.join(keep, "doc_id", "left_semi")
     raise ValueError(f"unknown quality scorer: {scorer!r}")
 
 

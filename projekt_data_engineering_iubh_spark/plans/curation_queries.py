@@ -725,36 +725,17 @@ def docs_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bigram language-model scoring (perplexity-style quality signal)
 # ---------------------------------------------------------------------------
 
-_LM_SCALE = 1_000_000  # micro-units per log-unit (same policy as the NB model)
-
-_LM_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
-), bi AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(toks)),
-                i -> toks[i] || ' ' || toks[i + 1])) AS bigram,
-         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1
-  FROM toks WHERE len(toks) >= 2
-), cb AS (
-  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1
-), cu AS (
-  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1
-), v AS (
-  SELECT COUNT(DISTINCT w1) AS v FROM bi
-), w AS (
-  SELECT cb.bigram,
-         CAST(floor(-ln(CAST(cb.c + 1 AS DOUBLE) / CAST(cu.c + v.v AS DOUBLE))
-                    * {float(_LM_SCALE)}) AS BIGINT) AS nll
-  FROM cb JOIN cu ON cu.w1 = split_part(cb.bigram, ' ', 1)
-  CROSS JOIN v
+from projekt_data_engineering_iubh_spark.operators.lm_model import (  # noqa: E402
+    lm_scores_from,
+    lm_sql_ctes,
 )
-SELECT b.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       CAST(SUM(w.nll) AS BIGINT) AS nll_micro_sum,
-       CAST(SUM(w.nll) AS DOUBLE) / COUNT(*) AS avg_nll_micro
-FROM bi b JOIN w ON w.bigram = b.bigram
-GROUP BY 1
+
+
+
+_LM_CTES, _LM_FINAL = lm_sql_ctes("documents")
+_LM_SQL = f"""
+WITH {_LM_CTES}
+SELECT doc_id, n_bigrams, nll_micro_sum, avg_nll_micro FROM {_LM_FINAL}
 """
 
 
@@ -775,55 +756,9 @@ def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact bigints and the final average is one exact-over-exact
     division — deterministic on both engines.
     """
-    d = spread(load_table(spark, sf_dir, "documents"))
-    t = d.select("doc_id", tx.tokens(F.col("text")).alias("toks")).filter(
-        F.size("toks") >= 2
-    )
-    n = F.size("toks")
-    bi = t.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("toks"), 1, n - 1),
-                F.slice(F.col("toks"), 2, n - 1),
-                lambda a, b: F.struct(
-                    a.alias("w1"), F.concat_ws(" ", a, b).alias("bigram")
-                ),
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.bigram")
+    return lm_scores_from(spread(load_table(spark, sf_dir, "documents")))
 
-    cb = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
-    cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
-    v = bi.agg(F.count_distinct("w1").alias("v"))
-    w = (
-        cb.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .join(cu, "w1")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "bigram",
-            F.floor(
-                -F.ln(
-                    (F.col("cb") + F.lit(1)).cast("double")
-                    / (F.col("cu") + F.col("v")).cast("double")
-                )
-                * F.lit(float(_LM_SCALE))
-            )
-            .cast("long")
-            .alias("nll"),
-        )
-    )
-    return (
-        bi.join(w, "bigram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("nll").alias("nll_micro_sum"),
-            (F.sum("nll").cast("double") / F.count(F.lit(1))).alias(
-                "avg_nll_micro"
-            ),
-        )
-    )
+
 
 
 # ---------------------------------------------------------------------------

@@ -1178,6 +1178,47 @@ def docs_corpus_curated_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars", "split")
 
 
+# the same pipeline under the PERPLEXITY lane (r5): fit the bigram LM on
+# the lang-filtered corpus, drop the high-avg-NLL tail, then the shared
+# dedup-restricted-to-lane + clustering + split body — the CCNet trio's
+# third lane, end-to-end cross-engine-verified like the other two
+def _qual_lm_ctes() -> str:
+    from projekt_data_engineering_iubh_spark.operators.lm_model import (
+        LM_MAX_NLL_MICRO,
+        lm_sql_ctes,
+    )
+
+    frag, final = lm_sql_ctes("lang_docs", prefix="qlm")
+    return (
+        f"""lang_docs AS (
+  SELECT * FROM documents WHERE lang IN ({_CORPUS_LANGS_SQL})
+), """
+        + frag
+        + f""", qual AS (
+  SELECT doc_id FROM {final} WHERE avg_nll_micro <= {LM_MAX_NLL_MICRO}
+)"""
+    )
+
+
+_CORPUS_LM_SQL = _corpus_sql(_qual_lm_ctes())
+
+
+@register("docs_corpus_curated_lm", oracle=_CORPUS_LM_SQL, driver=False)
+def docs_corpus_curated_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_corpus_curated under the PERPLEXITY quality lane
+    (scorer="lm" in pipeline/corpus.py): Laplace-smoothed bigram LM fit
+    on the lang-filtered corpus, high-avg-NLL tail dropped, then the
+    shared transitive-dedup + hash-split body. Completes the CCNet
+    quality trio as fully-composed corpus lanes — heuristic
+    (docs_corpus_curated), trained classifier
+    (docs_corpus_curated_model), and perplexity (this)."""
+    from projekt_data_engineering_iubh_spark.pipeline import corpus
+
+    return corpus.curate(
+        spark, sf_dir, langs=_CORPUS_LANGS, scorer="lm"
+    ).select("doc_id", "lang", "source", "n_chars", "split")
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition signals (within-document)
 # ---------------------------------------------------------------------------

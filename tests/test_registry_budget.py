@@ -56,6 +56,7 @@ LOCAL_ONLY_FAMILY = {
     # round 5 additions (driver set already at budget)
     "emb_pq_adc_trained",
     "emb_ivf_ann_trained",
+    "docs_corpus_curated_lm",
 }
 
 
