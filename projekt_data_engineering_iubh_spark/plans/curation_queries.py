@@ -874,3 +874,76 @@ def docs_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_false_negative"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate (tokenizer-design metric)
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 256  # top-V corpus tokens = the candidate vocabulary
+
+_VOCAB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+), occ AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) > 0
+), freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY 1
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk FROM freq
+  ) WHERE rnk <= {_VOCAB_V}
+)
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(v.tok) AS BIGINT) AS n_covered,
+       1.0 - CAST(COUNT(v.tok) AS DOUBLE) / COUNT(*) AS oov_rate,
+       CAST(COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN o.tok END)
+            AS BIGINT) AS n_unique_oov
+FROM occ o LEFT JOIN vocab v ON v.tok = o.tok
+GROUP BY 1
+"""
+
+
+@register("docs_vocab_coverage", oracle=_VOCAB_SQL, driver=False)
+def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage profiling — the tokenizer-design metric a
+    training-data pipeline runs before committing to a vocab: derive the
+    top-V corpus tokens by frequency (deterministic count-desc,
+    token-asc tie-break), then score every document's coverage under it
+    (token occurrences covered, OOV rate, distinct OOV types).
+
+    Shapes: one token explode → corpus-wide frequency agg (map-side
+    combined) → the V-row vocabulary (a global top-V window over the
+    distinct-token frequency table, which is vocabulary-sized, not
+    corpus-sized) broadcast-joined back onto the occurrence stream →
+    per-doc agg. The only corpus-sized shuffles key on token and doc_id;
+    oov_rate is an exact-int division, so both engines emit the same
+    doubles."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", tx.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    occ = t.select("doc_id", F.explode("toks").alias("tok"))
+    freq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # top-V via sort+limit, NOT a global row_number window: Spark plans
+    # this as TakeOrderedAndProject (per-partition partial top-V, then a
+    # V-row merge) — no single-partition sort of the token-type table,
+    # which at corpus scale is 10^7+ rows
+    vocab = (
+        freq.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_V)
+        .select(F.col("tok").alias("vtok"))
+    )
+    j = occ.join(F.broadcast(vocab), occ.tok == F.col("vtok"), "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("vtok").alias("n_covered"),
+        (
+            F.lit(1.0)
+            - F.count("vtok").cast("double") / F.count(F.lit(1))
+        ).alias("oov_rate"),
+        F.count_distinct(
+            F.when(F.col("vtok").isNull(), F.col("tok"))
+        ).alias("n_unique_oov"),
+    )

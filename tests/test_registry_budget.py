@@ -57,6 +57,7 @@ LOCAL_ONLY_FAMILY = {
     "emb_pq_adc_trained",
     "emb_ivf_ann_trained",
     "docs_corpus_curated_lm",
+    "docs_vocab_coverage",
 }
 
 
