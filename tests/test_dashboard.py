@@ -153,3 +153,49 @@ def test_dashboard_cli_builds_artifact(spark, tmp_path):
                  "--machine-series"]) == 0
     html = open(out, encoding="utf-8").read()
     assert html.count("<svg") == 2 and "— M1" in html
+
+
+def test_live_dashboard_server(spark, tmp_path):
+    """The always-on serving process (reference parity for the Streamlit
+    app, stdlib-only): index lists available days, the day view renders
+    the same artifact with machine multiselect and per-machine mode as
+    query parameters."""
+    import urllib.request
+
+    from projekt_data_engineering_iubh_spark.pipeline import dashboard_server
+
+    p = tmp_path / "day.csv"
+    p.write_text("\n".join(FIXTURE_ROWS) + "\n")
+    warehouse = str(tmp_path / "warehouse")
+    da.run(spark, str(p), warehouse, DEFAULT_RULES)
+
+    server = dashboard_server.serve(spark, warehouse, port=0)
+    try:
+        port = server.server_address[1]
+
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=120
+            ) as r:
+                return r.status, r.read().decode()
+
+        code, index = get("/")
+        assert code == 200 and "2024-05-01" in index
+        assert '/day?d=2024-05-01' in index
+
+        code, day = get("/day?d=2024-05-01")
+        assert code == 200
+        assert "Error counts over time" in day and ">M1<" in day and ">M2<" in day
+
+        # machine multiselect (the reference's P17 control)
+        code, m1 = get("/day?d=2024-05-01&machines=M1")
+        assert code == 200 and ">M1<" in m1 and ">M2<" not in m1
+
+        # per-machine rendering mode
+        code, pm = get("/day?d=2024-05-01&per-machine=1")
+        assert code == 200 and "— M1" in pm
+
+        code, _ = get("/day?d=1999-01-01")  # empty day still renders
+        assert code == 200
+    finally:
+        server.shutdown()
