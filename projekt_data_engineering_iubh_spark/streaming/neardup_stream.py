@@ -278,6 +278,7 @@ def start_neardup_corpus_stream(
     index_path: str,
     *,
     tau: float = NEAR_TAU,
+    cluster_root: str | None = None,
     **curate_kwargs,
 ):
     """Corpus curation stream with the near-dup tier wired in:
@@ -285,9 +286,12 @@ def start_neardup_corpus_stream(
     stream plan, then each micro-batch near-dup-filters against the full
     index view (snapshot + delta), writes survivors idempotently to the
     (split, lang)-partitioned store, and appends their band rows to the
-    index delta area."""
+    index delta area. ``cluster_root`` additionally maintains the
+    transitive cluster map per trigger (see make_batch_processor)."""
     curated = curate_stream(docs, **curate_kwargs)
-    processor = make_batch_processor(out_path, index_path, tau=tau)
+    processor = make_batch_processor(
+        out_path, index_path, tau=tau, cluster_root=cluster_root
+    )
     return (
         curated.writeStream.outputMode("append")
         .foreachBatch(processor)
@@ -296,7 +300,13 @@ def start_neardup_corpus_stream(
     )
 
 
-def make_batch_processor(out_path: str, index_path: str, *, tau: float = NEAR_TAU):
+def make_batch_processor(
+    out_path: str,
+    index_path: str,
+    *,
+    tau: float = NEAR_TAU,
+    cluster_root: str | None = None,
+):
     """The foreachBatch body, exposed for direct (retry-semantics) tests.
 
     Exactly-once store writes under foreachBatch's at-least-once contract:
@@ -308,6 +318,15 @@ def make_batch_processor(out_path: str, index_path: str, *, tau: float = NEAR_TA
     repartitioning on (split, lang) and dropping the column). Index delta
     appends stay at-least-once — band rows are advisory (duplicates cost
     bytes, never correctness).
+
+    ``cluster_root``: per-trigger transitive cluster-map maintenance
+    (pipeline/cluster_index.py) over the FULL curated batch — dropped
+    near-dups still enter the map as members of their match's cluster,
+    the bridge-merge information. Safe under foreachBatch's replay:
+    ingest_batch is idempotent (prior rows for the batch's ids are
+    recomputed) and the map commit is atomic; a CommitConflict from a
+    concurrently-running batch-tier ingest fails the trigger, and the
+    stream's retry replays cleanly.
     """
     import os
     import uuid
@@ -345,5 +364,14 @@ def make_batch_processor(out_path: str, index_path: str, *, tau: float = NEAR_TA
         if part:  # empty batches write no part file
             os.replace(part[0], os.path.join(delta, f"{uuid.uuid4().hex}.parquet"))
         shutil.rmtree(tmp, ignore_errors=True)
+
+        if cluster_root is not None:
+            # lazy import: cluster_index imports band_rows from THIS
+            # module at load time
+            from projekt_data_engineering_iubh_spark.pipeline import (
+                cluster_index,
+            )
+
+            cluster_index.ingest_batch(spark, batch_df, cluster_root, tau=tau)
 
     return _process

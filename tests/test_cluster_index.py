@@ -246,3 +246,37 @@ def test_maintain_dedups_bands_and_vacuums_map(spark, tmp_path):
     )
     got = {r.doc_id: r.cluster_id for r in m2.collect()}
     assert got[50] == 1
+
+
+def test_streaming_processor_maintains_cluster_map(spark, tmp_path):
+    """The streaming near-dup tier can maintain the cluster map per
+    trigger (make_batch_processor cluster_root=...): a trigger whose doc
+    bridges two existing clusters merges them, and a replayed trigger
+    (foreachBatch at-least-once) leaves the map unchanged."""
+    from projekt_data_engineering_iubh_spark.streaming import neardup_stream as nd
+
+    root = str(tmp_path / "streamclusters")
+    corpus = _docs(spark, CORPUS)
+    ci.init_cluster_index(spark, corpus, root)
+    idx = str(tmp_path / "sigidx")
+    nd.build_signature_index(corpus.select("doc_id", "text"), idx)
+
+    proc = nd.make_batch_processor(
+        str(tmp_path / "out"), idx, cluster_root=root
+    )
+    # the curated-stream schema carries (doc_id, text, lang, source,
+    # n_chars, split); build a matching static batch
+    batch = _docs(spark, BRIDGE).withColumn("split", F.lit("train"))
+    proc(batch, 0)
+    cmap = {
+        r.doc_id: r.cluster_id
+        for r in ci.load_cluster_map(spark, root).collect()
+    }
+    assert cmap[1] == cmap[2] == cmap[10] == cmap[11] == cmap[30] == 1
+
+    # replayed trigger: idempotent — same map, one row per doc
+    proc(batch, 0)
+    rows = ci.load_cluster_map(spark, root).collect()
+    assert len(rows) == len(set(r.doc_id for r in rows))
+    cmap2 = {r.doc_id: r.cluster_id for r in rows}
+    assert cmap2 == cmap
