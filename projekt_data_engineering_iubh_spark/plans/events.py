@@ -512,3 +512,97 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1
+), n AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT 1 AS stage, 'view' AS step, CAST(n1 AS BIGINT) AS n_users,
+       1.0 AS conv_from_prev, 1.0 AS conv_overall FROM n
+UNION ALL
+SELECT 2, 'click', CAST(n2 AS BIGINT),
+       CAST(n2 AS DOUBLE) / n1, CAST(n2 AS DOUBLE) / n1 FROM n
+UNION ALL
+SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+       CAST(n3 AS DOUBLE) / n2, CAST(n3 AS DOUBLE) / n1 FROM n
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_SQL, driver=False)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel — the classic product-analytics shape
+    (engine breadth; the reference's closest analog is its ordered
+    marker pairs): per user, the first 'view', the first 'click' AT OR
+    AFTER it, the first 'purchase' at or after THAT; output per-stage
+    user counts and conversion rates.
+
+    Shapes: three sequential per-user min-aggregations, each a groupBy
+    on user_id joined to the previous stage's (user, t) frame — all
+    shuffles key on user_id and reuse one partitioning; stage counts are
+    scalar aggregates crossed into three constant rows (no collect).
+    Conversion ratios are exact-int divisions, identical on both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame | None, etype: str) -> DataFrame:
+        src = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            src = src.join(
+                prev.withColumnRenamed("t", "pt"), "user_id"
+            ).filter(F.col("ts") >= F.col("pt"))
+        return src.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    s1 = stage(None, "view")
+    s2 = stage(s1, "click")
+    s3 = stage(s2, "purchase")
+    c = (
+        s1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    rows = F.array(
+        F.struct(
+            F.lit(1).alias("stage"),
+            F.lit("view").alias("step"),
+            F.col("n1").alias("n_users"),
+            F.lit(1.0).alias("conv_from_prev"),
+            F.lit(1.0).alias("conv_overall"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage"),
+            F.lit("click").alias("step"),
+            F.col("n2").alias("n_users"),
+            (F.col("n2").cast("double") / F.col("n1")).alias("conv_from_prev"),
+            (F.col("n2").cast("double") / F.col("n1")).alias("conv_overall"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage"),
+            F.lit("purchase").alias("step"),
+            F.col("n3").alias("n_users"),
+            (F.col("n3").cast("double") / F.col("n2")).alias("conv_from_prev"),
+            (F.col("n3").cast("double") / F.col("n1")).alias("conv_overall"),
+        ),
+    )
+    return c.select(F.explode(rows).alias("r")).select(
+        "r.stage", "r.step", "r.n_users", "r.conv_from_prev", "r.conv_overall"
+    )

@@ -925,6 +925,37 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("docs_dedup_clusters_star", oracle=_DEDUP_CLUSTERS_SQL, driver=False)
+def docs_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_dedup_clusters computed by the LARGE-STAR/SMALL-STAR
+    connected-components operator (operators/connected_components.py::
+    connected_components_star — the O(log n)-round fallback for
+    long-diameter graphs) instead of label propagation. Identical output
+    by construction (same fixpoint, same min-representative), so the
+    SAME recursive-CTE oracle verifies the alternative algorithm
+    cross-engine — previously it had only unit tests."""
+    from projekt_data_engineering_iubh_spark.operators.connected_components import (
+        connected_components_star,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = _lsh_pairs(spark, sf_dir, max_bucket=LSH_MAX_BUCKET).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comp = connected_components_star(
+        d.select("doc_id"),
+        edges,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+        component_col="cluster_id",
+    )
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
 _TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
        CAST(len({tx.tokens_sql('text')}) AS INTEGER) AS ws_tokens,

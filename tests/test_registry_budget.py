@@ -58,6 +58,7 @@ LOCAL_ONLY_FAMILY = {
     "emb_ivf_ann_trained",
     "docs_corpus_curated_lm",
     "docs_vocab_coverage",
+    "docs_dedup_clusters_star",
 }
 
 
