@@ -1,0 +1,73 @@
+"""Training-consumption exports (pipeline/export.py): deterministic
+JSONL shards + the markdown corpus datasheet."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.pipeline import export
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_export_jsonl_round_trip_and_stable_sharding(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "split", F.lit("train")
+    )
+    out = str(tmp_path / "jsonl")
+    export.export_jsonl(docs, out, shards=4)
+
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(dirs) == 4
+    # one file per shard dir; every line parses; full round-trip equality
+    seen = {}
+    for d in dirs:
+        files = glob.glob(os.path.join(d, "part-*"))
+        assert len(files) == 1, d
+        for line in open(files[0], encoding="utf-8"):
+            obj = json.loads(line)
+            seen[obj["doc_id"]] = obj["text"]
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert seen == src
+
+    # deterministic shard membership: a re-export puts every doc in the
+    # same named shard
+    def membership(path):
+        m = {}
+        for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+            idx = int(d.rsplit("=", 1)[1])
+            for fpath in glob.glob(os.path.join(d, "part-*")):
+                for line in open(fpath, encoding="utf-8"):
+                    m[json.loads(line)["doc_id"]] = idx
+        return m
+
+    out2 = str(tmp_path / "jsonl2")
+    export.export_jsonl(docs, out2, shards=4)
+    assert membership(out) == membership(out2)
+
+
+def test_datasheet_contents(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "split",
+        F.when(F.col("doc_id") % 5 == 0, "test").otherwise("train"),
+    )
+    md = export.datasheet(docs, title="Test corpus")
+    assert md.startswith("# Test corpus")
+    n = docs.count()
+    assert f"- documents: {n:,}" in md
+    assert "## By language" in md and "## By split" in md and "## By source" in md
+    assert "| train |" in md and "| test |" in md
+    # token accounting is the whitespace count over all docs
+    toks = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+    ).collect()[0]["t"]
+    assert f"whitespace tokens: {int(toks):,}" in md
+
+    out = str(tmp_path / "sheet.md")
+    export.write_datasheet(docs, out)
+    assert open(out, encoding="utf-8").read() == export.datasheet(docs)
