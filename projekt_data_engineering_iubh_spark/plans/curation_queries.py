@@ -947,3 +947,109 @@ def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("vtok").isNull(), F.col("tok"))
         ).alias("n_unique_oov"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter audit: WHY a doc would be dropped (per-rule diagnosis)
+# ---------------------------------------------------------------------------
+
+_AUDIT_MIN_TOKENS = 5
+_AUDIT_MAX_TOKENS = 100_000
+_AUDIT_MAX_PUNCT_FRAC = 0.30
+_AUDIT_MIN_STOP_FRAC = 0.02
+_AUDIT_MIN_MEAN_WORD = 2.0
+_AUDIT_MAX_MEAN_WORD = 12.0
+_AUDIT_LANGS_SQL = ", ".join(f"'{l}'" for l in ("en", "de", "es", "fr"))
+
+_AUDIT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {tx.tokens_sql('text')} AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         len(toks) AS nt,
+         length(text) AS nc,
+         len(regexp_extract_all(text, '{tx.PUNCT_RE}')) AS punct,
+         len(list_filter(toks, x -> list_contains({tx.STOPWORDS_SQL}, x))) AS stop,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_reduce(list_transform(toks, x -> length(x)),
+                                    (a, b) -> a + b) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_word
+  FROM t
+)
+SELECT doc_id,
+       nt < {_AUDIT_MIN_TOKENS} AS too_short,
+       nt > {_AUDIT_MAX_TOKENS} AS too_long,
+       CASE WHEN nc > 0 THEN CAST(punct AS DOUBLE) / nc > {_AUDIT_MAX_PUNCT_FRAC}
+            ELSE FALSE END AS too_much_punct,
+       CASE WHEN nt > 0 THEN CAST(stop AS DOUBLE) / nt < {_AUDIT_MIN_STOP_FRAC}
+            ELSE FALSE END AS low_stopword,
+       mean_word < {_AUDIT_MIN_MEAN_WORD}
+         OR mean_word > {_AUDIT_MAX_MEAN_WORD} AS odd_word_length,
+       lang NOT IN ({_AUDIT_LANGS_SQL}) AS bad_lang,
+       CAST((CASE WHEN nt < {_AUDIT_MIN_TOKENS} THEN 1 ELSE 0 END)
+          + (CASE WHEN nt > {_AUDIT_MAX_TOKENS} THEN 1 ELSE 0 END)
+          + (CASE WHEN nc > 0 AND CAST(punct AS DOUBLE) / nc > {_AUDIT_MAX_PUNCT_FRAC} THEN 1 ELSE 0 END)
+          + (CASE WHEN nt > 0 AND CAST(stop AS DOUBLE) / nt < {_AUDIT_MIN_STOP_FRAC} THEN 1 ELSE 0 END)
+          + (CASE WHEN mean_word < {_AUDIT_MIN_MEAN_WORD} OR mean_word > {_AUDIT_MAX_MEAN_WORD} THEN 1 ELSE 0 END)
+          + (CASE WHEN lang NOT IN ({_AUDIT_LANGS_SQL}) THEN 1 ELSE 0 END)
+          AS INTEGER) AS n_failed
+FROM m
+"""
+
+
+@register("docs_filter_audit", oracle=_AUDIT_SQL, driver=False)
+def docs_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document filter AUDIT — the debugging view every curation
+    pipeline needs ("why was this doc dropped?"): one boolean per
+    C4/Gopher-style rule (token-count bounds, punctuation fraction,
+    stopword floor, mean-word-length band, language set) plus the failed
+    count. Entirely map-side (no shuffle but the source scan): the rules
+    reuse the same tokenizer/punct/stopword primitives as the quality
+    score, so the audit can never disagree with the filters it explains."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = tx.tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("nt"),
+        F.length("text").alias("nc"),
+        F.regexp_count("text", F.lit(tx.PUNCT_RE)).alias("punct"),
+        tx.stopword_count_expr(toks).alias("stop"),
+        F.when(
+            F.size(toks) > 0,
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x)),
+                F.lit(0),
+                lambda a, b: a + b,
+            ).cast("double")
+            / F.size(toks),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_word"),
+    )
+    too_short = F.col("nt") < _AUDIT_MIN_TOKENS
+    too_long = F.col("nt") > _AUDIT_MAX_TOKENS
+    too_punct = F.when(
+        F.col("nc") > 0,
+        F.col("punct").cast("double") / F.col("nc") > _AUDIT_MAX_PUNCT_FRAC,
+    ).otherwise(F.lit(False))
+    low_stop = F.when(
+        F.col("nt") > 0,
+        F.col("stop").cast("double") / F.col("nt") < _AUDIT_MIN_STOP_FRAC,
+    ).otherwise(F.lit(False))
+    odd_word = (F.col("mean_word") < _AUDIT_MIN_MEAN_WORD) | (
+        F.col("mean_word") > _AUDIT_MAX_MEAN_WORD
+    )
+    bad_lang = ~F.col("lang").isin("en", "de", "es", "fr")
+    flags = [too_short, too_long, too_punct, low_stop, odd_word, bad_lang]
+    n_failed = sum(f.cast("int") for f in flags)
+    return m.select(
+        "doc_id",
+        too_short.alias("too_short"),
+        too_long.alias("too_long"),
+        too_punct.alias("too_much_punct"),
+        low_stop.alias("low_stopword"),
+        odd_word.alias("odd_word_length"),
+        bad_lang.alias("bad_lang"),
+        n_failed.cast("int").alias("n_failed"),
+    )

@@ -59,6 +59,7 @@ LOCAL_ONLY_FAMILY = {
     "docs_corpus_curated_lm",
     "docs_vocab_coverage",
     "docs_dedup_clusters_star",
+    "docs_filter_audit",
 }
 
 
