@@ -47,6 +47,7 @@ def _make_handler(spark: SparkSession, warehouse_dir: str):
 
         def _send(self, code: int, body: str) -> None:
             data = body.encode("utf-8")
+            self._responded = True  # headers about to go out
             self.send_response(code)
             self.send_header("Content-Type", "text/html; charset=utf-8")
             self.send_header("Content-Length", str(len(data)))
@@ -75,8 +76,18 @@ def _make_handler(spark: SparkSession, warehouse_dir: str):
                     )
                 else:
                     self._send(404, "<p>not found</p>")
+            except (BrokenPipeError, ConnectionError):
+                pass  # client went away mid-response; nothing to send
             except Exception as ex:  # noqa: BLE001 — surface to the client
-                self._send(500, f"<pre>{_html.escape(str(ex))}</pre>")
+                # only emit a 500 if we have not already started a
+                # response (a second status line would be malformed HTTP)
+                if not getattr(self, "_responded", False):
+                    try:
+                        self._send(
+                            500, f"<pre>{_html.escape(str(ex))}</pre>"
+                        )
+                    except OSError:
+                        pass
 
         def _index(self) -> str:
             dates = [
@@ -109,14 +120,19 @@ def _make_handler(spark: SparkSession, warehouse_dir: str):
 
 
 def serve(
-    spark: SparkSession, warehouse_dir: str, *, port: int = 8050
+    spark: SparkSession,
+    warehouse_dir: str,
+    *,
+    port: int = 8050,
+    host: str = "127.0.0.1",
 ) -> ThreadingHTTPServer:
     """Start the server on a daemon thread and return it (``port=0``
     picks an ephemeral port — ``server.server_address[1]`` has it; call
-    ``server.shutdown()`` to stop). Blocking deployments just call
-    ``serve(...).serve_forever()`` — see main()."""
+    ``server.shutdown()`` to stop). ``host`` defaults to loopback for
+    local safety; the containerized deploy role passes 0.0.0.0 so the
+    service is reachable across the topology."""
     server = ThreadingHTTPServer(
-        ("127.0.0.1", port), _make_handler(spark, warehouse_dir)
+        (host, port), _make_handler(spark, warehouse_dir)
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -124,15 +140,17 @@ def serve(
 
 
 def main(argv: list[str]) -> int:
-    """``python -m …pipeline.dashboard_server <warehouse_dir> [port]``"""
+    """``python -m …pipeline.dashboard_server <warehouse_dir> [port]
+    [host]``"""
     from projekt_data_engineering_iubh_spark.session import get_spark
 
     if len(argv) < 2:
-        print("usage: dashboard_server.py <warehouse_dir> [port]")
+        print("usage: dashboard_server.py <warehouse_dir> [port] [host]")
         return 1
     port = int(argv[2]) if len(argv) > 2 else 8050
+    host = argv[3] if len(argv) > 3 else "127.0.0.1"
     spark = get_spark("dashboard_server")
-    server = serve(spark, argv[1], port=port)
+    server = serve(spark, argv[1], port=port, host=host)
     print(f"serving on http://127.0.0.1:{server.server_address[1]}/")
     try:
         threading.Event().wait()  # run until killed

@@ -43,6 +43,13 @@ def export_jsonl(
         .partitionBy("shard")
         .json(out_path)
     )
+    # DENSE shard contract: partitionBy only materializes directories for
+    # present values, but a loader addressing shards 0..N-1 by name must
+    # find every one — create any hash bucket that received zero docs
+    import os
+
+    for i in range(shards):
+        os.makedirs(os.path.join(out_path, f"shard={i}"), exist_ok=True)
 
 
 def datasheet(corpus: DataFrame, *, title: str = "Corpus datasheet") -> str:

@@ -959,7 +959,14 @@ _AUDIT_MAX_PUNCT_FRAC = 0.30
 _AUDIT_MIN_STOP_FRAC = 0.02
 _AUDIT_MIN_MEAN_WORD = 2.0
 _AUDIT_MAX_MEAN_WORD = 12.0
-_AUDIT_LANGS_SQL = ", ".join(f"'{l}'" for l in ("en", "de", "es", "fr"))
+# the CANONICAL corpus language set (plans/text_queries.py) — a third
+# copy here would drift from the filters this audit explains
+from projekt_data_engineering_iubh_spark.plans.text_queries import (  # noqa: E402
+    _CORPUS_LANGS,
+    _CORPUS_LANGS_SQL,
+)
+
+_AUDIT_LANGS_SQL = _CORPUS_LANGS_SQL
 
 _AUDIT_SQL = f"""
 WITH t AS (
@@ -985,13 +992,13 @@ SELECT doc_id,
             ELSE FALSE END AS low_stopword,
        mean_word < {_AUDIT_MIN_MEAN_WORD}
          OR mean_word > {_AUDIT_MAX_MEAN_WORD} AS odd_word_length,
-       lang NOT IN ({_AUDIT_LANGS_SQL}) AS bad_lang,
+       (lang IS NULL OR lang NOT IN ({_AUDIT_LANGS_SQL})) AS bad_lang,
        CAST((CASE WHEN nt < {_AUDIT_MIN_TOKENS} THEN 1 ELSE 0 END)
           + (CASE WHEN nt > {_AUDIT_MAX_TOKENS} THEN 1 ELSE 0 END)
           + (CASE WHEN nc > 0 AND CAST(punct AS DOUBLE) / nc > {_AUDIT_MAX_PUNCT_FRAC} THEN 1 ELSE 0 END)
           + (CASE WHEN nt > 0 AND CAST(stop AS DOUBLE) / nt < {_AUDIT_MIN_STOP_FRAC} THEN 1 ELSE 0 END)
           + (CASE WHEN mean_word < {_AUDIT_MIN_MEAN_WORD} OR mean_word > {_AUDIT_MAX_MEAN_WORD} THEN 1 ELSE 0 END)
-          + (CASE WHEN lang NOT IN ({_AUDIT_LANGS_SQL}) THEN 1 ELSE 0 END)
+          + (CASE WHEN lang IS NULL OR lang NOT IN ({_AUDIT_LANGS_SQL}) THEN 1 ELSE 0 END)
           AS INTEGER) AS n_failed
 FROM m
 """
@@ -1040,7 +1047,9 @@ def docs_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd_word = (F.col("mean_word") < _AUDIT_MIN_MEAN_WORD) | (
         F.col("mean_word") > _AUDIT_MAX_MEAN_WORD
     )
-    bad_lang = ~F.col("lang").isin("en", "de", "es", "fr")
+    # null-safe: an unknown/NULL lang is BAD (a raw ~isin would yield
+    # NULL, poisoning n_failed and diverging from the oracle's CASE)
+    bad_lang = F.coalesce(~F.col("lang").isin(*_CORPUS_LANGS), F.lit(True))
     flags = [too_short, too_long, too_punct, low_stop, odd_word, bad_lang]
     n_failed = sum(f.cast("int") for f in flags)
     return m.select(

@@ -518,8 +518,6 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ordered funnel (view -> click -> purchase)
 # ---------------------------------------------------------------------------
 
-_FUNNEL_STEPS = ("view", "click", "purchase")
-
 _FUNNEL_SQL = """
 WITH s1 AS (
   SELECT user_id, MIN(ts) AS t FROM events

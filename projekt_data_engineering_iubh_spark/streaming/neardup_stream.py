@@ -124,16 +124,19 @@ def neardup_filter_batch(
     *,
     tau: float = NEAR_TAU,
     within_batch: bool = True,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Drop batch docs whose signature agrees ≥ ``tau`` with any index doc
     sharing an LSH band, and (``within_batch``) docs near-duplicating a
     LOWER-doc_id doc of the same micro-batch (the same min-representative
     convention as the batch tier's connected components; the greedy
     pairwise rule here — full transitive clustering stays the batch
-    job's). Returns the surviving batch rows unchanged."""
-    bb = band_rows(signatures_from(batch)).withColumnRenamed(
-        "minhash", "b_minhash"
-    )
+    job's). Returns the surviving batch rows unchanged. ``bands`` lets
+    the caller reuse already-computed batch band rows (the per-trigger
+    processor computes them once for every consumer)."""
+    bb = (
+        bands if bands is not None else band_rows(signatures_from(batch))
+    ).withColumnRenamed("minhash", "b_minhash")
 
     def _est(a: str, b: str) -> F.Column:
         return hashing.signature_agreement(F.col(a), F.col(b), _MINHASH_K)
@@ -334,9 +337,12 @@ def make_batch_processor(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         index = load_index(spark, index_path)
-        kept = neardup_filter_batch(batch_df, index, tau=tau)
-        # persist: the frame feeds the store write AND the index append,
-        # and the batch plan must not recompute through the stream source
+        # ONE stable snapshot of the batch and ONE signature pass for
+        # every consumer below (filter, delta append, cluster ingest) —
+        # the batch plan must never recompute through the stream source
+        stable = batch_df.localCheckpoint(eager=True)
+        bb = band_rows(signatures_from(stable)).localCheckpoint(eager=True)
+        kept = neardup_filter_batch(stable, index, tau=tau, bands=bb)
         kept = kept.localCheckpoint(eager=True)
         (
             kept.drop("text_hash")
@@ -359,7 +365,10 @@ def make_batch_processor(
         import shutil
 
         tmp = os.path.join(delta, f".tmp-{uuid.uuid4().hex}")
-        band_rows(signatures_from(kept)).coalesce(1).write.parquet(tmp)
+        kept_bands = bb.join(
+            kept.select("doc_id"), "doc_id", "left_semi"
+        )
+        kept_bands.coalesce(1).write.parquet(tmp)
         part = _glob.glob(os.path.join(tmp, "part-*.parquet"))
         if part:  # empty batches write no part file
             os.replace(part[0], os.path.join(delta, f"{uuid.uuid4().hex}.parquet"))
@@ -372,6 +381,8 @@ def make_batch_processor(
                 cluster_index,
             )
 
-            cluster_index.ingest_batch(spark, batch_df, cluster_root, tau=tau)
+            cluster_index.ingest_batch(
+                spark, stable, cluster_root, tau=tau, bands=bb
+            )
 
     return _process

@@ -71,3 +71,16 @@ def test_datasheet_contents(spark, tmp_path):
     out = str(tmp_path / "sheet.md")
     export.write_datasheet(docs, out)
     assert open(out, encoding="utf-8").read() == export.datasheet(docs)
+
+
+def test_export_jsonl_dense_shards_with_few_docs(spark, tmp_path):
+    """Review fix: every shard=N dir exists even when a hash bucket got
+    zero docs (loaders address shards 0..N-1 by name)."""
+    import glob
+    import os
+
+    docs = load_table(spark, SF_DIR, "documents").limit(3)
+    out = str(tmp_path / "sparse")
+    export.export_jsonl(docs, out, shards=8)
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(dirs) == 8

@@ -52,3 +52,24 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql().keys()) == {
         n for n, q in dq.items() if q.oracle is not None
     }
+
+
+def test_filter_audit_null_lang_is_bad_lang(spark):
+    """Review fix: a NULL lang must flag bad_lang=True with a non-null
+    n_failed (a raw ~isin() would yield NULL and poison the count)."""
+    import os
+    import tempfile
+
+    from projekt_data_engineering_iubh_spark.plans.curation_queries import (
+        docs_filter_audit,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="nulllang_")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today", None,
+          "src0", 49)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    row = docs_filter_audit(spark, tmp).collect()[0]
+    assert row.bad_lang is True
+    assert row.n_failed is not None and row.n_failed >= 1
