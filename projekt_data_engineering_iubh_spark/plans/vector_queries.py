@@ -1357,6 +1357,52 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_TRAINED_SQL = f"""
+WITH brute AS ({_KNN_SQL}),
+tivf AS ({_IVFT_SQL})
+SELECT 'ivf_trained_nprobe1' AS variant, b.query_id,
+       CAST(COUNT(i.neighbor_id) AS INTEGER) AS n_hits,
+       COUNT(i.neighbor_id) / {float(_KNN_K)} AS recall
+FROM brute b LEFT JOIN tivf i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY 2
+"""
+
+
+@register("emb_ann_recall_trained", oracle=_RECALL_TRAINED_SQL, driver=False)
+def emb_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the TRAINED-cell IVF search (emb_ivf_ann_trained)
+    against the brute-force ground truth — extends the recall harness to
+    the trained index so the random-centroid vs Lloyd-cell trade is a
+    measured number per query, not an argument. Same composition shape
+    as emb_ann_recall; kept a separate entry so that query's long-green
+    output (and its oracle) stays byte-stable."""
+    brute = emb_knn_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    a = emb_ivf_ann_trained(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    return (
+        brute.join(
+            a,
+            (brute.query_id == a.query_id)
+            & (brute.neighbor_id == a.a_neighbor),
+            "left",
+        )
+        .drop(a.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor").cast("int").alias("n_hits"),
+            (F.count("a_neighbor") / F.lit(float(_KNN_K))).alias("recall"),
+        )
+        .select(
+            F.lit("ivf_trained_nprobe1").alias("variant"),
+            "query_id",
+            "n_hits",
+            "recall",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Trained-cluster diagnostics (index health: sizes, radii, compactness)
 # ---------------------------------------------------------------------------

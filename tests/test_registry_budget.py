@@ -60,6 +60,7 @@ LOCAL_ONLY_FAMILY = {
     "docs_vocab_coverage",
     "docs_dedup_clusters_star",
     "docs_filter_audit",
+    "emb_ann_recall_trained",
 }
 
 
