@@ -604,3 +604,83 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(F.explode(rows).alias("r")).select(
         "r.stage", "r.step", "r.n_users", "r.conv_from_prev", "r.conv_overall"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH firstseen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_trunc('week', e.ts) AS DATE) AS active_week
+  FROM events e JOIN firstseen f ON f.user_id = e.user_id
+), sized AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM firstseen GROUP BY 1
+)
+SELECT a.cohort_week,
+       CAST(date_diff('day', a.cohort_week, a.active_week) // 7 AS INTEGER)
+         AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users,
+       s.cohort_size,
+       CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / s.cohort_size AS retention
+FROM activity a JOIN sized s ON s.cohort_week = a.cohort_week
+GROUP BY 1, 2, 4
+"""
+
+
+@register("events_cohort_retention", oracle=_COHORT_SQL, driver=False)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the second classic product-analytics
+    shape next to the funnel: users grouped by first-seen week, then for
+    each later week the fraction of the cohort still active. Both
+    engines truncate to ISO (Monday-start) weeks and the offset is an
+    exact day-difference division, so the matrix hash-matches.
+
+    Shapes: first-seen is one per-user min-agg; the activity set is a
+    distinct projection joined back on user_id (same partitioning);
+    cohort sizes are a tiny per-week agg broadcast into the final
+    rollup. All shuffles key on user_id or cohort_week."""
+    e = load_table(spark, sf_dir, "events")
+    firstseen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(firstseen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+        )
+        .distinct()
+    )
+    sized = firstseen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.join(F.broadcast(sized), "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "cohort_size",
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            "cohort_size",
+            (
+                F.col("n_users").cast("double") / F.col("cohort_size")
+            ).alias("retention"),
+        )
+    )

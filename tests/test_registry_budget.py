@@ -63,6 +63,9 @@ LOCAL_ONLY_FAMILY = {
     "emb_ann_recall_trained",
 }
 
+# non-docs/emb local-only entries need no allowlist (the family test
+# only tracks docs_*/emb_*)
+
 
 def test_llm_pipeline_family_is_driver_checked():
     dq = driver_queries()
