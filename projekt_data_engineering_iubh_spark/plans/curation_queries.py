@@ -385,7 +385,7 @@ LEFT JOIN near n ON n.doc_id = b.doc_id
 )
 
 
-@register("docs_dedup_incremental", oracle=_INC_SQL, driver=False)
+@register("docs_dedup_incremental", oracle=_INC_SQL)
 def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: a new batch (source != 'src0') checked
     against the existing corpus (source == 'src0') — drop exact copies
@@ -905,7 +905,7 @@ GROUP BY 1
 """
 
 
-@register("docs_vocab_coverage", oracle=_VOCAB_SQL, driver=False)
+@register("docs_vocab_coverage", oracle=_VOCAB_SQL)
 def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage profiling — the tokenizer-design metric a
     training-data pipeline runs before committing to a vocab: derive the
@@ -1004,7 +1004,7 @@ FROM m
 """
 
 
-@register("docs_filter_audit", oracle=_AUDIT_SQL, driver=False)
+@register("docs_filter_audit", oracle=_AUDIT_SQL)
 def docs_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document filter AUDIT — the debugging view every curation
     pipeline needs ("why was this doc dropped?"): one boolean per

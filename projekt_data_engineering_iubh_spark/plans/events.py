@@ -323,7 +323,7 @@ HAVING COUNT(*) >= 15
 """
 
 
-@register("agg_having", oracle=_HAVING_SQL)
+@register("agg_having", oracle=_HAVING_SQL, driver=False)
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-aggregation filter (HAVING): heavy-hitter customers."""
     o = load_table(spark, sf_dir, "orders")
@@ -349,7 +349,7 @@ FROM events
 """
 
 
-@register("events_map_funcs", oracle=_MAP_FUNCS_SQL)
+@register("events_map_funcs", oracle=_MAP_FUNCS_SQL, driver=False)
 def events_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: from_json → map, map_keys, element access
     (keys stringified for cross-engine comparison), plus path-based JSON
@@ -546,7 +546,7 @@ SELECT 3, 'purchase', CAST(n3 AS BIGINT),
 """
 
 
-@register("events_funnel", oracle=_FUNNEL_SQL, driver=False)
+@register("events_funnel", oracle=_FUNNEL_SQL)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel — the classic product-analytics shape
     (engine breadth; the reference's closest analog is its ordered
@@ -633,7 +633,7 @@ GROUP BY 1, 2, 4
 """
 
 
-@register("events_cohort_retention", oracle=_COHORT_SQL, driver=False)
+@register("events_cohort_retention", oracle=_COHORT_SQL)
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention — the second classic product-analytics
     shape next to the funnel: users grouped by first-seen week, then for

@@ -633,7 +633,7 @@ FROM s
 """
 
 
-@register("agg_stats_percentiles", oracle=_STATS_SQL)
+@register("agg_stats_percentiles", oracle=_STATS_SQL, driver=False)
 def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Descriptive statistics + exact interpolated percentiles in one
     groupBy (registry curation). The stddev is order-exact: both moments
@@ -983,7 +983,7 @@ GROUP BY c_mktsegment
 """
 
 
-@register("pivot_status_by_segment", oracle=_PIVOT_SQL)
+@register("pivot_status_by_segment", oracle=_PIVOT_SQL, driver=False)
 def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long→wide pivot with an explicit value list (one pass, no second
     scan for value discovery — required at scale), over an inner fact→dim
@@ -1031,7 +1031,7 @@ SELECT l_orderkey, l_linenumber, measure, val FROM (
 """
 
 
-@register("unpivot_lineitem", oracle=_UNPIVOT_SQL)
+@register("unpivot_lineitem", oracle=_UNPIVOT_SQL, driver=False)
 def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (melt) of three measures."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -1127,7 +1127,7 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
 
-@register("q18_large_volume_customers", oracle=_Q18_SQL, driver=False)
+@register("q18_large_volume_customers", oracle=_Q18_SQL)
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING over a fact-table aggregation feeding a
     join chain (the grouped-subquery-as-semi-filter idiom). The
@@ -1613,7 +1613,7 @@ GROUP BY sn.n_name, o_year
 """
 
 
-@register("q9_product_profit", oracle=_Q9_SQL, driver=False)
+@register("q9_product_profit", oracle=_Q9_SQL)
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and ship year over a
     part-name pattern — revenue minus cost where cost uses

@@ -431,7 +431,7 @@ def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("doc_id", packed.alias("simhash"))
 
 
-@register("docs_simhash", oracle=_SIMHASH_SQL)
+@register("docs_simhash", oracle=_SIMHASH_SQL, driver=False)
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (token-level, md5-based, portable)."""
     return _simhashes(spark, sf_dir)
@@ -566,7 +566,7 @@ WHERE len(sa.shset) > 0 AND len(sb.shset) > 0
 )
 
 
-@register("docs_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
+@register("docs_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL, driver=False)
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-word shingle set) Jaccard over the MinHash-LSH
     candidate pairs — the verification stage of the near-dup pipeline.
@@ -742,7 +742,7 @@ FROM documents
 """
 
 
-@register("docs_fingerprint", oracle=_FINGERPRINT_SQL)
+@register("docs_fingerprint", oracle=_FINGERPRINT_SQL, driver=False)
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical content fingerprint (md5 of normalized text + 60-bit int)."""
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -965,7 +965,7 @@ FROM documents
 """
 
 
-@register("docs_token_count", oracle=_TOKEN_COUNT_SQL)
+@register("docs_token_count", oracle=_TOKEN_COUNT_SQL, driver=False)
 def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace/alnum tokens + a BPE-ish regex count
     (letter runs | digit runs | single punctuation)."""
@@ -1234,7 +1234,7 @@ def _qual_lm_ctes() -> str:
 _CORPUS_LM_SQL = _corpus_sql(_qual_lm_ctes())
 
 
-@register("docs_corpus_curated_lm", oracle=_CORPUS_LM_SQL, driver=False)
+@register("docs_corpus_curated_lm", oracle=_CORPUS_LM_SQL)
 def docs_corpus_curated_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_corpus_curated under the PERPLEXITY quality lane
     (scorer="lm" in pipeline/corpus.py): Laplace-smoothed bigram LM fit

@@ -257,7 +257,7 @@ FROM embeddings
 """
 
 
-@register("emb_array_funcs", oracle=_ARRAY_FUNCS_SQL)
+@register("emb_array_funcs", oracle=_ARRAY_FUNCS_SQL, driver=False)
 def emb_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector derived-feature surface, one driver entry (registry
     curation): array functions (size, element access, min/max, L2 norm)
@@ -983,7 +983,7 @@ SELECT query_id, neighbor_id, cell, cos_sim, rn FROM tr WHERE rn <= {_IVF_K}
 """
 
 
-@register("emb_ivf_ann_trained", oracle=_IVFT_SQL, driver=False)
+@register("emb_ivf_ann_trained", oracle=_IVFT_SQL)
 def emb_ivf_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN over TRAINED cells: the coarse quantizer is the
     exact fixed-point Lloyd assignment (emb_kmeans's 3 rounds) instead
@@ -1108,7 +1108,7 @@ FROM r WHERE rn <= {_PQ_K}
 _PQT_SQL = _pqt_sql()
 
 
-@register("emb_pq_adc_trained", oracle=_PQT_SQL, driver=False)
+@register("emb_pq_adc_trained", oracle=_PQT_SQL)
 def emb_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization with TRAINED codebooks (r4 VERDICT #4):
     per-subspace Lloyd k-means (operators/kmeans.py, the exact

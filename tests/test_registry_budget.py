@@ -42,7 +42,6 @@ LOCAL_ONLY_FAMILY = {
     "docs_sample",
     "docs_chunk",
     "docs_pack_sequences",
-    "docs_dedup_incremental",
     "emb_quantize_int8",
     "emb_semantic_dedup",
     "emb_ann_recall",
@@ -53,14 +52,18 @@ LOCAL_ONLY_FAMILY = {
     "docs_corpus_curated_model",
     # round 5 rotation (demoted after four green rounds)
     "docs_word_count",
-    # round 5 additions (driver set already at budget)
-    "emb_pq_adc_trained",
-    "emb_ivf_ann_trained",
-    "docs_corpus_curated_lm",
-    "docs_vocab_coverage",
+    # round 5 additions that stay local
     "docs_dedup_clusters_star",
-    "docs_filter_audit",
     "emb_ann_recall_trained",
+    # round 6 rotation: demoted after two green rounds (r4+r5) to free
+    # slots for the never-driver-checked r5 families (docs_dedup_incremental,
+    # emb_ivf/pq trained, corpus_lm, vocab_coverage, filter_audit, funnel,
+    # cohort, q9, q18 all promoted)
+    "docs_simhash",
+    "docs_ngram_jaccard",
+    "docs_fingerprint",
+    "docs_token_count",
+    "emb_array_funcs",
 }
 
 # non-docs/emb local-only entries need no allowlist (the family test
