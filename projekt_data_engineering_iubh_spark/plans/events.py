@@ -146,10 +146,13 @@ SELECT CAST(ts AS DATE) AS event_date,
        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
        CAST(SUM(CASE WHEN event_type = 'purchase'
                 THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value,
-       ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
-                      THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
-             / COUNT(CASE WHEN event_type = 'purchase' THEN value END),
-             4) AS avg_purchase_value,
+       CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN value END) > 0
+            THEN CAST((200 * CAST(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN CAST(value AS DECIMAL(12,2)) END) * 100 AS BIGINT)
+                       + COUNT(CASE WHEN event_type = 'purchase' THEN value END))
+                      // (2 * COUNT(CASE WHEN event_type = 'purchase' THEN value END))
+                      AS DOUBLE) / 10000.0
+       END AS avg_purchase_value,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
        ROUND(MAX(CASE WHEN event_type = 'view' THEN value END), 4) AS max_view_value,
        ROUND(MIN(CASE WHEN event_type = 'view' THEN value END), 4) AS min_view_value
@@ -161,7 +164,7 @@ GROUP BY 1, 2
 def _hourly_rollup(ev: DataFrame) -> DataFrame:
     is_purchase = F.col("event_type") == "purchase"
     is_view = F.col("event_type") == "view"
-    return ev.groupBy(
+    out = ev.groupBy(
         F.to_date("ts").alias("event_date"),
         F.hour("ts").alias("event_hour"),
     ).agg(
@@ -171,19 +174,45 @@ def _hourly_rollup(ev: DataFrame) -> DataFrame:
         F.sum(F.when(is_purchase, F.col("value").cast("decimal(12,2)")))
         .cast("double")
         .alias("purchase_value"),
-        # Exact decimal sum, then ONE double division on identical operands on
-        # both engines — ROUND(AVG(double)) is FP-summation-order sensitive
-        # (flips with core count; see VERDICT r1 #1) while sum-of-cents and the
-        # non-null count are order-exact integers on both Spark and DuckDB.
-        F.round(
-            F.sum(F.when(is_purchase, F.col("value").cast("decimal(12,2)")))
-            .cast("double")
-            / F.count(F.when(is_purchase, F.col("value"))),
-            4,
-        ).alias("avg_purchase_value"),
+        # exact sum-of-cents + non-null count feed the half-up average below
+        (
+            F.sum(F.when(is_purchase, F.col("value").cast("decimal(12,2)"))) * 100
+        )
+        .cast("long")
+        .alias("_pcents"),
+        F.count(F.when(is_purchase, F.col("value"))).alias("_pn"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
         F.round(F.max(F.when(is_view, F.col("value"))), 4).alias("max_view_value"),
         F.round(F.min(F.when(is_view, F.col("value"))), 4).alias("min_view_value"),
+    )
+    # Exact-arithmetic half-up rounding: the average of the exact
+    # sum-of-cents over the exact non-null count, rounded to 4 dp ENTIRELY
+    # in integer arithmetic — floor((200·cents + n) / (2n)) / 1e4. The
+    # previous formulation (ROUND(double_sum / n, 4)) is cross-engine
+    # divergent at rounding boundaries: at sf1 one group's exact average
+    # is 56.64625, the double quotient is 56.6462499999…, Spark's
+    # BigDecimal-exact HALF_UP rounds it DOWN while DuckDB's
+    # multiply-by-1e4 product lands exactly on the double 566462.5 and
+    # rounds UP. Integer DIV is deterministic and identical on both
+    # engines and equals the true HALF_UP of the exact rational
+    # (r6 sf1-scale audit; oracle mirrors with DuckDB's //).
+    return out.withColumn(
+        "avg_purchase_value",
+        F.expr(
+            "CASE WHEN _pn > 0 THEN"
+            " CAST((200 * _pcents + _pn) DIV (2 * _pn) AS DOUBLE) / 10000.0 END"
+        ),
+    ).select(
+        "event_date",
+        "event_hour",
+        "n_events",
+        "n_users",
+        "n_purchases",
+        "purchase_value",
+        "avg_purchase_value",
+        "n_errors",
+        "max_view_value",
+        "min_view_value",
     )
 
 
