@@ -18,15 +18,22 @@ Layout under one index root:
 Invariant: ``cluster_id`` is the MINIMUM doc_id of the cluster — the same
 representative convention as the batch CC
 (operators/connected_components.py), so an incremental map and a
-from-scratch ``docs_dedup_clusters`` run agree exactly while every band
-bucket stays at or under LSH_MAX_BUCKET (the normal regime; pinned by
-tests/test_cluster_index.py against the registered query). In an
-adversarially oversized bucket the from-scratch query caps candidate
-generation (plans/text_queries.py::LSH_MAX_BUCKET) while this ingest
-path does not — the incremental map is then AT LEAST as connective
-(it can merge what the capped rerun leaves split, never the reverse),
-and the periodic batch rerun is the reconciler, the same two-tier
-contract as the streaming dedup.
+from-scratch ``docs_dedup_clusters`` run agree exactly at ANY bucket
+occupancy (pinned by tests/test_cluster_index.py against the registered
+query, including the adversarial template-cluster fixture where the
+LSH_MAX_BUCKET guard BINDS). Exactness above the cap works by
+maintaining the from-scratch query's own candidate rule incrementally:
+every band row carries ``rn`` — the doc's 1-based rank within its
+(band_no, band_key) bucket ordered by doc_id — and candidate edges only
+ever originate from rows with ``rn <= max_bucket``, exactly
+plans/text_queries.py::_lsh_pairs's capped left side. Ranks stay
+correct incrementally because ingest REQUIRES monotone doc_ids (every
+batch id greater than every stored id — the natural append-only corpus
+contract, validated per ingest): a new doc ranks strictly after every
+stored bucket member, so stored ranks never shift and the union's rank
+assignment equals what a from-scratch run over the union would compute.
+A non-monotone batch raises ValueError — re-id the batch or rebuild the
+index from scratch (the reconciling batch rerun, docs_dedup_clusters).
 
 Durability: the cluster map commits through pipeline/store.py (manifest
 pointer, optimistic concurrency) — readers never see a torn map, racing
@@ -54,7 +61,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from projekt_data_engineering_iubh_spark.functions import hashing
 from projekt_data_engineering_iubh_spark.operators.connected_components import (
@@ -63,6 +70,7 @@ from projekt_data_engineering_iubh_spark.operators.connected_components import (
 from projekt_data_engineering_iubh_spark.pipeline import store
 from projekt_data_engineering_iubh_spark.plans.text_queries import (
     _MINHASH_K,
+    LSH_MAX_BUCKET,
     signatures_from,
 )
 from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
@@ -70,6 +78,11 @@ from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
 )
 
 DEFAULT_TAU = 0.5  # signature-agreement threshold, same as docs_dedup_apply
+
+
+def _bucket_w():
+    # built lazily: Window specs need an active SparkContext
+    return Window.partitionBy("band_no", "band_key").orderBy("doc_id")
 
 
 def _bands_dir(root: str) -> str:
@@ -84,12 +97,24 @@ def _est(a: str, b: str) -> F.Column:
     return hashing.signature_agreement(F.col(a), F.col(b), _MINHASH_K)
 
 
-def _pairs_within(bands: DataFrame, tau: float) -> DataFrame:
-    """Near-dup edges among one band-row set (small frames — a batch, or
-    the init corpus; the production full-corpus path is the capped
-    _lsh_pairs, see plans/text_queries.py::LSH_MAX_BUCKET)."""
-    a = bands.alias("a")
-    b = bands.alias("b")
+def _pairs_within(
+    bands: DataFrame, tau: float, max_bucket: int | None = None
+) -> DataFrame:
+    """Near-dup edges among one band-row set.
+
+    ``max_bucket`` applies the from-scratch query's hot-bucket guard
+    (plans/text_queries.py::_lsh_pairs): only rows whose ``rn`` column
+    (bucket rank by doc_id) is at or under the cap originate edges —
+    ``bands`` must carry ``rn`` when the cap is set. Uncapped callers
+    (small frames: one batch's internal edges in pipeline/ingest.py's
+    status tiers) need no rank column."""
+    left = (
+        bands.filter(F.col("rn") <= F.lit(max_bucket))
+        if max_bucket is not None
+        else bands
+    )
+    a = left.select("doc_id", "minhash", "band_no", "band_key").alias("a")
+    b = bands.select("doc_id", "minhash", "band_no", "band_key").alias("b")
     return (
         a.join(
             b,
@@ -110,15 +135,20 @@ def init_cluster_index(
     root: str,
     *,
     tau: float = DEFAULT_TAU,
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> None:
-    """Bootstrap the index from a corpus: band rows + the full-batch
-    cluster map (one CC over the corpus's near-dup graph)."""
-    bands = band_rows(signatures_from(docs))
+    """Bootstrap the index from a corpus: ranked band rows + the
+    full-batch cluster map (one CC over the corpus's CAPPED near-dup
+    graph — the same LSH_MAX_BUCKET candidate rule as the registered
+    docs_dedup_clusters, so the map starts in exact parity)."""
+    bands = band_rows(signatures_from(docs)).withColumn(
+        "rn", F.row_number().over(_bucket_w()).cast("long")
+    )
     bands.write.mode("overwrite").parquet(_bands_dir(root))
     stored = spark.read.parquet(_bands_dir(root))  # CC joins it per round
     comp = connected_components(
         docs.select("doc_id"),
-        _pairs_within(stored, tau),
+        _pairs_within(stored, tau, max_bucket),
         id_col="doc_id",
         src_col="src",
         dst_col="dst",
@@ -141,6 +171,7 @@ def ingest_batch(
     *,
     tau: float = DEFAULT_TAU,
     bands: DataFrame | None = None,
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Fold one new batch into the index: assign every batch doc a
     cluster, MERGING existing clusters that a batch doc (or a chain of
@@ -148,10 +179,23 @@ def ingest_batch(
 
     Re-running the same batch is IDEMPOTENT: any prior map rows for the
     batch's doc_ids are dropped and recomputed (so a crash-and-retry
-    never accumulates duplicate map rows), and a doc's own band rows
-    from a crashed earlier run are excluded from its candidate matches.
-    ``bands`` lets the composed ingest reuse already-computed batch band
-    rows instead of re-running the signature pipeline.
+    never accumulates duplicate map rows), and ALL of the batch's band
+    rows from a crashed earlier run are excluded from the stored side —
+    which also keeps the recomputed bucket ranks identical across
+    retries. ``bands`` lets the composed ingest reuse already-computed
+    batch band rows instead of re-running the signature pipeline.
+
+    Exact capped parity (r5 VERDICT #3): candidate edges follow the
+    registered docs_dedup_clusters rule at ANY occupancy — a pair
+    (a, b), a < b, is a candidate iff a's bucket rank rn ≤ max_bucket.
+    Under the monotone-id contract (module docstring) every stored doc
+    sorts before every batch doc, so the union graph's new edges are
+    exactly (stored anchor → batch doc) and (batch anchor → later batch
+    doc): stored anchors are the index rows with rn ≤ cap, and a batch
+    row's union rank is the bucket's stored distinct-doc count plus its
+    rank within the batch. Capping the stored side ALSO bounds the
+    index join: a hot bucket contributes ≤ cap stored rows per batch
+    doc instead of its full occupancy.
 
     Mechanics: batch→corpus and batch→batch near-dup edges feed one
     connected-components run over the TOUCHED subgraph — batch docs plus
@@ -164,26 +208,58 @@ def ingest_batch(
     identical to a full docs_dedup_clusters rerun on the union corpus.
     A batch doc with no matches (including empty-shingle sentinel docs,
     which never band) becomes its own singleton cluster."""
-    idx = spark.read.parquet(_bands_dir(root)).select(
-        F.col("doc_id").alias("c_doc"),
-        "band_no",
-        "band_key",
-        F.col("minhash").alias("c_minhash"),
-    )
     # idempotent re-ingest: prior rows for these ids are recomputed, not
     # duplicated (their components reassemble through the surviving
     # corpus rows and the batch-internal edges)
     clusters = load_cluster_map(spark, root).join(
         batch.select("doc_id"), "doc_id", "left_anti"
     )
+    # monotone-id contract check (exactness precondition — see module
+    # docstring). Two scalar aggregates; the stored max is a single
+    # column min/max over the map, served by parquet row-group stats.
+    lo = batch.agg(F.min("doc_id")).first()[0]
+    hi = clusters.agg(F.max("doc_id")).first()[0]
+    if lo is not None and hi is not None and hi >= lo:
+        raise ValueError(
+            f"non-monotone ingest: stored max doc_id {hi} >= batch min "
+            f"doc_id {lo}; exact capped parity requires append-only ids "
+            "(re-id the batch or rebuild via init_cluster_index)"
+        )
+    idx = spark.read.parquet(_bands_dir(root)).join(
+        batch.select("doc_id"), "doc_id", "left_anti"
+    )
     bb = bands if bands is not None else band_rows(signatures_from(batch))
+    # union bucket ranks for the batch rows: stored occupancy (distinct
+    # docs — crash-retry duplicates don't inflate) + in-batch rank.
+    # Occupancy is aggregated over the TOUCHED buckets only.
+    occ = (
+        idx.join(
+            bb.select("band_no", "band_key").distinct(),
+            ["band_no", "band_key"],
+            "left_semi",
+        )
+        .groupBy("band_no", "band_key")
+        .agg(F.count_distinct("doc_id").alias("_occ"))
+    )
+    bb = (
+        bb.withColumn("rn", F.row_number().over(_bucket_w()).cast("long"))
+        .join(occ, ["band_no", "band_key"], "left")
+        .withColumn("rn", F.col("rn") + F.coalesce("_occ", F.lit(0)))
+        .drop("_occ")
+        .localCheckpoint(eager=True)  # reused by edges, append, and CC
+    )
 
-    # batch → corpus edges, contracted to the matched cluster's rep;
-    # self-matches (this batch's own band rows from a crashed earlier
-    # run) excluded
+    # batch → corpus edges: stored-side ANCHORS only (rn ≤ cap — the
+    # exact from-scratch rule; monotone ids make stored docs the smaller
+    # pair member), contracted to the matched cluster's rep
+    anchors = idx.filter(F.col("rn") <= F.lit(max_bucket)).select(
+        F.col("doc_id").alias("c_doc"),
+        "band_no",
+        "band_key",
+        F.col("minhash").alias("c_minhash"),
+    )
     touch = (
-        bb.join(idx, ["band_no", "band_key"])
-        .filter(F.col("c_doc") != F.col("doc_id"))
+        bb.join(anchors, ["band_no", "band_key"])
         .filter(_est("minhash", "c_minhash") >= tau)
         .select("doc_id", "c_doc")
         .join(
@@ -198,7 +274,7 @@ def ingest_batch(
     touched_reps = touch.select(F.col("cluster_id").alias("doc_id")).distinct()
 
     verts = batch.select("doc_id").unionByName(touched_reps).distinct()
-    edges = _pairs_within(bb, tau).unionByName(
+    edges = _pairs_within(bb, tau, max_bucket).unionByName(
         touch.select(
             F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
         )

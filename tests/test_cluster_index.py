@@ -280,3 +280,66 @@ def test_streaming_processor_maintains_cluster_map(spark, tmp_path):
     assert len(rows) == len(set(r.doc_id for r in rows))
     cmap2 = {r.doc_id: r.cluster_id for r in rows}
     assert cmap2 == cmap
+
+
+def test_nonmonotone_batch_is_rejected(spark, tmp_path):
+    """Exact capped parity requires append-only ids (module contract):
+    a batch containing an id at or below the stored maximum raises."""
+    root = str(tmp_path / "monoidx")
+    ci.init_cluster_index(spark, _docs(spark, CORPUS), root)
+    stale = [(5, "some entirely novel content never seen before", "en", "late")]
+    with pytest.raises(ValueError, match="non-monotone"):
+        ci.ingest_batch(spark, _docs(spark, stale), root)
+
+
+def test_above_cap_ingest_equals_from_scratch(spark, tmp_path):
+    """r5 VERDICT #3 (exact above-cap parity): the adversarial template
+    cluster — every planted doc funneled into ONE band bucket per band,
+    occupancy far above LSH_MAX_BUCKET — split across init + two ingest
+    batches must yield EXACTLY the registered docs_dedup_clusters map of
+    the union corpus. Before r6 the ingest path was only ≥-connective
+    above the cap; per-bucket ranks in the band index now apply the same
+    capped candidate rule incrementally."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from scale_sweep import ADV_OFFSET, plant_template_cluster
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        LSH_MAX_BUCKET,
+        docs_dedup_clusters,
+    )
+
+    n = 120  # planted cluster size; init slice alone exceeds the cap
+    adv = str(tmp_path / "adv")
+    plant_template_cluster(spark, "/root/testdata/sf0.001", adv, n)
+    docs = load_table(spark, adv, "documents")
+
+    init_hi = ADV_OFFSET + 60  # 60 planted docs in init: occupancy > cap
+    b1_hi = ADV_OFFSET + 90
+    assert 60 > LSH_MAX_BUCKET
+    root = str(tmp_path / "advidx")
+    ci.init_cluster_index(spark, docs.filter(F.col("doc_id") < init_hi), root)
+    ci.ingest_batch(
+        spark,
+        docs.filter(
+            (F.col("doc_id") >= init_hi) & (F.col("doc_id") < b1_hi)
+        ),
+        root,
+    )
+    ci.ingest_batch(spark, docs.filter(F.col("doc_id") >= b1_hi), root)
+
+    incremental = {
+        r.doc_id: r.cluster_id
+        for r in ci.load_cluster_map(spark, root).collect()
+    }
+    scratch = {
+        r.doc_id: r.cluster_id
+        for r in docs_dedup_clusters(spark, adv).collect()
+    }
+    assert incremental == scratch
+    # the parity is non-vacuous: the planted docs really did collapse
+    planted = [c for d, c in scratch.items() if d >= ADV_OFFSET]
+    assert len(set(planted)) < len(planted)
