@@ -319,12 +319,26 @@ def ingest_batch(
 
 
 def maintain(
-    spark: SparkSession, root: str, *, keep: int = 2
+    spark: SparkSession,
+    root: str,
+    *,
+    keep: int = 2,
+    band_table: str | None = None,
+    signature_index: str | None = None,
 ) -> dict[str, int]:
     """Periodic upkeep: vacuum superseded cluster-map snapshots (one per
     ingest accumulates otherwise) and compact the band dir — crash-retry
     re-appends leave duplicate band rows (advisory, correct, but paying
     bytes and candidate duplicates forever).
+
+    The one maintenance entrypoint for BOTH band-delta producers
+    (r5 VERDICT #4): pass ``band_table`` to fold the batch tier's
+    bucketed band index delta (corpus_store.compact_band_index) and/or
+    ``signature_index`` to fold the streaming near-dup index delta
+    (streaming/neardup_stream.compact_signature_index) — both run the
+    shared pipeline/band_delta.py fold protocol, so one compaction
+    invariant (live-list → integrate → ledger, one-cycle folded grace)
+    covers every index in the deployment.
 
     Run WITHOUT concurrent ingests (a maintenance window, the same
     contract as store.init_store's migration): the band compaction is a
@@ -352,8 +366,22 @@ def maintain(
     else:
         shutil.rmtree(tmp)
     removed = store.vacuum(_clusters_dir(root), keep=keep)
-    return {
+    out = {
         "band_rows_before": n_before,
         "band_rows_after": n_after,
         "map_snapshots_removed": len(removed),
     }
+    if band_table is not None:
+        from projekt_data_engineering_iubh_spark.pipeline import corpus_store
+
+        out["band_delta_files_folded"] = corpus_store.compact_band_index(
+            spark, band_table
+        )
+    if signature_index is not None:
+        from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+            compact_signature_index,
+        )
+
+        compact_signature_index(spark, signature_index)
+        out["signature_index_compactions"] = 1
+    return out

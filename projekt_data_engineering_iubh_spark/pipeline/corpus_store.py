@@ -25,7 +25,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from projekt_data_engineering_iubh_spark.pipeline import band_delta
+
 DEFAULT_BUCKETS = 16  # sized for tests; production sizes to ~executor count
+
+
+def table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem location of a catalog table (the band index's delta
+    area lives under it, underscore-prefixed so table scans skip it)."""
+    row = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .filter(F.col("col_name") == "Location")
+        .select("data_type")
+        .first()
+    )
+    loc = row[0]
+    return loc[len("file:") :] if loc.startswith("file:") else loc
 
 
 # ONE statement of each bucket spec: appends into a bucketed table must
@@ -83,17 +98,52 @@ def append_band_index(
     docs: DataFrame,
     table: str,
     *,
-    buckets: int = DEFAULT_BUCKETS,
     bands: DataFrame | None = None,
 ) -> None:
-    """Append new docs' band rows to the bucketed index. ``bands`` lets a
-    caller that already computed the batch's band rows (the composed
-    ingest) avoid re-running the signature pipeline."""
-    _write_bands(
-        bands if bands is not None else _band_rows_of(docs),
-        table,
-        "append",
-        buckets,
+    """Append new docs' band rows to the index's DELTA area — the shared
+    LSM mechanism (pipeline/band_delta.py, one atomic file per batch;
+    r5 VERDICT #4), not a per-batch bucketed append. Cheap at ingest
+    time (no bucket shuffle, no catalog write); readers union the delta
+    in per join branch (band_index_frames) and compact_band_index folds
+    it into the bucketed table on the maintenance cadence. ``bands``
+    lets a caller that already computed the batch's band rows (the
+    composed ingest) avoid re-running the signature pipeline."""
+    rows = bands if bands is not None else _band_rows_of(docs)
+    spark = rows.sparkSession
+    band_delta.append_one(rows, table_location(spark, table))
+
+
+def band_index_frames(
+    spark: SparkSession, table: str
+) -> tuple[DataFrame, DataFrame | None]:
+    """(bucketed base, live delta-or-None). Kept as SEPARATE frames on
+    purpose: unioning them first would discard the base's bucketed
+    output partitioning and force the full corpus side through an
+    exchange — consumers join each branch and union the RESULTS, so the
+    base branch stays zero-exchange and only the (small) delta branch
+    shuffles."""
+    return (
+        spark.table(table),
+        band_delta.read_delta(spark, table_location(spark, table)),
+    )
+
+
+def compact_band_index(
+    spark: SparkSession, table: str, *, buckets: int = DEFAULT_BUCKETS
+) -> int:
+    """Fold the live delta files into the bucketed table (the batch
+    tier's flavor of the shared fold protocol — spec-restating catalog
+    append; one-cycle folded grace window, racing appends stay live).
+    Returns the number of files folded."""
+
+    def integrate(listed: list[str]) -> None:
+        if not listed:
+            return
+        rows = spark.read.parquet(*listed)
+        _write_bands(rows, table, "append", buckets)
+
+    return len(
+        band_delta.fold(spark, table_location(spark, table), integrate)
     )
 
 
@@ -127,34 +177,47 @@ def near_matches(
     Self-matches (same doc_id on both sides) are excluded so a re-run
     of a partially-crashed ingest — whose band rows already landed in
     the index — doesn't classify a doc as a near-dup of ITSELF.
+
+    The index is read as base + delta (band_index_frames) and each
+    branch is joined SEPARATELY, results unioned before the groupBy:
+    the bucketed base branch keeps its zero-exchange join (plan-pinned
+    by tests/test_corpus_bucketed.py) while the small not-yet-compacted
+    delta branch shuffles on its own.
+
     Scale note: the join is linear in batch size but bucket-unbounded
-    on the index side; the LSH_MAX_BUCKET cap applies to the
-    from-scratch candidate generator, not the stored index (see
-    cluster_index.py's parity contract)."""
+    on the index side; the LSH_MAX_BUCKET cap applies to the candidate
+    generators (from-scratch AND, since r6, cluster_index's incremental
+    path), not this diagnostic match tier."""
     from projekt_data_engineering_iubh_spark.functions import hashing
     from projekt_data_engineering_iubh_spark.plans.text_queries import (
         _MINHASH_K,
     )
 
-    idx = spark.table(table).select(
-        F.col("doc_id").alias("c_doc"),
-        "band_key",
-        F.col("minhash").alias("c_minhash"),
-    )
+    base, delta = band_index_frames(spark, table)
     bb = bands if bands is not None else _band_rows_of(batch)
     est = hashing.signature_agreement(
         F.col("minhash"), F.col("c_minhash"), _MINHASH_K
     )
-    return (
-        bb.join(idx, "band_key")
-        .filter(F.col("c_doc") != F.col("doc_id"))
-        .select("doc_id", "c_doc", est.alias("est"))
-        .filter(F.col("est") >= tau)
-        .groupBy("doc_id")
-        .agg(
-            F.min("c_doc").alias("match_doc_id"),
-            F.max("est").alias("est_jaccard"),
+
+    def branch(idx: DataFrame) -> DataFrame:
+        side = idx.select(
+            F.col("doc_id").alias("c_doc"),
+            "band_key",
+            F.col("minhash").alias("c_minhash"),
         )
+        return (
+            bb.join(side, "band_key")
+            .filter(F.col("c_doc") != F.col("doc_id"))
+            .select("doc_id", "c_doc", est.alias("est"))
+            .filter(F.col("est") >= tau)
+        )
+
+    hits = branch(base)
+    if delta is not None:
+        hits = hits.unionByName(branch(delta))
+    return hits.groupBy("doc_id").agg(
+        F.min("c_doc").alias("match_doc_id"),
+        F.max("est").alias("est_jaccard"),
     )
 
 

@@ -167,48 +167,31 @@ def neardup_filter_batch(
 
 
 # Streaming appends live in an LSM-style delta area NEXT TO the index
-# snapshots: Spark/Hadoop readers skip underscore-prefixed paths, so the
-# delta never leaks into a plain scan of the index root — readers union
-# it in explicitly via load_index(), and compact_signature_index() folds
-# exactly the delta files it listed into the next snapshot (appends that
-# race the compaction stay in the delta and remain visible — no lost
-# rows, the property a resolved-dir append could not give).
-_APPENDS_SUBDIR = "_appends"
+# snapshots — the machinery (atomic single-file appends, live/folded
+# listing with a one-cycle grace window, the fold protocol) is SHARED
+# with the batch tier's bucketed band index: pipeline/band_delta.py
+# (r5 VERDICT #4). Readers union the delta in explicitly via
+# load_index(); compact_signature_index() folds exactly the delta files
+# it listed into the next snapshot (appends that race the compaction
+# stay in the delta and remain visible — no lost rows, the property a
+# resolved-dir append could not give). The thin wrappers below keep this
+# module's historical names.
+from projekt_data_engineering_iubh_spark.pipeline import band_delta as _delta
+
+_APPENDS_SUBDIR = _delta.APPENDS_SUBDIR
+_FOLDED_LEDGER = _delta.FOLDED_LEDGER
 
 
 def _appends_dir(index_path: str) -> str:
-    import os
-
-    return os.path.join(index_path, _APPENDS_SUBDIR)
-
-
-_FOLDED_LEDGER = ".folded.json"
+    return _delta.appends_dir(index_path)
 
 
 def _folded_names(index_path: str) -> set[str]:
-    import json
-    import os
-
-    ledger = os.path.join(_appends_dir(index_path), _FOLDED_LEDGER)
-    if not os.path.isfile(ledger):
-        return set()
-    return set(json.load(open(ledger)))
+    return _delta.folded_names(index_path)
 
 
 def _append_files(index_path: str, *, include_folded: bool = False) -> list[str]:
-    """Live delta files: on disk and not yet marked folded. Folded files
-    stay on disk until the NEXT compaction (one-cycle retention) so a
-    reader whose plan listed them before the fold can still scan them —
-    the delta-side analog of vacuum's snapshot retention."""
-    import glob as _glob
-    import os
-
-    folded = set() if include_folded else _folded_names(index_path)
-    return sorted(
-        f
-        for f in _glob.glob(os.path.join(_appends_dir(index_path), "*.parquet"))
-        if os.path.isfile(f) and os.path.basename(f) not in folded
-    )
+    return _delta.live_files(index_path, include_folded=include_folded)
 
 
 def load_index(spark, index_path: str) -> DataFrame:
@@ -217,61 +200,33 @@ def load_index(spark, index_path: str) -> DataFrame:
     from projekt_data_engineering_iubh_spark.pipeline import store
 
     base = spark.read.parquet(store.resolve(index_path))
-    delta_files = _append_files(index_path)
-    if not delta_files:
-        return base
-    # ignoreMissingFiles: a delta file purged after this listing (its
-    # grace window ended mid-plan) degrades to fewer advisory rows, never
-    # a failed trigger
-    return base.unionByName(
-        spark.read.option("ignoreMissingFiles", "true").parquet(*delta_files)
-    )
+    delta = _delta.read_delta(spark, index_path)
+    return base if delta is None else base.unionByName(delta)
 
 
 def compact_signature_index(spark, index_path: str, *, _on_listed=None):
     """Fold the streaming delta into the next index snapshot (the batch
-    tier's maintenance job). Lists the LIVE delta files first, commits
-    snapshot+listed-delta as a new version, then marks the folded files
-    in a ledger — they stay on disk until the NEXT compaction physically
-    purges them, so an in-flight reader whose plan listed them before
-    the fold never hits FileNotFoundError (the delta-side analog of
-    vacuum's version retention). A concurrent trigger's new append lands
-    after the listing and stays live. Concurrent compactions serialize
-    through the store's CommitConflict. ``_on_listed`` is a test seam
-    fired between listing and folding."""
-    import json
-    import os
-
+    tier's maintenance job) via the shared fold protocol
+    (pipeline/band_delta.py::fold — live-file listing, one-cycle folded
+    grace window, racing appends stay live). This flavor's integration
+    commits snapshot+listed-delta as a new store version; concurrent
+    compactions serialize through the store's CommitConflict.
+    ``_on_listed`` is a test seam fired between listing and folding."""
     from projekt_data_engineering_iubh_spark.pipeline import store
 
     store.init_store(index_path)  # no-op when already a manifest store
-    # purge the PREVIOUS cycle's folded files — their grace window ends now
-    for name in _folded_names(index_path):
-        try:
-            os.remove(os.path.join(_appends_dir(index_path), name))
-        except FileNotFoundError:
-            pass
-    listed = _append_files(index_path)
-    if _on_listed is not None:
-        _on_listed()
-    base = spark.read.parquet(store.resolve(index_path))
-    merged = (
-        base.unionByName(spark.read.parquet(*listed)) if listed else base
-    ).localCheckpoint(eager=True)  # snapshot the fold before files move
 
-    store.commit_snapshot(
-        index_path,
-        lambda d: merged.write.mode("overwrite").parquet(d),
-    )
-    ledger_tmp = os.path.join(
-        _appends_dir(index_path), f".{_FOLDED_LEDGER}.tmp.{os.getpid()}"
-    )
-    os.makedirs(_appends_dir(index_path), exist_ok=True)
-    with open(ledger_tmp, "w") as fh:
-        json.dump(sorted(os.path.basename(f) for f in listed), fh)
-    os.replace(
-        ledger_tmp, os.path.join(_appends_dir(index_path), _FOLDED_LEDGER)
-    )
+    def integrate(listed: list[str]) -> None:
+        base = spark.read.parquet(store.resolve(index_path))
+        merged = (
+            base.unionByName(spark.read.parquet(*listed)) if listed else base
+        ).localCheckpoint(eager=True)  # snapshot the fold before files move
+        store.commit_snapshot(
+            index_path,
+            lambda d: merged.write.mode("overwrite").parquet(d),
+        )
+
+    _delta.fold(spark, index_path, integrate, _on_listed=_on_listed)
 
 
 def start_neardup_corpus_stream(
@@ -331,8 +286,6 @@ def make_batch_processor(
     concurrently-running batch-tier ingest fails the trigger, and the
     stream's retry replays cleanly.
     """
-    import os
-    import uuid
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -355,24 +308,13 @@ def make_batch_processor(
             .partitionBy("split", "lang", "_ingest_batch")
             .parquet(out_path)
         )
-        delta = _appends_dir(index_path)
-        os.makedirs(delta, exist_ok=True)
-        # one delta file per trigger, landed by ATOMIC rename out of a
-        # hidden temp dir (readers list *.parquet files only — they never
-        # see a half-written file); unique names mean concurrent triggers
-        # never collide and a retry adds a duplicate advisory file at worst
-        import glob as _glob
-        import shutil
-
-        tmp = os.path.join(delta, f".tmp-{uuid.uuid4().hex}")
+        # one delta file per trigger, landed atomically by the shared
+        # append protocol (band_delta.append_one — unique names, retry
+        # adds a duplicate advisory file at worst)
         kept_bands = bb.join(
             kept.select("doc_id"), "doc_id", "left_semi"
         )
-        kept_bands.coalesce(1).write.parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))
-        if part:  # empty batches write no part file
-            os.replace(part[0], os.path.join(delta, f"{uuid.uuid4().hex}.parquet"))
-        shutil.rmtree(tmp, ignore_errors=True)
+        _delta.append_one(kept_bands, index_path)
 
         if cluster_root is not None:
             # lazy import: cluster_index imports band_rows from THIS

@@ -138,3 +138,94 @@ def test_band_index_near_tier_exchange_free_and_correct(spark, tmp_path):
         assert got == expected and len(got) > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_band_delta_append_fold_cycle(spark, tmp_path):
+    """r5 VERDICT #4 — the batch tier's band appends ride the shared LSM
+    delta (pipeline/band_delta.py): an appended batch is visible to
+    near_matches BEFORE compaction (via the delta branch — the bucketed
+    base branch still joins exchange-free), compact_band_index folds the
+    delta into the bucketed table (matches unchanged, table grows), the
+    folded file survives one grace cycle, and the NEXT cycle purges it.
+    (cluster_index.maintain(band_table=...) drives the same fold — see
+    the next test.)"""
+    from projekt_data_engineering_iubh_spark.pipeline import band_delta
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        signatures_from,
+    )
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        band_rows,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    table = "band_delta_cycle_test"
+    try:
+        corpus_store.write_band_index(docs, table)
+        loc = corpus_store.table_location(spark, table)
+        base_rows = spark.table(table).count()
+
+        # batch: near-identical copy of corpus doc 0 → lands in the delta
+        batch = docs.filter(F.col("doc_id") == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+        )
+        corpus_store.append_band_index(batch, table)
+        assert len(band_delta.live_files(loc)) == 1
+        assert spark.table(table).count() == base_rows  # not in the table yet
+
+        # a SECOND batch near-duplicating the FIRST (still uncompacted)
+        # batch must match via the delta branch
+        b2 = batch.select(
+            (F.col("doc_id") + 1).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" othertoken")).alias("text"),
+        )
+        pre = {
+            r.doc_id: r.match_doc_id
+            for r in corpus_store.near_matches(spark, b2, table).collect()
+        }
+        assert pre.get(1_000_001) == 0  # matches corpus doc 0 (lowest)
+
+        # fold: delta rows land in the bucketed table, matches unchanged
+        folded = corpus_store.compact_band_index(spark, table)
+        assert folded == 1
+        n_batch_bands = band_rows(signatures_from(batch)).count()
+        assert spark.table(table).count() == base_rows + n_batch_bands
+        assert band_delta.live_files(loc) == []  # folded, grace-retained
+        assert len(band_delta.live_files(loc, include_folded=True)) == 1
+        post = {
+            r.doc_id: r.match_doc_id
+            for r in corpus_store.near_matches(spark, b2, table).collect()
+        }
+        assert post == pre
+
+        # next cycle physically purges the grace-retained file
+        assert corpus_store.compact_band_index(spark, table) == 0
+        assert band_delta.live_files(loc, include_folded=True) == []
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_maintain_folds_band_table_delta(spark, tmp_path):
+    """maintain(band_table=...) is the one maintenance entrypoint for the
+    batch producer's delta."""
+    from projekt_data_engineering_iubh_spark.pipeline import (
+        band_delta,
+        cluster_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    table = "band_delta_maintain_test"
+    root = str(tmp_path / "cidx")
+    try:
+        corpus_store.write_band_index(docs, table)
+        cluster_index.init_cluster_index(spark, docs, root)
+        batch = docs.filter(F.col("doc_id") < 2).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+        )
+        corpus_store.append_band_index(batch, table)
+        out = cluster_index.maintain(spark, root, band_table=table)
+        assert out["band_delta_files_folded"] == 1
+        loc = corpus_store.table_location(spark, table)
+        assert band_delta.live_files(loc) == []
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
