@@ -52,6 +52,12 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # cluster deployments point this at a DFS/object-store prefix so the
+    # iterative operators' checkpoint() swap (connected_components) has a
+    # durable target — deploy/spark-defaults-template.conf runbook entry
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
     return spark
 
 

@@ -41,11 +41,30 @@ def main() -> int:
     ap.add_argument("--all", action="store_true", help="run every driver entry")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--tz", default=None, help="session timezone probe")
+    ap.add_argument(
+        "--conf-file",
+        default=None,
+        help="spark-defaults-style conf file to apply (e.g. "
+        "deploy/spark-defaults-template.conf; <placeholder> values and "
+        "comments are skipped) — proves the deploy confs don't change "
+        "query results",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     b = SparkSession.builder.master("local[8]").appName("driver-sim")
+    if args.conf_file:
+        for line in open(args.conf_file):
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            key, _, value = line.partition(" ")
+            value = value.strip()
+            if not value or "<" in value:
+                continue  # site-specific placeholder
+            b = b.config(key, value)
+            print(f"conf: {key}={value}")
     if args.tz:
         b = b.config("spark.sql.session.timeZone", args.tz)
     spark = b.getOrCreate()
