@@ -29,18 +29,59 @@ from __future__ import annotations
 
 import html as _html
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import SparkSession
 
-from projekt_data_engineering_iubh_spark.pipeline import serving
+from projekt_data_engineering_iubh_spark.pipeline import serving, store
 from projekt_data_engineering_iubh_spark.pipeline.dashboard import (
     build_dashboard_html,
 )
 
+# reference parity: the Streamlit app caches both serving queries for
+# 600 s (/root/reference/src/dashboard.py:27,44 — @st.cache_data(ttl=600))
+DEFAULT_CACHE_TTL = 600.0
 
-def _make_handler(spark: SparkSession, warehouse_dir: str):
+
+class _TTLCache:
+    """Rendered-page cache keyed by (view, params): a hit serves the
+    stored HTML with ZERO Spark work. Entries invalidate on TTL expiry
+    OR on a summary-store VERSION change — the explicit invalidation the
+    reference's pure-TTL cache lacks (a freshly committed summary there
+    stays invisible for up to 600 s; here the next request sees it
+    immediately). Thread-safe: the server handles requests concurrently.
+    A miss renders OUTSIDE the lock (Spark collects are the slow part),
+    so concurrent first requests may render twice — last write wins,
+    both correct for their observed version."""
+
+    def __init__(self, ttl: float = DEFAULT_CACHE_TTL, clock=time.monotonic):
+        self.ttl = ttl
+        self.clock = clock
+        self.hits = 0
+        self.misses = 0
+        self._lock = threading.Lock()
+        self._entries: dict[tuple, tuple[object, float, str]] = {}
+
+    def get(self, key: tuple, version: object, build) -> str:
+        with self._lock:
+            ent = self._entries.get(key)
+            if (
+                ent is not None
+                and ent[0] == version
+                and ent[1] > self.clock()
+            ):
+                self.hits += 1
+                return ent[2]
+        value = build()
+        with self._lock:
+            self.misses += 1
+            self._entries[key] = (version, self.clock() + self.ttl, value)
+        return value
+
+
+def _make_handler(spark: SparkSession, warehouse_dir: str, cache: _TTLCache):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test runs; stdlib default spams
             pass
@@ -54,11 +95,20 @@ def _make_handler(spark: SparkSession, warehouse_dir: str):
             self.end_headers()
             self.wfile.write(data)
 
+        def _version(self) -> object:
+            # summary-store version for explicit cache invalidation; a
+            # plain (non-store) dir has no version — TTL alone governs
+            p = f"{warehouse_dir}/hourly_machine_summary"
+            return store.current_version(p) if store.is_store(p) else None
+
         def do_GET(self) -> None:  # noqa: N802 — stdlib contract
             try:
                 url = urlparse(self.path)
                 if url.path == "/":
-                    self._send(200, self._index())
+                    self._send(
+                        200,
+                        cache.get(("index",), self._version(), self._index),
+                    )
                 elif url.path == "/day":
                     q = parse_qs(url.query)
                     day = q.get("d", [""])[0]
@@ -72,7 +122,14 @@ def _make_handler(spark: SparkSession, warehouse_dir: str):
                     ]
                     per_machine = q.get("per-machine", ["0"])[0] == "1"
                     self._send(
-                        200, self._day(day, machines or None, per_machine)
+                        200,
+                        cache.get(
+                            ("day", day, tuple(machines), per_machine),
+                            self._version(),
+                            lambda: self._day(
+                                day, machines or None, per_machine
+                            ),
+                        ),
                     )
                 else:
                     self._send(404, "<p>not found</p>")
@@ -125,15 +182,20 @@ def serve(
     *,
     port: int = 8050,
     host: str = "127.0.0.1",
+    cache_ttl: float = DEFAULT_CACHE_TTL,
 ) -> ThreadingHTTPServer:
     """Start the server on a daemon thread and return it (``port=0``
     picks an ephemeral port — ``server.server_address[1]`` has it; call
     ``server.shutdown()`` to stop). ``host`` defaults to loopback for
     local safety; the containerized deploy role passes 0.0.0.0 so the
-    service is reachable across the topology."""
+    service is reachable across the topology. Rendered pages are cached
+    for ``cache_ttl`` seconds with summary-store version invalidation
+    (``server.page_cache`` exposes the cache for inspection)."""
+    cache = _TTLCache(ttl=cache_ttl)
     server = ThreadingHTTPServer(
-        (host, port), _make_handler(spark, warehouse_dir)
+        (host, port), _make_handler(spark, warehouse_dir, cache)
     )
+    server.page_cache = cache
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

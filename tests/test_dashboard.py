@@ -199,3 +199,70 @@ def test_live_dashboard_server(spark, tmp_path):
         assert code == 200
     finally:
         server.shutdown()
+
+
+def test_server_caches_day_and_invalidates_on_new_version(spark, tmp_path):
+    """r5 VERDICT #6: a second identical request is served from the TTL
+    cache with ZERO Spark jobs (reference parity:
+    /root/reference/src/dashboard.py:27,44 — @st.cache_data(ttl=600));
+    a newly COMMITTED summary-store version invalidates immediately
+    (explicit invalidation the reference's pure-TTL cache lacks)."""
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.pipeline import (
+        dashboard_server,
+        store,
+    )
+
+    p = tmp_path / "day.csv"
+    p.write_text("\n".join(FIXTURE_ROWS) + "\n")
+    warehouse = str(tmp_path / "warehouse")
+    da.run(spark, str(p), warehouse, DEFAULT_RULES)
+    summary_path = f"{warehouse}/hourly_machine_summary"
+    store.init_store(summary_path)  # versioned: enables invalidation
+
+    def jobs() -> int:
+        return spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+
+    server = dashboard_server.serve(spark, warehouse, port=0)
+    try:
+        port = server.server_address[1]
+
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=120
+            ) as r:
+                return r.status, r.read().decode()
+
+        code, first = get("/day?d=2024-05-01&machines=M1")
+        assert code == 200
+        n0 = jobs()
+        code, second = get("/day?d=2024-05-01&machines=M1")
+        assert code == 200 and second == first
+        assert jobs() == n0, "cache hit must launch zero Spark jobs"
+        assert server.page_cache.hits == 1
+
+        # different params are a different cache entry (fresh render)
+        code, _ = get("/day?d=2024-05-01")
+        assert code == 200 and jobs() > n0
+
+        # committing a new summary version invalidates: the next
+        # identical request re-renders against the new snapshot
+        current = spark.read.parquet(store.resolve(summary_path))
+        patched = current.withColumn(
+            "machine_id", F.concat(F.lit("NEW_"), F.col("machine_id"))
+        )
+        store.commit_snapshot(
+            summary_path,
+            lambda d: patched.write.mode("overwrite").parquet(d),
+        )
+        n1 = jobs()
+        code, third = get("/day?d=2024-05-01&machines=M1")
+        assert code == 200 and jobs() > n1  # re-rendered
+        assert ">M1<" not in third  # old machine id is gone in v2
+        code, renamed = get("/day?d=2024-05-01&machines=NEW_M1")
+        assert code == 200 and ">NEW_M1<" in renamed
+    finally:
+        server.shutdown()
