@@ -863,7 +863,9 @@ def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_CLUSTERS_SQL = f"""
+# the recursive-CTE cluster map (capped candidate rule), shared by every
+# oracle that consumes the transitive dedup's output
+_CLUSTER_MAP_CTES = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
 ), sh AS (
@@ -893,6 +895,9 @@ reach(src, dst) AS (
   SELECT r.src, u.d FROM reach r JOIN und u ON r.dst = u.s
 ),
 comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+"""
+
+_DEDUP_CLUSTERS_SQL = f"""{_CLUSTER_MAP_CTES}
 SELECT doc_id, cluster_id,
        CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM comp
@@ -953,6 +958,65 @@ def docs_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("cluster_id")
     return comp.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
+_DEDUP_RATE_SQL = f"""{_CLUSTER_MAP_CTES}
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dupes,
+       CAST(COUNT(*) - SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS dup_rate
+FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@register("docs_dedup_rate_by_source", oracle=_DEDUP_RATE_SQL, driver=False)
+def docs_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate — the corpus-datasheet provenance
+    metric (which crawl/source contributes the duplicate mass): docs per
+    source, how many are their near-dup cluster's min-id representative
+    (n_unique), the complement (n_dupes), and the resulting rate. All
+    aggregates are exact integers; the rate is ONE double division of
+    two exact bigints, so the value hash is cross-engine deterministic
+    (the r6 rounding-boundary lesson: no ROUND-of-double chains).
+    Composes the capped transitive cluster map (docs_dedup_clusters —
+    same CC, same LSH_MAX_BUCKET rule, oracle CTEs shared) with a
+    per-source rollup; registry query #100."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = _lsh_pairs(spark, sf_dir, max_bucket=LSH_MAX_BUCKET).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comp = connected_components(
+        d.select("doc_id"),
+        edges,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+        component_col="cluster_id",
+    )
+    is_rep = F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
+    g = (
+        comp.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_rep).cast("long").alias("n_unique"),
+        )
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_dupes"),
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs")
+        ).alias("dup_rate"),
     )
 
 

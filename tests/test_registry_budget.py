@@ -64,6 +64,9 @@ LOCAL_ONLY_FAMILY = {
     "docs_fingerprint",
     "docs_token_count",
     "emb_array_funcs",
+    # round 6 addition (driver set at budget): the per-source dup-rate
+    # datasheet rollup, registry query #100
+    "docs_dedup_rate_by_source",
 }
 
 # non-docs/emb local-only entries need no allowlist (the family test
