@@ -50,12 +50,15 @@ SELECT l_returnflag, l_linestatus,
                 * (1 - CAST(l_discount AS DECIMAL(12,2)))
                 * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE)
          AS sum_charge,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-             / COUNT(l_quantity), 4) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-             / COUNT(l_extendedprice), 4) AS avg_price,
-       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
-             / COUNT(l_discount), 4) AS avg_disc,
+       CAST((200 * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+             + COUNT(l_quantity)) // (2 * COUNT(l_quantity)) AS DOUBLE)
+         / 10000.0 AS avg_qty,
+       CAST((200 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+             + COUNT(l_extendedprice)) // (2 * COUNT(l_extendedprice)) AS DOUBLE)
+         / 10000.0 AS avg_price,
+       CAST((200 * CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) * 100 AS BIGINT)
+             + COUNT(l_discount)) // (2 * COUNT(l_discount)) AS DOUBLE)
+         / 10000.0 AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -70,7 +73,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 groups regardless of input size."""
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    return (
+
+    # Exact decimal sums; the rounded averages are computed ENTIRELY in
+    # integer arithmetic — floor((200·cents + n) DIV (2n)) / 1e4, the true
+    # HALF_UP of the exact rational. ROUND(double_sum/n, 4) is not just
+    # summation-order sensitive (VERDICT r1 #2) but cross-engine divergent
+    # at rounding boundaries even with identical operands (the r6 sf1
+    # flagship lesson, plans/events.py::_hourly_rollup).
+    def avg4(col: str) -> F.Column:
+        cents = (F.sum(_dec(col)) * 100).cast("long")
+        return cents.alias(f"_c_{col}")
+
+    out = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -81,21 +95,38 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("string")
             .cast("double")
             .alias("sum_charge"),
-            # Exact decimal sums + one double division — ROUND(AVG(double)) is
-            # summation-order sensitive across core counts (VERDICT r1 #2).
-            F.round(
-                F.sum(_dec("l_quantity")).cast("double") / F.count("l_quantity"), 4
-            ).alias("avg_qty"),
-            F.round(
-                F.sum(_dec("l_extendedprice")).cast("double")
-                / F.count("l_extendedprice"),
-                4,
-            ).alias("avg_price"),
-            F.round(
-                F.sum(_dec("l_discount")).cast("double") / F.count("l_discount"), 4
-            ).alias("avg_disc"),
+            avg4("l_quantity"),
+            F.count("l_quantity").alias("_n_l_quantity"),
+            avg4("l_extendedprice"),
+            F.count("l_extendedprice").alias("_n_l_extendedprice"),
+            avg4("l_discount"),
+            F.count("l_discount").alias("_n_l_discount"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    for col, alias in (
+        ("l_quantity", "avg_qty"),
+        ("l_extendedprice", "avg_price"),
+        ("l_discount", "avg_disc"),
+    ):
+        out = out.withColumn(
+            alias,
+            F.expr(
+                f"CAST((200 * _c_{col} + _n_{col}) DIV (2 * _n_{col}) "
+                "AS DOUBLE) / 10000.0"
+            ),
+        )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+        "count_order",
     )
 
 
