@@ -67,14 +67,25 @@ def build_replicas(spark, src_dir: str, out_dir: str, k: int) -> None:
         # (the (element, index) form), silently corrupting the remap.
         # The trailing "x" disambiguates copy indices ≥ 10 against tokens
         # that start with digits ("c1"+"0foo" vs "c10"+"foo") — without
-        # it the disjoint-shingle-space invariant breaks at --copies 11+
+        # it the disjoint-shingle-space invariant breaks at --copies 11+.
+        # Copy 0 keeps the ORIGINAL text (identity remap): a per-copy
+        # token bijection preserves every within-copy shingle-equality
+        # structure either way, but a fully-remapped corpus has zero
+        # natural-language tokens, so the language-signal operators
+        # (quality-model bootstrap, lang-ID) would correctly refuse to
+        # run at sf1 (r6 finding) — keeping one natural copy makes the
+        # replica corpus exercise BOTH regimes.
         prefix = F.lit(f"c{c}x")
-        remapped = F.concat_ws(
-            " ",
-            F.transform(
-                tx.tokens(F.col("text")),
-                lambda t: F.concat(prefix, t),  # noqa: B023 — built eagerly
-            ),
+        remapped = (
+            F.col("text")
+            if c == 0
+            else F.concat_ws(
+                " ",
+                F.transform(
+                    tx.tokens(F.col("text")),
+                    lambda t: F.concat(prefix, t),  # noqa: B023 — built eagerly
+                ),
+            )
         )
         part = d.select(
             (F.col("doc_id") + F.lit(c * OFFSET)).alias("doc_id"),
