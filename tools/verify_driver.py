@@ -39,6 +39,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*", help="query names (default: core set)")
     ap.add_argument("--all", action="store_true", help="run every driver entry")
+    ap.add_argument(
+        "--include-local",
+        action="store_true",
+        help="extend the query universe to the FULL registry (local-only "
+        "entries included) — for scale audits beyond the driver window",
+    )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--tz", default=None, help="session timezone probe")
     ap.add_argument(
@@ -78,6 +84,16 @@ def main() -> int:
     assert n > 0
 
     qs, osql = e.queries(), e.oracle_sql()
+    if args.include_local:
+        from projekt_data_engineering_iubh_spark.plans.registry import (
+            all_queries,
+        )
+
+        for name, q in all_queries().items():
+            if name not in qs:
+                qs[name] = e._wrap(q.fn)
+                if q.oracle is not None:
+                    osql[name] = q.oracle
     names = list(qs) if args.all else (args.queries or CORE)
     con = duckdb_connection(args.sf_dir)
     failures = []
