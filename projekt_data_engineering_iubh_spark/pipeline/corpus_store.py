@@ -129,12 +129,17 @@ def band_index_frames(
 
 
 def compact_band_index(
-    spark: SparkSession, table: str, *, buckets: int = DEFAULT_BUCKETS
+    spark: SparkSession,
+    table: str,
+    *,
+    buckets: int = DEFAULT_BUCKETS,
+    _on_listed=None,
 ) -> int:
     """Fold the live delta files into the bucketed table (the batch
     tier's flavor of the shared fold protocol — spec-restating catalog
     append; one-cycle folded grace window, racing appends stay live).
-    Returns the number of files folded."""
+    Returns the number of files folded. ``_on_listed`` is the shared
+    protocol's test seam (fired between listing and integrating)."""
 
     def integrate(listed: list[str]) -> None:
         if not listed:
@@ -143,7 +148,10 @@ def compact_band_index(
         _write_bands(rows, table, "append", buckets)
 
     return len(
-        band_delta.fold(spark, table_location(spark, table), integrate)
+        band_delta.fold(
+            spark, table_location(spark, table), integrate,
+            _on_listed=_on_listed,
+        )
     )
 
 

@@ -229,3 +229,59 @@ def test_maintain_folds_band_table_delta(spark, tmp_path):
         assert band_delta.live_files(loc) == []
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_band_delta_racing_append_stays_live(spark, tmp_path):
+    """Shared fold invariant, batch-table flavor: an append landing
+    BETWEEN the compaction's listing and its fold is not marked folded —
+    it stays live (visible to near_matches) and folds on the next cycle.
+    No lost rows."""
+    from projekt_data_engineering_iubh_spark.pipeline import band_delta
+
+    docs = load_table(spark, SF_DIR, "documents")
+    table = "band_delta_race_test"
+    try:
+        corpus_store.write_band_index(docs, table)
+        loc = corpus_store.table_location(spark, table)
+        base_rows = spark.table(table).count()
+
+        first = docs.filter(F.col("doc_id") == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        racer = docs.filter(F.col("doc_id") == 1).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+        corpus_store.append_band_index(first, table)
+
+        def racing_append():
+            corpus_store.append_band_index(racer, table)
+
+        folded = corpus_store.compact_band_index(
+            spark, table, _on_listed=racing_append
+        )
+        assert folded == 1  # only the pre-listing file folded
+        live = band_delta.live_files(loc)
+        assert len(live) == 1  # the racer stays live
+        # the racer's rows are visible to the match tier via the delta
+        probe = docs.filter(F.col("doc_id") == 1).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+        )
+        got = {
+            r.doc_id: r.match_doc_id
+            for r in corpus_store.near_matches(spark, probe, table).collect()
+        }
+        assert got.get(3_000_001) == 1  # matches corpus doc 1 (lowest)
+        # next cycle folds the racer; nothing lost
+        assert corpus_store.compact_band_index(spark, table) == 1
+        from projekt_data_engineering_iubh_spark.plans.text_queries import (
+            signatures_from,
+        )
+        from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+            band_rows,
+        )
+
+        n1 = band_rows(signatures_from(first)).count()
+        n2 = band_rows(signatures_from(racer)).count()
+        assert spark.table(table).count() == base_rows + n1 + n2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
