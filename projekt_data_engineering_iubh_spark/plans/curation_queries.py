@@ -1062,3 +1062,49 @@ def docs_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad_lang.alias("bad_lang"),
         n_failed.cast("int").alias("n_failed"),
     )
+
+
+_BPE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT {tx.tokens_sql('text')} AS t FROM documents
+), words AS (
+  SELECT unnest(t) AS word FROM toks
+), wc AS (
+  SELECT word, COUNT(*) AS n FROM words GROUP BY word
+), segs AS (
+  SELECT n, list_append(string_split(word, ''), '</w>') AS syms FROM wc
+), pairs AS (
+  SELECT n,
+         unnest(list_transform(range(1, len(syms)),
+                               i -> struct_pack(a := syms[i],
+                                                b := syms[i+1]))) AS p
+  FROM segs
+)
+SELECT p.a AS a, p.b AS b, CAST(SUM(n) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY p.a, p.b
+ORDER BY pair_count DESC, a, b
+LIMIT 50
+"""
+
+
+@register("docs_bpe_pair_counts", oracle=_BPE_PAIRS_SQL, driver=False)
+def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-round BPE pair statistics — the per-round kernel of
+    tokenizer training (operators/bpe.py; Sennrich et al. 2016): corpus
+    → distinct-word counts (the ONE corpus-sized job), each word split
+    to characters + the </w> sentinel, adjacent-pair frequencies
+    weighted by word count, top 50. Counts are exact integers and the
+    (count DESC, a, b) order is total, so the top-50 SET is
+    deterministic cross-engine. The full iterative trainer (argmax →
+    leftmost-first merge fold → repeat) is operators/bpe.py::bpe_train,
+    pinned against a pure-Python reference in tests/test_bpe.py —
+    driver-loop-sequenced like every practical BPE trainer, so only its
+    per-round kernel is SQL-expressible; registry query #101."""
+    from projekt_data_engineering_iubh_spark.operators import bpe
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    stats = bpe.pair_stats(bpe.initial_segmentation(bpe.word_counts(d)))
+    return stats.orderBy(
+        F.desc("pair_count"), F.asc("a"), F.asc("b")
+    ).limit(50)

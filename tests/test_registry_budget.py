@@ -64,9 +64,10 @@ LOCAL_ONLY_FAMILY = {
     "docs_fingerprint",
     "docs_token_count",
     "emb_array_funcs",
-    # round 6 addition (driver set at budget): the per-source dup-rate
-    # datasheet rollup, registry query #100
+    # round 6 additions (driver set at budget): the per-source dup-rate
+    # datasheet rollup (#100) and the BPE tokenizer-training kernel (#101)
     "docs_dedup_rate_by_source",
+    "docs_bpe_pair_counts",
 }
 
 # non-docs/emb local-only entries need no allowlist (the family test
