@@ -151,10 +151,19 @@ def bpe_train(
     return merges, seg
 
 
-def segment_words(words: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+def segment_words(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]],
+    *,
+    checkpoint_every: int = 16,
+) -> DataFrame:
     """Apply a learned merge sequence (in order) to new words —
-    tokenizer INFERENCE for the word table; per-row folds only."""
+    tokenizer INFERENCE for the word table; per-row folds only, with a
+    periodic checkpoint so a long merge list doesn't nest one analyzed
+    fold expression per merge (vocabulary-sized frames: cheap)."""
     seg = initial_segmentation(words)
-    for a, b, _ in merges:
+    for i, (a, b, _) in enumerate(merges):
         seg = apply_merge(seg, a, b)
+        if (i + 1) % checkpoint_every == 0:
+            seg = seg.localCheckpoint(eager=True)
     return seg

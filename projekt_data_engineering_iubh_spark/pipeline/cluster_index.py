@@ -215,8 +215,10 @@ def ingest_batch(
         batch.select("doc_id"), "doc_id", "left_anti"
     )
     # monotone-id contract check (exactness precondition — see module
-    # docstring). Two scalar aggregates; the stored max is a single
-    # column min/max over the map, served by parquet row-group stats.
+    # docstring). Two scalar aggregates; the stored side scans ONE long
+    # column of the map with a map-side-combined max — at a scale where
+    # even that matters, carry max_doc_id in the snapshot manifest
+    # instead.
     lo = batch.agg(F.min("doc_id")).first()[0]
     hi = clusters.agg(F.max("doc_id")).first()[0]
     if lo is not None and hi is not None and hi >= lo:

@@ -284,7 +284,12 @@ def make_batch_processor(
     ingest_batch is idempotent (prior rows for the batch's ids are
     recomputed) and the map commit is atomic; a CommitConflict from a
     concurrently-running batch-tier ingest fails the trigger, and the
-    stream's retry replays cleanly.
+    stream's retry replays cleanly. Since r6, ingest_batch additionally
+    REQUIRES monotone doc_ids across triggers (the exact-capped-parity
+    contract, cluster_index.py) — streams into a cluster-maintained
+    corpus must assign ids from an increasing sequence (the natural
+    ingest-pipeline shape; a replayed trigger re-presents the SAME ids,
+    which the idempotent re-ingest path accepts).
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
