@@ -1108,3 +1108,80 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy(
         F.desc("pair_count"), F.asc("a"), F.asc("b")
     ).limit(50)
+
+
+# unit separator: cannot occur inside tokens (word chars only), so the
+# sep-joined segmentation is a faithful string encoding and one merge is
+# ONE string replace — both engines' replace() is leftmost-first
+# non-overlapping, the classic BPE application semantics (probed: 'aaaa'
+# -> ('aa')('aa') on Spark and DuckDB alike).
+_BPE_SEP = "\x1f"
+
+_BPE_ONE_ROUND_SQL = f"""
+WITH toks AS (
+  SELECT {tx.tokens_sql('text')} AS t FROM documents
+), words AS (
+  SELECT unnest(t) AS word FROM toks
+), wc AS (
+  SELECT word, COUNT(*) AS n FROM words GROUP BY word
+), segs AS (
+  SELECT word, n, list_append(string_split(word, ''), '</w>') AS syms FROM wc
+), pairs AS (
+  SELECT n,
+         unnest(list_transform(range(1, len(syms)),
+                               i -> struct_pack(a := syms[i],
+                                                b := syms[i+1]))) AS p
+  FROM segs
+), stats AS (
+  SELECT p.a AS a, p.b AS b, SUM(n) AS pc FROM pairs GROUP BY p.a, p.b
+), top AS (
+  SELECT a, b FROM stats ORDER BY pc DESC, a, b LIMIT 1
+)
+SELECT s.word, s.n,
+       string_split(replace(array_to_string(s.syms, chr(31)),
+                            t.a || chr(31) || t.b, t.a || t.b),
+                    chr(31)) AS syms,
+       t.a AS merged_a, t.b AS merged_b
+FROM segs s CROSS JOIN top t
+"""
+
+
+@register("docs_bpe_one_round", oracle=_BPE_ONE_ROUND_SQL, driver=False)
+def docs_bpe_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One COMPLETE BPE training round, SQL-expressible end-to-end so the
+    merge-APPLICATION semantics get cross-engine hash verification (the
+    iterative trainer operators/bpe.py::bpe_train is pinned against a
+    Python reference; this pins the per-round kernel against DuckDB):
+    pair stats → deterministic argmax (count DESC, pair ASC) → the merge
+    applied to every word's segmentation. Application rides a string
+    encoding: segmentations joined on the 0x1F unit separator (which
+    cannot occur inside tokens), one merge = one replace() — both
+    engines replace leftmost-first non-overlapping, exactly the fold in
+    operators/bpe.py::apply_merge. The 1-row argmax frame is
+    broadcast-joined, never collected; registry query #102."""
+    from projekt_data_engineering_iubh_spark.operators import bpe
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    seg = bpe.initial_segmentation(bpe.word_counts(d))
+    top = (
+        bpe.pair_stats(seg)
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(1)
+        .select("a", "b")
+    )
+    joined = F.concat_ws(_BPE_SEP, "syms")
+    merged = F.split(
+        F.replace(
+            joined,
+            F.concat(F.col("a"), F.lit(_BPE_SEP), F.col("b")),
+            F.concat(F.col("a"), F.col("b")),
+        ),
+        _BPE_SEP,
+    )
+    return seg.crossJoin(F.broadcast(top)).select(
+        "word",
+        "n",
+        merged.alias("syms"),
+        F.col("a").alias("merged_a"),
+        F.col("b").alias("merged_b"),
+    )

@@ -105,3 +105,28 @@ def test_segment_words_applies_learned_merges(spark, docs):
     )
     [row] = bpe.segment_words(unseen, merges).collect()
     assert len(row.syms) < len("lowestest") + 1  # something merged
+
+
+@pytest.mark.parametrize("seed", [3, 41, 77])
+def test_bpe_train_matches_reference_randomized(spark, seed):
+    """Randomized generalization of the reference-equivalence pin: random
+    word multisets over a small alphabet (dense pair collisions), random
+    frequencies — merge sequence and final segmentations must match the
+    pure-Python reference exactly."""
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "abcde"
+    words = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7))):
+            rng.randint(1, 9)
+        for _ in range(30)
+    }
+    text = " ".join(w for w, n in words.items() for _ in range(n))
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    wc = {r.word: r.n for r in bpe.word_counts(docs).collect()}
+    assert wc == words or sum(wc.values()) == sum(words.values())
+    ref_merges, ref_segs = _ref_bpe(wc, 10)
+    got_merges, seg = bpe.bpe_train(docs, 10)
+    assert got_merges == ref_merges
+    assert {r.word: list(r.syms) for r in seg.collect()} == ref_segs

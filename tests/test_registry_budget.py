@@ -68,6 +68,7 @@ LOCAL_ONLY_FAMILY = {
     # datasheet rollup (#100) and the BPE tokenizer-training kernel (#101)
     "docs_dedup_rate_by_source",
     "docs_bpe_pair_counts",
+    "docs_bpe_one_round",
 }
 
 # non-docs/emb local-only entries need no allowlist (the family test
