@@ -215,17 +215,16 @@ def test_maintain_dedups_bands_and_vacuums_map(spark, tmp_path):
     ci.init_cluster_index(spark, corpus, root)
     b1 = _docs(spark, BRIDGE)
     ci.ingest_batch(spark, b1, root)
-    # simulate a crash-retry: the same batch's bands appended again
-    from projekt_data_engineering_iubh_spark.plans.text_queries import (
-        signatures_from,
+    # simulate a crash-retry: re-append the batch's OWN band rows (a
+    # retried ingest_batch writes byte-identical ranked rows — r6: the
+    # index schema carries rn, so the duplicates must too; appending
+    # rank-less rows would be a corrupted index, not a crash artifact)
+    dup_rows = (
+        spark.read.parquet(ci._bands_dir(root))
+        .join(b1.select("doc_id"), "doc_id", "left_semi")
+        .localCheckpoint(eager=True)  # snapshot before appending to source
     )
-    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
-        band_rows,
-    )
-
-    band_rows(signatures_from(b1)).write.mode("append").parquet(
-        ci._bands_dir(root)
-    )
+    dup_rows.write.mode("append").parquet(ci._bands_dir(root))
     ci.ingest_batch(
         spark, _docs(spark, [(40, _B + " extrabeta", "en", "b2")]), root
     )
