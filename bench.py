@@ -30,6 +30,33 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _canary(spark, sf_dir: str) -> list[float]:
+    """Fixed box-state micro-task (r6 VERDICT #3): a constant full-column
+    aggregation scan of lineitem — no joins, no windows, no Python, and
+    untouched by any plan work in this repo — so its round-over-round
+    drift measures the BOX (scheduler load, page cache, cpufreq), not
+    the code. Regression calls on the query series should be made on
+    canary-normalized ratios; the r5→r6 series swung ±35% uniformly on
+    identical plans, which a canary would have attributed to the machine
+    in one glance."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df = spark.read.parquet(str(Path(sf_dir) / "lineitem.parquet"))
+        _force(
+            df.agg(
+                F.sum("l_quantity"),
+                F.sum("l_extendedprice"),
+                F.avg("l_discount"),
+                F.count(F.lit(1)),
+            )
+        )
+        out.append(round(time.perf_counter() - t0, 4))
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -45,14 +72,20 @@ def main() -> None:
     for q in headline_queries().values():
         _force(q.fn(spark, "/root/testdata/sf0.001"))
 
+    canary_pre = _canary(spark, sf_dir)
+
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, q in headline_queries().items():
-        best = float("inf")
+        rs = []
         for _ in range(3):
             t0 = time.perf_counter()
             _force(q.fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            rs.append(round(time.perf_counter() - t0, 4))
+        runs[name] = rs
+        timings[name] = round(min(rs), 3)
+
+    canary_post = _canary(spark, sf_dir)
 
     print(
         json.dumps(
@@ -62,6 +95,19 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # per-query all-3 raw timings: spread within a triple is
+                # in-process interference; spread between rounds at equal
+                # canary is a real plan delta
+                "runs": runs,
+                # box-state canary before and after the measured block
+                # (min is the comparable statistic; pre/post disagreement
+                # means the box changed state mid-bench)
+                "canary": {
+                    "task": "lineitem full-scan 4-agg",
+                    "pre": canary_pre,
+                    "post": canary_post,
+                    "best": round(min(canary_pre + canary_post), 4),
+                },
             }
         )
     )

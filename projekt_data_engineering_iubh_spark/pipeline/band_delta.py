@@ -59,6 +59,7 @@ def folded_names(root: str) -> set[str]:
 def live_files(root: str, *, include_folded: bool = False) -> list[str]:
     """Delta files on disk and not yet marked folded (see module
     docstring's grace-window contract for why folded ones linger)."""
+    _require_local(root)
     folded = set() if include_folded else folded_names(root)
     return sorted(
         f
@@ -67,13 +68,39 @@ def live_files(root: str, *, include_folded: bool = False) -> list[str]:
     )
 
 
+def _require_local(root: str) -> None:
+    """The delta mechanism is local-filesystem-only BY CONTRACT: appends
+    land via os.replace and compaction listing via glob, which cannot see
+    an object store. A remote root (s3a://, hdfs://, ...) would make
+    Spark write the temp dir remotely while the local glob finds nothing
+    — a NON-EMPTY append silently discarded (r6 ADVICE, medium). Fail at
+    entry instead; at cluster scale route band deltas through a locally
+    mounted staging dir or the bucketed-table append path."""
+    if "://" in root:
+        raise ValueError(
+            f"band_delta root {root!r} has a URI scheme; the append-delta "
+            "mechanism is local-filesystem-only (atomic os.replace + glob "
+            "listing) — see deploy/README.md for the staging contract"
+        )
+
+
 def append_one(df: DataFrame, root: str) -> None:
     """Land ``df`` as ONE new delta file by atomic rename (empty frames
-    write nothing)."""
+    write nothing). Local-FS-only (see :func:`_require_local`); if Spark
+    wrote the temp dir somewhere this process cannot see (non-local
+    default filesystem), raise rather than silently dropping the rows."""
+    _require_local(root)
     delta = appends_dir(root)
     os.makedirs(delta, exist_ok=True)
     tmp = os.path.join(delta, f".tmp-{uuid.uuid4().hex}")
     df.coalesce(1).write.parquet(tmp)
+    if not os.path.isdir(tmp):
+        raise RuntimeError(
+            f"band_delta.append_one: Spark wrote {tmp!r} but it is not "
+            "visible on the local filesystem — the session's default "
+            "filesystem is non-local, which would silently discard this "
+            "append. Use a local delta root (deploy/README.md)."
+        )
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))
     if part:  # empty frames write no part file
         os.replace(part[0], os.path.join(delta, f"{uuid.uuid4().hex}.parquet"))
@@ -102,7 +129,15 @@ def fold(
     ``integrate(listed)`` to fold exactly those into the base, then write
     the ledger. Returns the folded file paths. ``_on_listed`` is a test
     seam fired between listing and integrating (for racing-append
-    tests)."""
+    tests).
+
+    Crash contract (r6 ADVICE): a crash between ``integrate`` and the
+    ledger write leaves the listed files live, so the NEXT cycle
+    re-integrates them — ``integrate`` callbacks MUST therefore be
+    idempotent. Both shipped flavors are: they anti-join the delta rows
+    against the base on the (doc_id, band_no) row key before folding, so
+    a re-integration (and retry-duplicate advisory files) adds zero
+    rows."""
     for name in folded_names(root):
         try:
             os.remove(os.path.join(appends_dir(root), name))

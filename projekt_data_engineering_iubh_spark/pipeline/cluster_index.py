@@ -42,6 +42,12 @@ map commit; a crash in between leaves advisory band rows whose docs are
 not yet mapped (matches against them drop out at the cluster join) —
 re-running the failed batch completes the map, and its re-appended band
 rows are duplicates, which only generate duplicate candidate edges.
+If the crashed batch is NEVER retried, its orphan band rows would keep
+inflating later batches' observed bucket occupancy (shifting stored
+union ranks versus a from-scratch run) — maintain() prunes band rows
+absent from the committed map for exactly this reason; rn already
+stored by batches ingested between the crash and that maintenance run
+retains the inflation (the residual caveat of the exactness contract).
 
 Scale shape: ingest cost is linear in batch size. The batch's band rows
 equi-join the stored index (both sides keyed on (band_no, band_key));
@@ -355,7 +361,19 @@ def maintain(
     bands_path = _bands_dir(root)
     bands = spark.read.parquet(bands_path)
     n_before = bands.count()
-    deduped = bands.dropDuplicates(["doc_id", "band_no", "band_key"])
+    # prune orphans (r6 ADVICE): band rows whose doc_id never made it
+    # into the committed cluster map — a crashed, never-retried ingest's
+    # advisory rows. Left in place they inflate later batches' observed
+    # bucket occupancy (and thus union ranks) versus a from-scratch run,
+    # invisibly to the monotone-id check. Residual caveat: batches
+    # ingested BETWEEN the crash and this maintenance already absorbed
+    # the inflated occupancy into their stored rn; pruning stops further
+    # drift, and re-running the crashed batch (the documented recovery)
+    # restores exactness going forward.
+    map_ids = load_cluster_map(spark, root).select("doc_id")
+    deduped = bands.dropDuplicates(["doc_id", "band_no", "band_key"]).join(
+        map_ids, "doc_id", "left_semi"
+    )
     tmp = bands_path + ".__compact__"
     old = bands_path + ".__old__"
     deduped.write.mode("overwrite").parquet(tmp)

@@ -144,8 +144,19 @@ def compact_band_index(
     def integrate(listed: list[str]) -> None:
         if not listed:
             return
-        rows = spark.read.parquet(*listed)
-        _write_bands(rows, table, "append", buckets)
+        # idempotent by construction (band_delta.fold crash contract):
+        # a crash after a previous cycle's integrate but before its
+        # ledger write re-lists the same files — anti-joining on the
+        # (doc_id, band_no) row key against the already-folded base makes
+        # the re-integration (and retry-duplicate advisory files) append
+        # zero rows. The base side is the bucketed table (small delta
+        # side shuffles to it; base stays scan-only).
+        rows = spark.read.parquet(*listed).dropDuplicates(
+            ["doc_id", "band_no"]
+        )
+        base_keys = spark.table(table).select("doc_id", "band_no")
+        fresh = rows.join(base_keys, ["doc_id", "band_no"], "left_anti")
+        _write_bands(fresh, table, "append", buckets)
 
     return len(
         band_delta.fold(

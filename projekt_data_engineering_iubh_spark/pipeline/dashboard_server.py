@@ -54,15 +54,42 @@ class _TTLCache:
     immediately). Thread-safe: the server handles requests concurrently.
     A miss renders OUTSIDE the lock (Spark collects are the slow part),
     so concurrent first requests may render twice — last write wins,
-    both correct for their observed version."""
+    both correct for their observed version.
 
-    def __init__(self, ttl: float = DEFAULT_CACHE_TTL, clock=time.monotonic):
+    Bounded (r6 ADVICE): each distinct query-param combination is a cache
+    key, and params are client-supplied — unbounded, the dict grows one
+    full rendered page per probe forever. Inserts evict expired/
+    stale-version entries first, then LRU-evict down to ``max_entries``
+    (dict insertion order IS recency order here: get() re-inserts on
+    hit)."""
+
+    def __init__(
+        self,
+        ttl: float = DEFAULT_CACHE_TTL,
+        clock=time.monotonic,
+        max_entries: int = 128,
+    ):
         self.ttl = ttl
         self.clock = clock
+        self.max_entries = max_entries
         self.hits = 0
         self.misses = 0
         self._lock = threading.Lock()
         self._entries: dict[tuple, tuple[object, float, str]] = {}
+
+    def _sweep(self, version: object) -> None:
+        # caller holds the lock
+        now = self.clock()
+        dead = [
+            k
+            for k, (ver, exp, _) in self._entries.items()
+            if exp <= now or ver != version
+        ]
+        for k in dead:
+            del self._entries[k]
+        while len(self._entries) >= self.max_entries:
+            # oldest-recency first (insertion order; hits re-insert)
+            del self._entries[next(iter(self._entries))]
 
     def get(self, key: tuple, version: object, build) -> str:
         with self._lock:
@@ -73,10 +100,14 @@ class _TTLCache:
                 and ent[1] > self.clock()
             ):
                 self.hits += 1
+                # refresh recency (move to the dict's tail)
+                del self._entries[key]
+                self._entries[key] = ent
                 return ent[2]
         value = build()
         with self._lock:
             self.misses += 1
+            self._sweep(version)
             self._entries[key] = (version, self.clock() + self.ttl, value)
         return value
 

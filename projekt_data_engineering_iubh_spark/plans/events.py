@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.functions import numeric
 from projekt_data_engineering_iubh_spark.operators.asof import asof_join
 from projekt_data_engineering_iubh_spark.operators.rules import (
     rules_to_sql_predicate,
@@ -147,18 +148,20 @@ SELECT CAST(ts AS DATE) AS event_date,
        CAST(SUM(CASE WHEN event_type = 'purchase'
                 THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value,
        CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN value END) > 0
-            THEN CAST((200 * CAST(SUM(CASE WHEN event_type = 'purchase'
-                                     THEN CAST(value AS DECIMAL(12,2)) END) * 100 AS BIGINT)
-                       + COUNT(CASE WHEN event_type = 'purchase' THEN value END))
-                      // (2 * COUNT(CASE WHEN event_type = 'purchase' THEN value END))
-                      AS DOUBLE) / 10000.0
+            THEN {avg_purchase}
        END AS avg_purchase_value,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
        ROUND(MAX(CASE WHEN event_type = 'view' THEN value END), 4) AS max_view_value,
        ROUND(MIN(CASE WHEN event_type = 'view' THEN value END), 4) AS min_view_value
 FROM events
 GROUP BY 1, 2
-"""
+""".format(
+    avg_purchase=numeric.half_up_4dp_sql(
+        "CAST(SUM(CASE WHEN event_type = 'purchase' "
+        "THEN CAST(value AS DECIMAL(12,2)) END) * 100 AS BIGINT)",
+        "COUNT(CASE WHEN event_type = 'purchase' THEN value END)",
+    )
+)
 
 
 def _hourly_rollup(ev: DataFrame) -> DataFrame:
@@ -187,8 +190,9 @@ def _hourly_rollup(ev: DataFrame) -> DataFrame:
     )
     # Exact-arithmetic half-up rounding: the average of the exact
     # sum-of-cents over the exact non-null count, rounded to 4 dp ENTIRELY
-    # in integer arithmetic — floor((200·cents + n) / (2n)) / 1e4. The
-    # previous formulation (ROUND(double_sum / n, 4)) is cross-engine
+    # in integer arithmetic (functions/numeric.py::half_up_4dp, sign-robust
+    # since r7 — purchase `value` is not schema-constrained non-negative).
+    # The previous formulation (ROUND(double_sum / n, 4)) is cross-engine
     # divergent at rounding boundaries: at sf1 one group's exact average
     # is 56.64625, the double quotient is 56.6462499999…, Spark's
     # BigDecimal-exact HALF_UP rounds it DOWN while DuckDB's
@@ -198,10 +202,7 @@ def _hourly_rollup(ev: DataFrame) -> DataFrame:
     # (r6 sf1-scale audit; oracle mirrors with DuckDB's //).
     return out.withColumn(
         "avg_purchase_value",
-        F.expr(
-            "CASE WHEN _pn > 0 THEN"
-            " CAST((200 * _pcents + _pn) DIV (2 * _pn) AS DOUBLE) / 10000.0 END"
-        ),
+        F.when(F.col("_pn") > 0, numeric.half_up_4dp("_pcents", "_pn")),
     ).select(
         "event_date",
         "event_hour",

@@ -26,9 +26,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.functions import numeric
 from projekt_data_engineering_iubh_spark.plans.registry import register
 
 DEC = "decimal(12,2)"
+
+
+def _avg4_sql(col: str) -> str:
+    """Sign-robust integer HALF_UP average of a money column at 4 dp
+    (functions/numeric.py — r6 ADVICE closed the negative-sum gap)."""
+    return numeric.half_up_4dp_sql(
+        f"CAST(SUM(CAST({col} AS DECIMAL(12,2))) * 100 AS BIGINT)",
+        f"COUNT({col})",
+    )
 
 
 def _dec(col: str) -> F.Column:
@@ -50,20 +60,18 @@ SELECT l_returnflag, l_linestatus,
                 * (1 - CAST(l_discount AS DECIMAL(12,2)))
                 * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE)
          AS sum_charge,
-       CAST((200 * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
-             + COUNT(l_quantity)) // (2 * COUNT(l_quantity)) AS DOUBLE)
-         / 10000.0 AS avg_qty,
-       CAST((200 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
-             + COUNT(l_extendedprice)) // (2 * COUNT(l_extendedprice)) AS DOUBLE)
-         / 10000.0 AS avg_price,
-       CAST((200 * CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) * 100 AS BIGINT)
-             + COUNT(l_discount)) // (2 * COUNT(l_discount)) AS DOUBLE)
-         / 10000.0 AS avg_disc,
+       {avg_qty} AS avg_qty,
+       {avg_price} AS avg_price,
+       {avg_disc} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
-"""
+""".format(
+    avg_qty=_avg4_sql("l_quantity"),
+    avg_price=_avg4_sql("l_extendedprice"),
+    avg_disc=_avg4_sql("l_discount"),
+)
 
 
 @register("q1_pricing_summary", oracle=_Q1_SQL, headline=True)
@@ -75,11 +83,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
 
     # Exact decimal sums; the rounded averages are computed ENTIRELY in
-    # integer arithmetic — floor((200·cents + n) DIV (2n)) / 1e4, the true
-    # HALF_UP of the exact rational. ROUND(double_sum/n, 4) is not just
-    # summation-order sensitive (VERDICT r1 #2) but cross-engine divergent
-    # at rounding boundaries even with identical operands (the r6 sf1
-    # flagship lesson, plans/events.py::_hourly_rollup).
+    # integer arithmetic (functions/numeric.py::half_up_4dp — the true
+    # HALF_UP of the exact rational, valid for either sign of the sum).
+    # ROUND(double_sum/n, 4) is not just summation-order sensitive
+    # (VERDICT r1 #2) but cross-engine divergent at rounding boundaries
+    # even with identical operands (the r6 sf1 flagship lesson,
+    # plans/events.py::_hourly_rollup).
     def avg4(col: str) -> F.Column:
         cents = (F.sum(_dec(col)) * 100).cast("long")
         return cents.alias(f"_c_{col}")
@@ -110,11 +119,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("l_discount", "avg_disc"),
     ):
         out = out.withColumn(
-            alias,
-            F.expr(
-                f"CAST((200 * _c_{col} + _n_{col}) DIV (2 * _n_{col}) "
-                "AS DOUBLE) / 10000.0"
-            ),
+            alias, numeric.half_up_4dp(f"_c_{col}", f"_n_{col}")
         )
     return out.select(
         "l_returnflag",

@@ -218,9 +218,26 @@ def compact_signature_index(spark, index_path: str, *, _on_listed=None):
 
     def integrate(listed: list[str]) -> None:
         base = spark.read.parquet(store.resolve(index_path))
-        merged = (
-            base.unionByName(spark.read.parquet(*listed)) if listed else base
-        ).localCheckpoint(eager=True)  # snapshot the fold before files move
+        if listed:
+            # idempotent by construction (band_delta.fold crash
+            # contract): re-listed files from a crashed cycle — whose
+            # rows are already in the snapshot — anti-join away on the
+            # (doc_id, band_no) row key, so re-integration (and
+            # retry-duplicate advisory files) adds zero rows.
+            delta = (
+                spark.read.parquet(*listed)
+                .dropDuplicates(["doc_id", "band_no"])
+                .join(
+                    base.select("doc_id", "band_no"),
+                    ["doc_id", "band_no"],
+                    "left_anti",
+                )
+            )
+            merged = base.unionByName(delta)
+        else:
+            merged = base
+        # snapshot the fold before files move
+        merged = merged.localCheckpoint(eager=True)
         store.commit_snapshot(
             index_path,
             lambda d: merged.write.mode("overwrite").parquet(d),

@@ -342,3 +342,40 @@ def test_above_cap_ingest_equals_from_scratch(spark, tmp_path):
     # the parity is non-vacuous: the planted docs really did collapse
     planted = [c for d, c in scratch.items() if d >= ADV_OFFSET]
     assert len(set(planted)) < len(planted)
+
+
+def test_maintain_prunes_orphan_band_rows(spark, tmp_path):
+    """r6 ADVICE: a crashed, never-retried ingest appends band rows
+    BEFORE the map commit — those orphan doc_ids are invisible to
+    matching (cluster join drops them) but inflate later batches'
+    observed bucket occupancy. maintain() must prune band rows whose
+    doc_id is absent from the committed cluster map."""
+    root = str(tmp_path / "orphidx")
+    corpus = _docs(spark, CORPUS)
+    ci.init_cluster_index(spark, corpus, root)
+
+    # simulate the crash: band rows for doc 99 land, the map never does
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        band_rows,
+        signatures_from,
+    )
+
+    orphan = _docs(spark, [(99, _A + " orphantoken", "en", "crashed")])
+    ob = band_rows(signatures_from(orphan)).withColumn(
+        "rn", F.lit(1).cast("long")
+    )
+    ob.write.mode("append").parquet(ci._bands_dir(root))
+    n_orphan = ob.count()
+    assert n_orphan > 0
+
+    stats = ci.maintain(spark, root, keep=2)
+    assert stats["band_rows_after"] == stats["band_rows_before"] - n_orphan
+    remaining = spark.read.parquet(ci._bands_dir(root))
+    assert remaining.filter(F.col("doc_id") == 99).count() == 0
+
+    # matching still works post-prune
+    m = ci.ingest_batch(
+        spark, _docs(spark, [(100, _A + " extraalpha", "en", "b9")]), root
+    )
+    got = {r.doc_id: r.cluster_id for r in m.collect()}
+    assert got[100] == 1

@@ -285,3 +285,53 @@ def test_band_delta_racing_append_stays_live(spark, tmp_path):
         assert spark.table(table).count() == base_rows + n1 + n2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_band_delta_crash_before_ledger_is_idempotent(spark, tmp_path):
+    """r6 ADVICE: fold() runs integrate(listed) BEFORE writing the
+    .folded.json ledger; a crash between the two leaves the files live,
+    so the next cycle re-integrates them. The table-flavor integrate is
+    idempotent by construction (anti-join on the (doc_id, band_no) row
+    key against the base) — simulate the crash by deleting the ledger
+    after a successful fold and re-folding: zero duplicate rows."""
+    import os
+
+    from projekt_data_engineering_iubh_spark.pipeline import band_delta
+
+    docs = load_table(spark, SF_DIR, "documents")
+    table = "band_delta_crash_test"
+    try:
+        corpus_store.write_band_index(docs, table)
+        loc = corpus_store.table_location(spark, table)
+        batch = docs.filter(F.col("doc_id") == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        corpus_store.append_band_index(batch, table)
+        assert corpus_store.compact_band_index(spark, table) == 1
+        after_fold = spark.table(table).count()
+
+        # crash simulation: integrate committed, ledger write lost
+        os.remove(os.path.join(band_delta.appends_dir(loc), band_delta.FOLDED_LEDGER))
+        assert len(band_delta.live_files(loc)) == 1  # re-listed as live
+
+        # re-fold: the file is re-integrated but adds zero rows
+        assert corpus_store.compact_band_index(spark, table) == 1
+        assert spark.table(table).count() == after_fold
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_band_delta_rejects_remote_root(spark):
+    """r6 ADVICE (medium): the append-delta mechanism is local-FS-only
+    (os.replace + glob). A root with a URI scheme — e.g. the object-store
+    warehouse the deploy template recommends — must fail loudly at
+    entry, never silently discard a non-empty append."""
+    import pytest as _pytest
+
+    from projekt_data_engineering_iubh_spark.pipeline import band_delta
+
+    docs = load_table(spark, SF_DIR, "documents").limit(1)
+    with _pytest.raises(ValueError, match="local-filesystem-only"):
+        band_delta.append_one(docs, "s3a://bucket/warehouse/band_index")
+    with _pytest.raises(ValueError, match="local-filesystem-only"):
+        band_delta.live_files("hdfs://nn/warehouse/band_index")

@@ -420,3 +420,43 @@ def test_index_compaction_never_loses_racing_appends(spark, tmp_path):
     assert {r.doc_id for r in final.select("doc_id").distinct().collect()} == {
         1000, 1, 2,
     }
+
+
+def test_signature_compaction_crash_before_ledger_is_idempotent(spark, tmp_path):
+    """r6 ADVICE: snapshot-flavor fold crash between integrate and the
+    ledger write re-integrates the same files next cycle; the anti-join
+    on (doc_id, band_no) keeps the snapshot duplicate-free."""
+    import os
+
+    from projekt_data_engineering_iubh_spark.pipeline import band_delta, store
+    from projekt_data_engineering_iubh_spark.streaming import neardup_stream as ns
+
+    index_path = str(tmp_path / "idx")
+    ns.build_signature_index(
+        spark.createDataFrame([(1000, GOOD_EN, "en", _ts(0))], SCHEMA), index_path
+    )
+    ns._delta.append_one(
+        ns.band_rows(
+            ns.signatures_from(
+                spark.createDataFrame([(1, GOOD_FR)], "doc_id long, text string")
+            )
+        ),
+        index_path,
+    )
+    ns.compact_signature_index(spark, index_path)
+    snap = spark.read.parquet(store.resolve(index_path))
+    rows_after_fold = snap.count()
+
+    # crash simulation: snapshot committed, ledger write lost
+    os.remove(
+        os.path.join(band_delta.appends_dir(index_path), band_delta.FOLDED_LEDGER)
+    )
+    assert len(ns._append_files(index_path)) == 1
+
+    ns.compact_signature_index(spark, index_path)
+    snap2 = spark.read.parquet(store.resolve(index_path))
+    assert snap2.count() == rows_after_fold
+    assert (
+        snap2.groupBy("doc_id", "band_no").count().filter(F.col("count") > 1).count()
+        == 0
+    )

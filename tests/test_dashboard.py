@@ -266,3 +266,34 @@ def test_server_caches_day_and_invalidates_on_new_version(spark, tmp_path):
         assert code == 200 and ">NEW_M1<" in renamed
     finally:
         server.shutdown()
+
+
+def test_ttl_cache_is_bounded_lru():
+    """r6 ADVICE: cache keys are client-supplied query params — the cache
+    must stay bounded under arbitrary distinct probes (LRU + expired/
+    stale-version sweep), and a hot key must survive the eviction of
+    colder ones."""
+    from projekt_data_engineering_iubh_spark.pipeline.dashboard_server import (
+        _TTLCache,
+    )
+
+    now = [0.0]
+    c = _TTLCache(ttl=600, clock=lambda: now[0], max_entries=8)
+
+    c.get(("hot",), 1, lambda: "hot-page")
+    for i in range(100):
+        c.get(("probe", i), 1, lambda: f"p{i}")
+        c.get(("hot",), 1, lambda: "MUST NOT REBUILD")  # keep it recent
+    assert len(c._entries) <= 8
+    # the hot key was never evicted: its build ran exactly once
+    assert c.get(("hot",), 1, lambda: "MUST NOT REBUILD") == "hot-page"
+
+    # expired entries are swept on insert
+    now[0] = 10_000.0
+    c.get(("fresh",), 1, lambda: "f")
+    assert len(c._entries) == 1
+
+    # stale-version entries are swept on insert too
+    c.get(("a",), 1, lambda: "a")
+    c.get(("b",), 2, lambda: "b")
+    assert ("a",) not in c._entries

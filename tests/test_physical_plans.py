@@ -180,3 +180,54 @@ def test_quality_model_fit_predict_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "token" in plan
+
+
+# ---------------------------------------------------------------------------
+# Exchange budgets (r6 VERDICT #8): every headline plan gets a pinned
+# shuffle/broadcast ceiling so a future plan regression (a lost reuse, a
+# new unplanned shuffle, a broadcast that silently became a shuffle) is
+# caught by pytest before the bench sees it. Budgets are the counts
+# measured at sf0.001 on the round-7 plans; they are UPPER bounds — going
+# under is an improvement, going over fails loudly.
+# ---------------------------------------------------------------------------
+
+_EXCHANGE_BUDGETS = {
+    # name: (max shuffle exchanges, max broadcast exchanges)
+    "docs_dedup_exact": (2, 0),
+    "docs_minhash_lsh_pairs": (2, 1),
+    "docs_text_stats": (0, 0),
+    "docs_dedup_apply": (4, 1),
+    "events_flagship_session_rollup": (4, 0),
+    "q1_pricing_summary": (1, 0),
+    "q3_shipping_priority": (1, 2),
+    "q5_regional_revenue": (1, 5),
+    "emb_knn_brute": (1, 1),
+    "emb_lsh_ann_pairs": (0, 1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_EXCHANGE_BUDGETS))
+def test_headline_exchange_budget(spark, name):
+    import re
+
+    plan = plan_of(spark, name)
+    shuffles = len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
+    )
+    broadcasts = plan.count("BroadcastExchange")
+    max_sh, max_bc = _EXCHANGE_BUDGETS[name]
+    assert shuffles <= max_sh, (name, shuffles, max_sh, plan)
+    assert broadcasts <= max_bc, (name, broadcasts, max_bc, plan)
+
+
+def test_ann_pairs_probe_picks_uncapped_plan(spark):
+    """On data with no oversized bucket (all driver SFs) the runtime
+    occupancy probe must drop the rn skew guard entirely: no Window /
+    WindowGroupLimit in the executed plan — the capped variant's four
+    extra stage boundaries were the r6 bench's one red number."""
+    plan = plan_of(spark, "emb_lsh_ann_pairs")
+    assert "Window" not in plan, plan
+    assert "WindowGroupLimit" not in plan, plan
