@@ -73,17 +73,26 @@ def connected_components(
     # expensive); active/singleton split derives from it, not from two
     # rescans of the source
     ids = vertices.select(F.col(id_col).alias("id")).localCheckpoint(eager=True)
-    active = (
-        und.select(F.col("src").alias("id"))  # both directions present
-        .distinct()
-        .join(ids, "id", "left_semi")
+    # initialize each active vertex at min(self ∪ neighbors) — round 1's
+    # result, computed by the SAME groupBy that would find the active set
+    # anyway (no join needed: both edge directions are present, so every
+    # active vertex appears as src). Still ≥ the component min and
+    # produced by the same monotone update rule, so convergence and the
+    # fixpoint test are unchanged; for star/quasi-clique near-dup graphs
+    # (every member adjacent to the component min) this IS the fixpoint,
+    # and the loop's first iteration merely verifies it — one fewer
+    # join+checkpoint+count round than self-labeled initialization (r7:
+    # measured ~0.3 s off docs_dedup_apply at sf0.1).
+    init = und.groupBy("src").agg(F.min("dst").alias("nmin"))
+    active = init.select(F.col("src").alias("id"), "nmin").join(
+        ids, "id", "left_semi"
     )
     singletons = ids.join(active, "id", "left_anti").select(
         "id", F.col("id").alias("comp")
     )
-    labels = active.select("id", F.col("id").alias("comp")).localCheckpoint(
-        eager=True
-    )
+    labels = active.select(
+        "id", F.least(F.col("id"), F.col("nmin")).alias("comp")
+    ).localCheckpoint(eager=True)
 
     for round_no in range(1, MAX_ROUNDS + 1):
         neighbor_min = (

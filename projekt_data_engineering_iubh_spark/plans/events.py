@@ -232,7 +232,7 @@ FROM events
 """
 
 
-@register("events_threshold_errors", oracle=_ERRORS_SQL)
+@register("events_threshold_errors", oracle=_ERRORS_SQL, driver=False)
 def events_threshold_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12: config-compiled threshold predicates → is_error flag."""
     ev = load_table(spark, sf_dir, "events")
@@ -406,7 +406,7 @@ FROM events GROUP BY event_type
 """
 
 
-@register("events_salted_agg", oracle=_SALTED_AGG_SQL)
+@register("events_salted_agg", oracle=_SALTED_AGG_SQL, driver=False)
 def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage salted aggregation (operators/skew.py): 16
     random sub-keys per group aggregated in parallel, partials combined —

@@ -285,7 +285,7 @@ GROUP BY o_orderpriority
 """
 
 
-@register("q4_order_priority", oracle=_Q4_SQL)
+@register("q4_order_priority", oracle=_Q4_SQL, driver=False)
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 analog: correlated EXISTS with a non-equi condition —
     planned as a left-semi join on the key plus the date predicate."""
@@ -471,7 +471,7 @@ WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
 """
 
 
-@register("window_suite_orders", oracle=_WINDOW_SUITE_SQL)
+@register("window_suite_orders", oracle=_WINDOW_SUITE_SQL, driver=False)
 def window_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function suite in one driver entry (registry curation):
     ranking (row_number/rank/dense_rank/ntile, price-desc order), analytic
@@ -1125,7 +1125,7 @@ FROM per_cust GROUP BY c_count
 """
 
 
-@register("q13_customer_distribution", oracle=_Q13_SQL, driver=False)
+@register("q13_customer_distribution", oracle=_Q13_SQL)
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: outer join with a join-side predicate (the
     filter must live in the JOIN condition, not a post-filter — a
@@ -1321,7 +1321,7 @@ WHERE rev.rd = (SELECT MAX(rd) FROM rev)
 """
 
 
-@register("q15_top_supplier", oracle=_Q15_SQL, driver=False)
+@register("q15_top_supplier", oracle=_Q15_SQL)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: aggregate-of-aggregate — a revenue "view" per
     supplier over one quarter, filtered to the row(s) equal to the
@@ -1449,7 +1449,7 @@ LIMIT 20
 """
 
 
-@register("q10_returned_items", oracle=_Q10_SQL, driver=False)
+@register("q10_returned_items", oracle=_Q10_SQL)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer over a
     quarter, top 20. The fact-fact join aggregates FIRST (orders x

@@ -87,6 +87,63 @@ _LSH_ROWS = _MINHASH_K // _LSH_BANDS
 # — see tools/scale_sweep.py --adversarial for the case where it binds).
 LSH_MAX_BUCKET = 32
 
+
+# occupancy-probe memo (r7, mirrors plans/vector_queries._OCC_CACHE):
+# max band-bucket occupancy is a pure function of the documents table's
+# bytes and the MinHash/LSH constants, so repeated plan builds in one
+# process pay the probe once per table version.
+_BAND_OCC_CACHE: dict[tuple, int] = {}
+
+
+def _max_band_occupancy(spark: SparkSession, sf_dir: str) -> int:
+    """Max LSH band-bucket occupancy over the documents table — one
+    aggregate into (band_no, band_key) groups, map-side combined. This is
+    the runtime decision input for the hot-bucket guard: when NO bucket
+    exceeds LSH_MAX_BUCKET (driver data tops out at occupancy 4), the
+    capped plan's row_number window + eager materialization are provably
+    output-neutral and can be skipped entirely (r6 VERDICT #1's probe,
+    applied to the text path). Memoized by (path, mtime): a Spark
+    re-write of the dataset deletes/creates part files and bumps the
+    directory mtime."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        key = (
+            os.path.abspath(path),
+            os.path.getmtime(path),
+            _MINHASH_K,
+            _LSH_BANDS,
+        )
+    except OSError:
+        key = None
+    if key is not None and key in _BAND_OCC_CACHE:
+        return _BAND_OCC_CACHE[key]
+    sig = _signatures(spark, sf_dir).filter(
+        F.element_at(F.col("minhash"), 1) < F.lit(hashing.MERSENNE_P)
+    )
+    band = F.explode(
+        F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b), F.slice("minhash", b * _LSH_ROWS + 1, _LSH_ROWS)
+                )
+                for b in range(_LSH_BANDS)
+            ]
+        )
+    )
+    row = (
+        sig.select(band.alias("band_key"))
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()
+    )
+    occ = int(row["mx"]) if row["mx"] is not None else 0
+    if key is not None:
+        _BAND_OCC_CACHE[key] = occ
+    return occ
+
 _SIG_CTE = f"""
 WITH toks AS (
   SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
@@ -157,7 +214,7 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signatures_from(spread(load_table(spark, sf_dir, "documents")))
 
 
-@register("docs_minhash_signatures", oracle=_MINHASH_SQL)
+@register("docs_minhash_signatures", oracle=_MINHASH_SQL, driver=False)
 def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=16) over 3-word shingles — engine-portable
     md5-based hashing, one pass, no shuffle. Output is the '-'-joined
@@ -357,7 +414,7 @@ JOIN sig sb ON sb.doc_id = doc_b
 )
 
 
-@register("docs_lsh_pairs_capped", oracle=_LSH_PAIRS_CAPPED_SQL)
+@register("docs_lsh_pairs_capped", oracle=_LSH_PAIRS_CAPPED_SQL, driver=False)
 def docs_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hot-bucket-guard candidate generator with the cap forced to 1
     (every bucket member pairs only with the bucket's minimum doc_id) —
@@ -714,7 +771,7 @@ FROM t
 """
 
 
-@register("docs_lang_id", oracle=_LANG_ID_SQL)
+@register("docs_lang_id", oracle=_LANG_ID_SQL, driver=False)
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (n-gram heuristic family) with a
     deterministic argmax tie-break. The tokenize + argmax expression is
@@ -844,9 +901,28 @@ def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximation contract: within an oversized bucket, docs beyond the
     cap connect via the first `cap` members; in the template-cluster
     scenario that triggers capping, those members are near-identical to
-    the rest, so the ≥0.5 est_jaccard filter passes the star edges."""
+    the rest, so the ≥0.5 est_jaccard filter passes the star edges.
+
+    Runtime occupancy probe (round 7, mirrors emb_lsh_ann_pairs): one
+    memoized ≤(4n)-group aggregate decides whether ANY band bucket
+    exceeds the cap. When none does — always true on the driver data
+    (max occupancy 4 vs cap 32) — the capped plan's row_number window
+    and its eager localCheckpoint materialization are skipped and the
+    uncapped exchange-reuse self-join runs instead. Output-identical
+    either way: at-or-under-cap buckets produce the exact same candidate
+    set, and the two paths' different duplicate-emission policies (the
+    uncapped path dedups on first-agreeing-band, the capped path may
+    emit a pair once per agreeing band) are invisible through
+    connected components — min-label propagation is multigraph-safe and
+    est_jaccard is identical per emission, so the edge SET after the
+    ≥0.5 filter, and hence every component, is the same."""
     d = load_table(spark, sf_dir, "documents")
-    edges = _lsh_pairs(spark, sf_dir, max_bucket=LSH_MAX_BUCKET).filter(
+    cap = (
+        LSH_MAX_BUCKET
+        if _max_band_occupancy(spark, sf_dir) > LSH_MAX_BUCKET
+        else None
+    )
+    edges = _lsh_pairs(spark, sf_dir, max_bucket=cap).filter(
         F.col("est_jaccard") >= 0.5
     )
     comp = connected_components(
@@ -930,7 +1006,7 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("docs_dedup_clusters_star", oracle=_DEDUP_CLUSTERS_SQL, driver=False)
+@register("docs_dedup_clusters_star", oracle=_DEDUP_CLUSTERS_SQL)
 def docs_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_dedup_clusters computed by the LARGE-STAR/SMALL-STAR
     connected-components operator (operators/connected_components.py::

@@ -130,3 +130,29 @@ def test_bpe_train_matches_reference_randomized(spark, seed):
     got_merges, seg = bpe.bpe_train(docs, 10)
     assert got_merges == ref_merges
     assert {r.word: list(r.syms) for r in seg.collect()} == ref_segs
+
+
+def test_train3_query_matches_bpe_train(spark):
+    """The chained SQL-expressible 3-round kernel (registry
+    docs_bpe_train3) and the driver-loop trainer bpe_train must learn
+    the same 3 merges and produce the same segmentations on the driver
+    documents table — one verifies the other (the registry entry is
+    additionally DuckDB-hash-verified by test_oracle_differential)."""
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+    from projekt_data_engineering_iubh_spark.plans.curation_queries import (
+        docs_bpe_train3,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = docs_bpe_train3(spark, sf).collect()
+    assert rows
+    q_merges = [
+        (rows[0][f"merge{r}_a"], rows[0][f"merge{r}_b"]) for r in (1, 2, 3)
+    ]
+    q_segs = {r.word: list(r.syms) for r in rows}
+
+    t_merges, t_seg = bpe.bpe_train(load_table(spark, sf, "documents"), 3)
+    assert [(a, b) for a, b, _ in t_merges] == q_merges
+    assert {r.word: list(r.syms) for r in t_seg.collect()} == q_segs
+    # non-vacuous: three distinct merges actually learned
+    assert len(set(q_merges)) == 3

@@ -38,22 +38,15 @@ LOCAL_ONLY_FAMILY = {
     "docs_pii_scrub",
     "emb_ivf_ann_multiprobe",
     "docs_profile",
-    "docs_decontaminate",
     "docs_sample",
     "docs_chunk",
-    "docs_pack_sequences",
-    "emb_quantize_int8",
-    "emb_semantic_dedup",
     "emb_ann_recall",
     "emb_cluster_stats",
-    "docs_mixture_epochs",
     # round 4
-    "docs_bloom_membership",
     "docs_corpus_curated_model",
     # round 5 rotation (demoted after four green rounds)
     "docs_word_count",
     # round 5 additions that stay local
-    "docs_dedup_clusters_star",
     "emb_ann_recall_trained",
     # round 6 rotation: demoted after two green rounds (r4+r5) to free
     # slots for the never-driver-checked r5 families (docs_dedup_incremental,
@@ -69,6 +62,20 @@ LOCAL_ONLY_FAMILY = {
     "docs_dedup_rate_by_source",
     "docs_bpe_pair_counts",
     "docs_bpe_one_round",
+    # round 7 rotation: ten never-driver-checked entries promoted
+    # (docs_dedup_clusters_star, emb_semantic_dedup, emb_quantize_int8,
+    # docs_bloom_membership, docs_decontaminate, docs_mixture_epochs,
+    # docs_pack_sequences, q10, q13, q15); these two-round-green entries
+    # demoted — each has its semantics exercised by a surviving driver
+    # entry or a dedicated test file, and stays oracle-green locally
+    "docs_minhash_signatures",
+    "docs_lsh_pairs_capped",
+    "docs_lang_id",
+    "emb_cosine_neardup",
+    "emb_kmeans",
+    "emb_pq_adc",
+    # round 7 addition (driver set at budget): the 3-round BPE train (#103)
+    "docs_bpe_train3",
 }
 
 # non-docs/emb local-only entries need no allowlist (the family test

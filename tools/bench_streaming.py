@@ -1,0 +1,202 @@
+"""Streaming-tier throughput bench (r6 VERDICT #6).
+
+Measures sustained rows/s and per-trigger latency for the two continuous
+jobs, on synthetic drop-dirs sized like the sf0.1 batch inputs:
+
+* ``pipeline`` — streaming/pipeline_stream.py: CSV drops (multi-machine
+  full days) → cleanse → error flags → watermarked hourly rollup →
+  idempotent parquet merge;
+* ``neardup`` — streaming/neardup_stream.py: parquet doc drops →
+  quality/dedup curation → LSH near-dup filter vs the persisted
+  signature index (snapshot + LSM delta) → partitioned store append +
+  band-delta append.
+
+Per-trigger numbers come from the StreamingQuery's own progress events
+(numInputRows, triggerExecution ms); sustained rows/s divides total
+input rows by summed trigger-execution time (excludes this script's file
+staging). Results recorded in BASELINE.md.
+
+Usage: python tools/bench_streaming.py [--which pipeline|neardup|both]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from projekt_data_engineering_iubh_spark.session import get_spark  # noqa: E402
+
+
+def _progress_stats(q) -> tuple[int, float, list[dict]]:
+    """(total rows, total trigger-exec seconds, per-trigger breakdown)
+    over the query's recentProgress, data-carrying triggers only."""
+    rows = 0
+    secs = 0.0
+    trig = []
+    for p in q.recentProgress:
+        n = p.get("numInputRows") or 0
+        if not n:
+            continue
+        ms = (p.get("durationMs") or {}).get("triggerExecution") or 0
+        rows += n
+        secs += ms / 1000.0
+        trig.append(
+            {
+                "batchId": p.get("batchId"),
+                "rows": n,
+                "trigger_ms": ms,
+                "addBatch_ms": (p.get("durationMs") or {}).get("addBatch"),
+            }
+        )
+    return rows, secs, trig
+
+
+def bench_pipeline(spark, work: Path, days: int, machines: int) -> dict:
+    from projekt_data_engineering_iubh_spark.pipeline.config import DEFAULT_RULES
+    from projekt_data_engineering_iubh_spark.pipeline.generate_data import (
+        simulate_day,
+        write_csv,
+    )
+    from projekt_data_engineering_iubh_spark.streaming import pipeline_stream as ps
+
+    work.mkdir(parents=True, exist_ok=True)
+    drop = work / "incoming"
+    drop.mkdir()
+    q = ps.start_pipeline(
+        spark,
+        str(drop),
+        str(work / "summary"),
+        DEFAULT_RULES,
+        checkpoint_dir=str(work / "ckpt"),
+    )
+    wall0 = time.perf_counter()
+    try:
+        for d in range(days):
+            date = f"2024-08-{d + 1:02d}"
+            for m in range(machines):
+                res = simulate_day(f"M_{m:02d}", date, hours=24, seed=100 * d + m)
+                write_csv(res, drop / f"{date}_M{m:02d}.csv")
+            q.processAllAvailable()
+        rows, secs, trig = _progress_stats(q)
+    finally:
+        q.stop()
+    return {
+        "tier": "pipeline_stream",
+        "drops": days,
+        "machines_per_drop": machines,
+        "input_rows": rows,
+        "trigger_exec_sec": round(secs, 2),
+        "sustained_rows_per_sec": round(rows / secs) if secs else None,
+        "wall_sec": round(time.perf_counter() - wall0, 2),
+        "triggers": trig,
+    }
+
+
+def bench_neardup(spark, work: Path, sf_dir: str, batches: int) -> dict:
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        build_signature_index,
+        start_neardup_corpus_stream,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.lit("2024-08-01 00:00:00").cast("timestamp").alias("ingest_ts"),
+        )
+        .orderBy("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+    corpus_n = n // 2
+    batch_n = (n - corpus_n) // batches or 1
+
+    work.mkdir(parents=True, exist_ok=True)
+    index_path = str(work / "sig_index")
+    build_signature_index(docs.filter(F.col("doc_id") < corpus_n), index_path)
+
+    src = work / "src"
+    src.mkdir()
+
+    def drop(name: str, lo: int, hi: int) -> None:
+        staging = work / f"stage_{name}"
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    schema = "doc_id long, text string, lang string, ingest_ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = start_neardup_corpus_stream(
+        stream,
+        str(work / "out"),
+        str(work / "ckpt_nd"),
+        index_path,
+        dedup_horizon="30 minutes",
+    )
+    wall0 = time.perf_counter()
+    try:
+        lo = corpus_n
+        for b in range(batches):
+            hi = min(lo + batch_n, n)
+            drop(f"b{b}", lo, hi)
+            lo = hi
+            q.processAllAvailable()
+        rows, secs, trig = _progress_stats(q)
+    finally:
+        q.stop()
+    return {
+        "tier": "neardup_stream",
+        "sf_dir": sf_dir,
+        "corpus_index_docs": corpus_n,
+        "batches": batches,
+        "input_rows": rows,
+        "trigger_exec_sec": round(secs, 2),
+        "sustained_rows_per_sec": round(rows / secs) if secs else None,
+        "wall_sec": round(time.perf_counter() - wall0, 2),
+        "triggers": trig,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--which", default="both", choices=["pipeline", "neardup", "both"])
+    ap.add_argument("--days", type=int, default=3)
+    ap.add_argument("--machines", type=int, default=8)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--batches", type=int, default=3)
+    args = ap.parse_args()
+
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = Path(tempfile.mkdtemp(prefix="stream_bench_"))
+    try:
+        if args.which in ("pipeline", "both"):
+            print(
+                json.dumps(
+                    bench_pipeline(spark, work / "p", args.days, args.machines)
+                )
+            )
+        if args.which in ("neardup", "both"):
+            print(json.dumps(bench_neardup(spark, work / "n", args.sf_dir, args.batches)))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
