@@ -44,6 +44,7 @@ def connected_components(
     dst_col: str,
     component_col: str = "component",
     stats: dict | None = None,
+    materialize_vertices: bool = True,
 ) -> DataFrame:
     """Label every vertex with the min vertex id of its component.
 
@@ -52,16 +53,23 @@ def connected_components(
     Returns (id_col, component_col). When ``stats`` is passed, it receives
     ``{"rounds": k}`` — the scale-sweep's convergence telemetry (rounds
     must stay a small constant as the corpus grows; tools/scale_sweep.py).
+    ``materialize_vertices=False`` skips the vertex-frame checkpoint for
+    callers whose vertex source is a trivially cheap scan (a pruned
+    parquet id column): it is re-read by the active/singleton splits
+    instead of paying a materialization job.
     """
-    # materialize the edge list once — every round joins against it, and
-    # upstream edge pipelines (e.g. the MinHash LSH join) are far more
-    # expensive than the ids they produce
-    und = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+    # materialize the DIRECTED edge list once — every round joins against
+    # it, and upstream edge pipelines (e.g. the MinHash LSH join) are far
+    # more expensive than the ids they produce. Deriving both directions
+    # AFTER the checkpoint (r7) keeps the expensive join out of the
+    # second union branch: checkpoint-then-union runs the edge plan once,
+    # union-then-checkpoint ran it once per branch (the exchanges are
+    # reused across branches, the join/filter/project above them is not).
+    directed = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    und = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # iterate ONLY over vertices touched by an edge: every other vertex
     # is a singleton whose component is itself, no propagation needed.
@@ -72,7 +80,9 @@ def connected_components(
     # one materialization of the vertex ids (the upstream scan may be
     # expensive); active/singleton split derives from it, not from two
     # rescans of the source
-    ids = vertices.select(F.col(id_col).alias("id")).localCheckpoint(eager=True)
+    ids = vertices.select(F.col(id_col).alias("id"))
+    if materialize_vertices:
+        ids = ids.localCheckpoint(eager=True)
     # initialize each active vertex at min(self ∪ neighbors) — round 1's
     # result, computed by the SAME groupBy that would find the active set
     # anyway (no join needed: both edge directions are present, so every
