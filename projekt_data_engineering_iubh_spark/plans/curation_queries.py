@@ -1214,7 +1214,7 @@ def _bpe_round_sql(seg_rel: str, idx: int) -> str:
 )"""
 
 
-_BPE_TRAIN3_SQL = (
+_BPE_TRAIN3_CTES = (
     f"""
 WITH toks AS (
   SELECT {tx.tokens_sql('text')} AS t FROM documents
@@ -1230,6 +1230,10 @@ WITH toks AS (
     + _bpe_round_sql("segs1", 2)
     + ", "
     + _bpe_round_sql("segs2", 3)
+)
+
+_BPE_TRAIN3_SQL = (
+    _BPE_TRAIN3_CTES
     + """
 SELECT word, n, syms,
        a1 AS merge1_a, b1 AS merge1_b,
@@ -1257,6 +1261,13 @@ def docs_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/bpe.py::bpe_train, pinned to this chained kernel by
     tests/test_bpe.py::test_train3_query_matches_bpe_train; registry
     query #103."""
+    return _bpe_train3_seg(spark, sf_dir)
+
+
+def _bpe_train3_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared 3-round trained segmentation (word, n, syms,
+    merge{1..3}_{a,b}) — consumed by docs_bpe_train3 (training output)
+    and docs_bpe_tokenize (corpus-scale inference)."""
     from projekt_data_engineering_iubh_spark.operators import bpe
 
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -1294,3 +1305,105 @@ def docs_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
         # table is vocabulary-sized — cheap to materialize.
         seg = seg.localCheckpoint(eager=True)
     return seg
+
+
+_BPE_TOKENIZE_SQL = (
+    _BPE_TRAIN3_CTES
+    + f"""
+, doc_words AS (
+  SELECT doc_id, unnest({tx.tokens_sql('text')}) AS word FROM documents
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(len(s.syms)) AS DOUBLE) / COUNT(*) AS tokens_per_word
+FROM doc_words d JOIN segs3 s USING (word)
+GROUP BY d.doc_id
+"""
+)
+
+
+@register("docs_bpe_tokenize", oracle=_BPE_TOKENIZE_SQL, driver=False)
+def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE INFERENCE with the 3-round trained vocabulary —
+    the other half of the tokenizer tier (train = docs_bpe_train3): every
+    document tokenized by joining its words against the trained
+    segmentation table, with per-doc word / BPE-token counts and the
+    fertility ratio (tokens per word, the tokenizer-quality metric).
+
+    This is exactly how a production pipeline tokenizes at 100 TB: the
+    merge loop runs ONCE over the vocabulary-sized word table; the corpus
+    pass is a single explode + equi-join on word + per-doc aggregate —
+    no per-document merge folds, because identical words share their
+    segmentation. The join's word side is vocabulary-sized (broadcast or
+    one shuffle), the doc side never moves twice. tokens_per_word is ONE
+    double division of exact bigints (the r6 rounding rule); registry
+    query #104."""
+    seg = _bpe_train3_seg(spark, sf_dir).select("word", F.size("syms").alias("n_syms"))
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("word"))
+    return (
+        words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.col("n_bpe_tokens").cast("double") / F.col("n_words"),
+        )
+    )
+
+
+_BINARY_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       substring(hex(encode(text)), 1, 16) AS head_hex,
+       substring(hex(encode(text)), octet_length(encode(text)) * 2 - 15, 16)
+         AS tail_hex,
+       to_base64(encode(substring(text, 1, 12))) AS head_b64,
+       CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
+FROM documents
+"""
+
+
+@register("docs_binary_payloads", oracle=_BINARY_SQL, driver=False)
+def docs_binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, oracle-verified (round 7): the multimodal
+    tier treats media as opaque `binary` columns
+    (multimodal/binary_ops.py), but no driver table carries one — so
+    this query SYNTHESIZES a deterministic payload (UTF-8 bytes of
+    `text`) and verifies the binary operations every media pipeline
+    leans on, cross-engine: byte length, content hash, head/tail byte
+    slices (hex), a bounded base64 rendering, and the 256-byte chunk
+    count (the Arrow-batch sizing arithmetic of mapInPandas decode).
+
+    Cross-engine notes baked in: DuckDB's md5/substring reject BLOBs, so
+    the hash goes over the VARCHAR (identical UTF-8 bytes) and byte
+    slices ride hex-string substrings; Spark's base64 is MIME-chunked
+    (CRLF every 76 chars) on long inputs, so base64 only renders a
+    12-char prefix (≤48 bytes, always unchunked). Registry query #105 —
+    the multimodal family's first oracle-checked entry."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    payload = F.encode(F.col("text"), "UTF-8")
+    hexed = F.hex(payload)
+    nbytes = F.length(payload).cast("long")
+    return d.select(
+        "doc_id",
+        nbytes.alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.substring(hexed, 1, 16).alias("head_hex"),
+        F.expr(
+            "substring(hex(encode(text, 'UTF-8')),"
+            " length(encode(text, 'UTF-8')) * 2 - 15, 16)"
+        ).alias("tail_hex"),
+        F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias(
+            "head_b64"
+        ),
+        # integer DIV, not double division — exact at any payload size
+        F.expr(
+            "(length(encode(text, 'UTF-8')) + 255) DIV 256"
+        ).cast("long").alias("n_chunks"),
+    )

@@ -74,8 +74,12 @@ LOCAL_ONLY_FAMILY = {
     "emb_cosine_neardup",
     "emb_kmeans",
     "emb_pq_adc",
-    # round 7 addition (driver set at budget): the 3-round BPE train (#103)
+    # round 7 additions (driver set at budget): the 3-round BPE train
+    # (#103) and the trained-vocabulary corpus tokenizer (#104)
     "docs_bpe_train3",
+    "docs_bpe_tokenize",
+    # round 7: the multimodal family's first oracle-checked entry (#105)
+    "docs_binary_payloads",
 }
 
 # non-docs/emb local-only entries need no allowlist (the family test

@@ -211,3 +211,38 @@ def test_hot_bucket_guard_ann_pairs(spark, tmp_path):
     )
     assert 0 < pairs <= ANN_MAX_BUCKET * b, (pairs, ANN_MAX_BUCKET * b)
     assert pairs < b * (b - 1) / 2, pairs
+
+
+def test_occupancy_probe_memo_invalidates_on_rewrite(spark, tmp_path):
+    """The probe memo (keyed by table path + dir mtime) must NOT serve a
+    stale occupancy after the dataset at the same path is rewritten —
+    a stale "under cap" answer would run the uncapped plan on oversized
+    buckets and diverge from the capped oracle."""
+    import os
+    import time as _time
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+    from projekt_data_engineering_iubh_spark.plans.vector_queries import (
+        ANN_MAX_BUCKET,
+        _max_occupancy,
+    )
+
+    out = str(tmp_path / "memoinv")
+    os.makedirs(out, exist_ok=True)
+    e = load_table(spark, SF_BASE, "embeddings")
+    e.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    occ1 = _max_occupancy(spark, out)
+    assert occ1 <= ANN_MAX_BUCKET  # normal data: under cap, memoized
+
+    # rewrite the SAME path with an adversarial bucket (mtime must tick)
+    one = e.limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(60_000_000 + i, one.embedding, one.label) for i in range(300)],
+        schema=e.schema,
+    )
+    _time.sleep(0.05)
+    e.unionByName(dup).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    occ2 = _max_occupancy(spark, out)
+    assert occ2 > ANN_MAX_BUCKET, (occ1, occ2)
