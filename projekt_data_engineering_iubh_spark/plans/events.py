@@ -714,3 +714,43 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+_ATTRIBUTION_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts, value AS view_value
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.view_ts, v.view_value, p.purchase_ts, p.purchase_value
+FROM v JOIN p ON v.user_id = p.user_id
+  AND v.view_ts <= p.purchase_ts
+  AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("events_attribution_join", oracle=_ATTRIBUTION_SQL, driver=False)
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution as a batch interval join: every purchase
+    matched to the same user's views within the preceding 30 minutes —
+    the BATCH anchor of the stream-stream watermarked join
+    (streaming/attribution_stream.py; registry #106). Shares the exact
+    plan builder `attribute()` with the live variant, so the streaming
+    tests' batch-parity pin and this oracle verify the same code. The
+    join is a user_id equi-join with a range residual — one shuffle on
+    user_id, never a cartesian (plan-pinned in
+    tests/test_attribution_stream.py); at 100 TB both event slices
+    partition by user and the range predicate evaluates within the
+    sort-merge join."""
+    from projekt_data_engineering_iubh_spark.streaming.attribution_stream import (
+        attribute,
+        split_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    views, purchases = split_events(ev)
+    return attribute(views, purchases)
