@@ -196,7 +196,10 @@ _EXCHANGE_BUDGETS = {
     "docs_dedup_exact": (2, 0),
     "docs_minhash_lsh_pairs": (2, 1),
     "docs_text_stats": (0, 0),
-    "docs_dedup_apply": (4, 1),
+    # uncapped probe path + materialize_vertices=False: the vertex scan
+    # is re-read (not checkpointed), so the singleton anti-join shows as
+    # a second small broadcast — both broadcasts are id-column frames
+    "docs_dedup_apply": (4, 2),
     "events_flagship_session_rollup": (4, 0),
     "q1_pricing_summary": (1, 0),
     "q3_shipping_priority": (1, 2),
