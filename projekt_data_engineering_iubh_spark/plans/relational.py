@@ -1678,3 +1678,67 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(profit).cast("string").cast("double").alias("profit"))
     )
+
+
+_EXPECTATIONS_SQL = """
+WITH a AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+    CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+              AND (o_totalprice < 0 OR o_totalprice > 600000)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_acc,
+    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+  FROM orders
+), ref AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_ref
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+)
+SELECT 'not_null:o_custkey' AS rule, v_null AS violations, v_null = 0 AS passed FROM a
+UNION ALL
+SELECT 'unique:o_orderkey', v_uniq, v_uniq = 0 FROM a
+UNION ALL
+SELECT 'in_range:o_totalprice', v_range, v_range = 0 FROM a
+UNION ALL
+SELECT 'accepted_values:o_orderstatus', v_acc, v_acc = 0 FROM a
+UNION ALL
+SELECT 'matches:o_orderpriority', v_re, v_re = 0 FROM a
+UNION ALL
+SELECT 'referential:o_custkey->c_custkey', v_ref, v_ref = 0 FROM ref
+"""
+
+
+@register("orders_expectations", oracle=_EXPECTATIONS_SQL, driver=False)
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over `orders`
+    (operators/expectations.py; registry #107): five row-level /
+    uniqueness rules compiled to ONE single-scan aggregate (map-side
+    combined, 1-row shuffle — rule count does not change the pass
+    count) plus a referential-integrity anti-join against `customer`.
+    The report is (rule, violations, passed) — the publishable artifact
+    a pipeline alerts on. On the driver data every rule passes; the
+    operator's failure paths are unit-tested with planted violations
+    (tests/test_expectations.py)."""
+    from projekt_data_engineering_iubh_spark.operators import expectations as ex
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    report = ex.check(
+        o,
+        [
+            ex.not_null("o_custkey"),
+            ex.unique("o_orderkey"),
+            ex.in_range("o_totalprice", 0, 600000),
+            ex.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            ex.matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+    return report.unionByName(
+        ex.referential(o, c, "o_custkey", "c_custkey")
+    )

@@ -82,6 +82,10 @@ LOCAL_ONLY_FAMILY = {
     "docs_binary_payloads",
 }
 
+# non-docs/emb r7 local-only additions (#106 events_attribution_join,
+# #107 orders_expectations) need no allowlist entry — the family test
+# only tracks docs_*/emb_* names.
+
 # non-docs/emb local-only entries need no allowlist (the family test
 # only tracks docs_*/emb_*)
 
