@@ -115,3 +115,52 @@ def referential(
         F.col("violations").cast("long").alias("violations"),
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-level variants — the quarantine path (streaming/quality_gate.py)
+# ---------------------------------------------------------------------------
+# The aggregate rules above COUNT violations; quarantining needs to know
+# WHICH rows violated and WHY. Only row-local rules qualify (not_null /
+# in_range / accepted_values / matches); uniqueness and referential
+# integrity are cross-row properties — a gate checks those via the
+# aggregate report and fails the batch instead of quarantining.
+
+
+def row_not_null(col: str) -> tuple[str, Column]:
+    return (f"not_null:{col}", F.col(col).isNull())
+
+
+def row_in_range(col: str, lo, hi) -> tuple[str, Column]:
+    c = F.col(col)
+    return (
+        f"in_range:{col}",
+        c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))),
+    )
+
+
+def row_accepted_values(col: str, values: list) -> tuple[str, Column]:
+    c = F.col(col)
+    return (f"accepted_values:{col}", c.isNotNull() & ~c.isin(*values))
+
+
+def row_matches(col: str, regex: str) -> tuple[str, Column]:
+    c = F.col(col)
+    return (f"matches:{col}", c.isNotNull() & ~c.rlike(regex))
+
+
+def with_violations(
+    df: DataFrame, row_rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Append ``_violations`` — the array of violated rule names (empty =
+    clean row). One projection, no shuffle; the split into clean vs
+    quarantined is a filter on ``size(_violations)``."""
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(pred, F.lit(name)).otherwise(F.lit(None))
+                for name, pred in row_rules
+            ]
+        )
+    )
+    return df.withColumn("_violations", tags)
