@@ -56,9 +56,28 @@ def hourly_error_rollup(
     rules: dict[str, Any],
     *,
     watermark: str = "1 hour",
+    observe_name: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window analog of the batch A3 error counters."""
+    """Watermarked tumbling-window analog of the batch A3 error counters.
+
+    ``observe_name``: attach a named Observation (Spark's zero-extra-pass
+    metric channel — the counters accumulate DURING the normal execution,
+    no second scan) on the cleansed+flagged rows: per-trigger input row /
+    flagged-error / null-value counts surface in each
+    StreamingQueryProgress under ``observedMetrics[observe_name]`` — the
+    monitoring feed an operator alerts on without touching the data path.
+    """
     flagged = with_error_flag(cleanse(events), rules, PARAMETER_EVENT_MAPPING)
+    if observe_name is not None:
+        zero = F.lit(0).cast("long")
+        flagged = flagged.observe(
+            observe_name,
+            F.count(F.lit(1)).alias("input_rows"),
+            F.coalesce(F.sum(F.col("is_error").cast("long")), zero).alias(
+                "flagged_errors"),
+            F.coalesce(F.sum(F.col("value").isNull().cast("long")), zero).alias(
+                "null_values"),
+        )
     force = lambda ev, p: F.when(
         (F.col("event_name") == ev) & (F.col("parameter_name") == p),
         F.col("value"),
@@ -109,10 +128,12 @@ def start_pipeline(
     *,
     checkpoint_dir: str,
     watermark: str = "1 hour",
+    observe_name: str | None = None,
 ):
     """Wire the continuous pipeline and return the StreamingQuery."""
     agg = hourly_error_rollup(read_event_stream(spark, input_dir), rules,
-                              watermark=watermark)
+                              watermark=watermark,
+                              observe_name=observe_name)
     return (
         agg.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)

@@ -176,3 +176,46 @@ def test_streaming_pipeline_multidrop_advancing_time(spark, tmp_path):
     multi_got = {k: v for k, v in got.items() if k[2] == "M_multi"}
     multi_batch = {k: v for k, v in batch.items() if k[2] == "M_multi"}
     assert multi_got == multi_batch
+
+
+def test_observed_metrics_match_batch_ground_truth(spark, tmp_path):
+    """Observation API (zero-extra-pass monitoring): the per-trigger
+    observedMetrics must equal the batch-computed counts over the same
+    file — the counters accumulate during the normal rollup execution,
+    not via a second scan."""
+    drop_dir = tmp_path / "incoming"
+    drop_dir.mkdir()
+    res = simulate_day("M_obs", "2024-08-01", hours=0.5, seed=11)
+    write_csv(res, drop_dir / "day.csv")
+
+    q = ps.start_pipeline(
+        spark,
+        str(drop_dir),
+        str(tmp_path / "summary"),
+        DEFAULT_RULES,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        observe_name="gate",
+    )
+    try:
+        q.processAllAvailable()
+        observed = [
+            p["observedMetrics"]["gate"]
+            for p in q.recentProgress
+            if "gate" in (p.get("observedMetrics") or {})
+        ]
+    finally:
+        q.stop()
+
+    assert observed, "no observed metrics surfaced in progress"
+    got_rows = sum(m["input_rows"] for m in observed)
+    got_errors = sum(m["flagged_errors"] for m in observed)
+    got_nulls = sum(m["null_values"] for m in observed)
+
+    events = da.cleanse(da.read_events_csv(spark, str(drop_dir / "day.csv")))
+    flagged = with_error_flag(events, DEFAULT_RULES, PARAMETER_EVENT_MAPPING)
+    want = flagged.agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(F.col("is_error").cast("long")).alias("e"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n"),
+    ).collect()[0]
+    assert (got_rows, got_errors, got_nulls) == (want.r, want.e, want.n)
