@@ -1407,3 +1407,86 @@ def docs_binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(length(encode(text, 'UTF-8')) + 255) DIV 256"
         ).cast("long").alias("n_chunks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training order (seeded global shuffle → shards + positions)
+# ---------------------------------------------------------------------------
+
+_ORD_SEED = "epoch0"
+_ORD_SHARDS = 8  # test-scale; a 100 TB run sets this ≈ data-parallel readers
+
+_ORD_HKEY_SQL = hashing.md5_hash60_sql(
+    f"concat('{_ORD_SEED}:', CAST(doc_id AS VARCHAR))"
+)
+
+_TRAIN_ORDER_SQL = f"""
+WITH h AS (
+  SELECT doc_id, n_chars, {_ORD_HKEY_SQL} AS hkey FROM documents
+), sharded AS (
+  SELECT doc_id, n_chars, hkey, hkey % {_ORD_SHARDS} AS shard FROM h
+), ranked AS (
+  SELECT doc_id, n_chars, shard,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS pos,
+         CAST(COALESCE(SUM(n_chars) OVER (
+             PARTITION BY shard ORDER BY hkey, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS shard_offset_chars
+  FROM sharded
+)
+SELECT doc_id, shard, pos,
+       (pos - 1) * {_ORD_SHARDS} + shard AS global_ord,
+       shard_offset_chars
+FROM ranked
+"""
+
+
+@register("docs_train_order", oracle=_TRAIN_ORDER_SQL, driver=False)
+def docs_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle into training shards.
+
+    The op every epoch of large-scale training needs between the curated
+    corpus and the data loader: an order that is (a) uniformly shuffled,
+    (b) reproducible from (seed, doc_id) alone — no RNG state, any subset
+    of workers can recompute its own slice — and (c) sharded so N
+    data-parallel readers stream disjoint files in order. Emits per doc:
+    its shard (hash mod shards), position within the shard (rank by hash),
+    the round-robin global order (``(pos-1)*shards + shard`` — what a
+    synchronized data-parallel sweep over shard files visits), and the
+    running byte/char offset of the doc inside its shard (the seek index a
+    reader uses to resume mid-shard).
+
+    Scale shape: one map-side hash projection, then ONE window shuffle
+    partitioned by shard — the terasort pattern. Per-shard sort size is
+    corpus/shards; a 100 TB run raises ``_ORD_SHARDS`` to O(readers) so
+    each sort fits an executor (the hash is uniform, so shards are
+    balanced by construction — no skew guard needed). Re-seeding per epoch
+    (``_ORD_SEED``) reshuffles with zero state carried between epochs.
+
+    No reference analog (the reference is machine telemetry:
+    /root/reference/src/daily_aggregator.py); north-star training-data
+    surface, same contract style as docs_sample / docs_pack_sequences.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "n_chars",
+        hashing.md5_hash60(
+            F.concat(F.lit(f"{_ORD_SEED}:"), F.col("doc_id").cast("string"))
+        ).alias("hkey"),
+    ).withColumn("shard", F.col("hkey") % _ORD_SHARDS)
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    rn = F.row_number().over(w).cast("long")
+    off = F.coalesce(
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    return h.select(
+        "doc_id",
+        "shard",
+        rn.alias("pos"),
+        ((rn - F.lit(1)) * F.lit(_ORD_SHARDS) + F.col("shard")).alias(
+            "global_ord"
+        ),
+        off.alias("shard_offset_chars"),
+    )

@@ -80,6 +80,8 @@ LOCAL_ONLY_FAMILY = {
     "docs_bpe_tokenize",
     # round 7: the multimodal family's first oracle-checked entry (#105)
     "docs_binary_payloads",
+    # round 7: seeded deterministic training-order shuffle (#108)
+    "docs_train_order",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
