@@ -159,11 +159,17 @@ def _fit_longer_side(w: int, h: int, max_side: int) -> tuple[int, int]:
 
     The longer side is assigned max_side directly (never scaled through
     floating point — int(L * (max_side/L)) can truncate to max_side-1
-    from FP rounding); only the shorter side is scaled, with round().
+    from FP rounding); the shorter side scales in INTEGER HALF_UP
+    arithmetic: ``(2*s*max_side + L) // (2*L)`` is round-half-up of
+    s*max_side/L on non-negative ints. Python's ``round()`` is
+    half-to-EVEN, which diverges from SQL HALF_UP exactly at .5 ties —
+    this contract is mirrored engine-side by the ``docs_media_dims``
+    oracle query (plans/curation_queries.py), so it must stay portable
+    integer arithmetic (same policy as functions/numeric.py).
     """
     if w >= h:
-        return max_side, max(1, round(h * max_side / w))
-    return max(1, round(w * max_side / h)), max_side
+        return max_side, max(1, (2 * h * max_side + w) // (2 * w))
+    return max(1, (2 * w * max_side + h) // (2 * h)), max_side
 
 
 def fake_image_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, int, bytes]:

@@ -1490,3 +1490,88 @@ def docs_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         off.alias("shard_offset_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal dims/layout arithmetic (engine-side mirror of the decode fakes)
+# ---------------------------------------------------------------------------
+
+_TILE = 32  # tile side for the grid count
+_THUMB_MAX = 64  # longer-side target for thumb dims
+
+# (width, height) synthesized EXACTLY like multimodal/binary_ops.py::
+# fake_image_decoder: the first two md5-digest bytes of the UTF-8 payload
+# (md5 of the VARCHAR == md5 of its UTF-8 bytes on both engines; #105's
+# BLOB lesson).
+_MD_W_SQL = "64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) % 192"
+_MD_H_SQL = "64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) % 192"
+
+_MEDIA_DIMS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, CAST({_MD_W_SQL} AS BIGINT) AS width,
+         CAST({_MD_H_SQL} AS BIGINT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       width * 3 AS row_stride_bytes,
+       width * height * 3 AS frame_bytes,
+       ((width + {_TILE - 1}) // {_TILE}) * ((height + {_TILE - 1}) // {_TILE})
+         AS n_tiles,
+       CASE WHEN width >= height THEN {_THUMB_MAX}
+            ELSE greatest(1, (2 * width * {_THUMB_MAX} + height)
+                             // (2 * height)) END AS thumb_w,
+       CASE WHEN width >= height
+            THEN greatest(1, (2 * height * {_THUMB_MAX} + width)
+                             // (2 * width))
+            ELSE {_THUMB_MAX} END AS thumb_h
+FROM dims
+"""
+
+
+@register("docs_media_dims", oracle=_MEDIA_DIMS_SQL, driver=False)
+def docs_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal plumbing's layout arithmetic as engine-side columns,
+    oracle-checked cross-engine (#109; second oracle row of the family
+    after #105 docs_binary_payloads).
+
+    Synthesizes (width, height) exactly as the injectable fake codec does
+    (multimodal/binary_ops.py::fake_image_decoder — first two md5 digest
+    bytes of the payload), then computes what the Arrow-batch decode
+    plumbing needs BEFORE any codec runs: RGB888 row stride and frame
+    byte size (Arrow batch sizing for mapInPandas), the 32px tile
+    grid count (patching/ViT-style preprocessing fan-out), and the
+    aspect-preserving thumb dims with the longer side exactly
+    64 — the SAME integer HALF_UP formula as
+    binary_ops._fit_longer_side, pinned equal in
+    tests/test_multimodal.py so the SQL contract and the Python resizer
+    can never drift.
+
+    All integer arithmetic (DIV/// on non-negative ints agrees across
+    engines; no doubles anywhere) — the r6 rounding lesson applied at
+    design time."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    hexd = F.md5(F.col("text"))
+    b0 = F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long")
+    b1 = F.conv(F.substring(hexd, 3, 2), 16, 10).cast("long")
+    width = (F.lit(64) + b0 % 192).alias("width")
+    height = (F.lit(64) + b1 % 192).alias("height")
+    dims = d.select("doc_id", width, height)
+    w, h = F.col("width"), F.col("height")
+    m = F.lit(_THUMB_MAX)
+    scale_h = F.greatest(F.lit(1), F.expr(
+        f"(2 * height * {_THUMB_MAX} + width) DIV (2 * width)"))
+    scale_w = F.greatest(F.lit(1), F.expr(
+        f"(2 * width * {_THUMB_MAX} + height) DIV (2 * height)"))
+    return dims.select(
+        "doc_id",
+        "width",
+        "height",
+        (w * 3).alias("row_stride_bytes"),
+        (w * h * 3).alias("frame_bytes"),
+        F.expr(
+            f"((width + {_TILE - 1}) DIV {_TILE})"
+            f" * ((height + {_TILE - 1}) DIV {_TILE})"
+        ).alias("n_tiles"),
+        F.when(w >= h, m.cast("long")).otherwise(scale_w).alias("thumb_w"),
+        F.when(w >= h, scale_h).otherwise(m.cast("long")).alias("thumb_h"),
+    )

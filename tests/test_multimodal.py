@@ -218,3 +218,37 @@ def test_soundfile_codec_real_decode(spark):
     r = extract_audio_features(media).collect()[0]
     assert r.sample_rate == rate and r.n_samples == n
     assert r.rms == pytest.approx(0.5 / math.sqrt(2), rel=1e-2)
+
+
+def test_media_dims_query_matches_python_plumbing(spark):
+    """The docs_media_dims oracle query's synthesized dims and thumb
+    arithmetic must equal the Python plumbing (fake_image_decoder dims
+    derivation + _fit_longer_side) — the SQL contract and the mapInPandas
+    codec path can never drift."""
+    import hashlib
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+    from projekt_data_engineering_iubh_spark.plans.curation_queries import (
+        _THUMB_MAX,
+        docs_media_dims,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in docs_media_dims(spark, sf).collect():
+        d = hashlib.md5(texts[r.doc_id].encode("utf-8")).digest()
+        w, h = 64 + d[0] % 192, 64 + d[1] % 192
+        assert (r.width, r.height) == (w, h), r.doc_id
+        assert (r.thumb_w, r.thumb_h) == _fit_longer_side(w, h, _THUMB_MAX)
+    assert texts
+    # an exact .5 scaling tie is where Python round() (half-to-even)
+    # would diverge from the portable HALF_UP contract — pin one directly
+    assert _fit_longer_side(128, 94, 64) == (64, 47)  # 94*64/128 = 47.0
+    assert _fit_longer_side(256, 2, 64) == (64, 1)  # 2*64/256 = 0.5 → 1
+    assert _fit_longer_side(256, 6, 64) == (64, 2)  # 1.5 → 2 (even: 2)
+    assert _fit_longer_side(256, 10, 64) == (64, 3)  # 2.5 → 3 (round(): 2)

@@ -82,6 +82,8 @@ LOCAL_ONLY_FAMILY = {
     "docs_binary_payloads",
     # round 7: seeded deterministic training-order shuffle (#108)
     "docs_train_order",
+    # round 7: multimodal layout arithmetic, second family oracle (#109)
+    "docs_media_dims",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
