@@ -1,0 +1,243 @@
+"""Streaming EMBEDDING ingest tier: foreachBatch semantic near-dup
+against a persisted hyperplane-bucketed vector index — the vector twin
+of streaming/neardup_stream.py (text). New vectors stream in; each
+micro-batch drops vectors whose cosine similarity to an already-indexed
+vector (or to a lower-vec_id vector of the same batch) exceeds tau, then
+appends survivors to the store and their bucket rows to the index delta.
+
+Per micro-batch:
+
+    batch vectors → 8-hyperplane LSH bucket (plans/vector_queries.
+    _with_bucket — bit-identical to the batch/oracle bucketing)
+      → EQUI-join on bucket against the persisted index
+      → left-to-right-fold cosine gate (functions/vectors.py — the
+        deterministic kernel every batch query uses) → drop near-dups
+      → survivors appended to the store AND to the index delta, so a
+        semantic dup arriving N triggers later is dropped whether its
+        twin came from the original corpus or the stream.
+
+Scale shape: the index side is an equi-join on the bucket id (256
+buckets at 8 planes; plane count is the documented capacity lever —
+BASELINE.md birthday-law notes), per-trigger cost is linear in batch
+size plus one shuffle of the (small) batch against the index. State
+lives in parquet, not stream state.
+
+Recall contract (same as the batch ANN path): hyperplane bucketing is
+approximate — a near-dup pair split across buckets is missed with
+probability ≈ (angle/π)·planes; at tau ≥ 0.9 the miss rate is the
+documented ANN recall trade, and the periodic batch job
+(emb_semantic_dedup, cluster-confined exact pairs) is the compaction
+tier that catches stragglers. Dropped-row decisions are deterministic
+(same fold cosine, same lower-vec_id convention as SemDeDup batch).
+
+Delta/fold machinery is SHARED with the text tier
+(pipeline/band_delta.py): atomic single-file appends, live/folded
+listing with one-cycle grace, idempotent integration — here the row key
+is plain ``vec_id`` (one bucket row per vector).
+
+Reference scope note: the reference engine has no streaming or vector
+tier (SURVEY.md §2.9 is engine breadth); north-star training-data
+surface alongside the batch ANN/semantic-dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from projekt_data_engineering_iubh_spark.functions import vectors as vx
+from projekt_data_engineering_iubh_spark.pipeline import band_delta as _delta
+from projekt_data_engineering_iubh_spark.plans.vector_queries import (
+    _with_bucket,
+)
+
+SEM_TAU = 0.4  # synthetic-corpus gate, matches emb_semantic_dedup's tau
+INDEX_COLS = ("vec_id", "bucket", "embedding", "nrm")
+
+
+def bucket_rows(embs: DataFrame) -> DataFrame:
+    """(vec_id, embedding, …) → (vec_id, bucket, embedding, nrm) index
+    rows: the 8-plane LSH bucket plus the precomputed norm (the cosine
+    denominator — computed once at ingest, not per candidate pair)."""
+    return _with_bucket(embs).select(
+        "vec_id",
+        "bucket",
+        "embedding",
+        vx.norm(F.col("embedding")).alias("nrm"),
+    )
+
+
+def build_vector_index(embs: DataFrame, index_path: str) -> None:
+    """Materialize the corpus vector index (the batch pipeline's job).
+
+    Store-aware like neardup_stream.build_signature_index: on a manifest
+    store the rebuild commits a snapshot (refusing while live delta
+    files exist — those appends are not part of ``embs`` and would be
+    orphaned); on a plain path it's a parquet overwrite."""
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    rows = bucket_rows(embs)
+    if store.is_store(index_path):
+        live = _delta.live_files(index_path)
+        if live:
+            raise RuntimeError(
+                f"{index_path} has {len(live)} live append delta file(s); "
+                "rebuilding now would orphan them — run "
+                "compact_vector_index() first"
+            )
+        store.commit_snapshot(
+            index_path, lambda d: rows.write.mode("overwrite").parquet(d)
+        )
+        return
+    rows.write.mode("overwrite").parquet(index_path)
+
+
+def load_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The full index view: current snapshot (manifest-resolved) plus
+    the streaming delta area."""
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    base = spark.read.parquet(store.resolve(index_path))
+    delta = _delta.read_delta(spark, index_path)
+    return base if delta is None else base.unionByName(delta)
+
+
+def semdedup_filter_batch(
+    batch: DataFrame,
+    index: DataFrame,
+    *,
+    tau: float = SEM_TAU,
+    within_batch: bool = True,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Drop batch vectors whose cosine vs any same-bucket index vector
+    exceeds ``tau``, and (``within_batch``) vectors near-duplicating a
+    LOWER-vec_id vector of the same micro-batch (the SemDeDup
+    min-representative convention; full cluster-confined dedup stays the
+    batch job's). Returns surviving batch rows unchanged. ``buckets``
+    lets the caller reuse already-computed batch bucket rows."""
+    bb = buckets if buckets is not None else bucket_rows(batch)
+    bb = (
+        bb.withColumnRenamed("embedding", "b_emb")
+        .withColumnRenamed("nrm", "b_nrm")
+    )
+
+    def _cos(e1: str, n1: str, e2: str, n2: str) -> F.Column:
+        return vx.dot(F.col(e1), F.col(e2)) / (F.col(n1) * F.col(n2))
+
+    drops = (
+        bb.join(
+            index.select(
+                F.col("vec_id").alias("idx_vec_id"),
+                "bucket",
+                "embedding",
+                "nrm",
+            ),
+            "bucket",
+        )
+        .filter(F.col("idx_vec_id") != F.col("vec_id"))
+        .filter(_cos("b_emb", "b_nrm", "embedding", "nrm") > tau)
+        .select("vec_id")
+    )
+    if within_batch:
+        lo = bb.select("vec_id", "bucket", "b_emb", "b_nrm")
+        hi = (
+            bb.select("vec_id", "bucket", "b_emb", "b_nrm")
+            .withColumnRenamed("vec_id", "hi_vec")
+            .withColumnRenamed("b_emb", "hi_emb")
+            .withColumnRenamed("b_nrm", "hi_nrm")
+        )
+        intra = (
+            lo.join(hi, "bucket")
+            .filter(F.col("vec_id") < F.col("hi_vec"))
+            .filter(_cos("b_emb", "b_nrm", "hi_emb", "hi_nrm") > tau)
+            .select(F.col("hi_vec").alias("vec_id"))
+        )
+        drops = drops.unionByName(intra)
+    return batch.join(drops.distinct(), "vec_id", "left_anti")
+
+
+def compact_vector_index(spark: SparkSession, index_path: str, *, _on_listed=None):
+    """Fold the streaming delta into the next index snapshot via the
+    shared fold protocol (band_delta.fold). Idempotent under the crash
+    contract: delta rows anti-join the base on ``vec_id`` (one bucket
+    row per vector), so re-listed files from a crashed cycle add zero
+    rows."""
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    store.init_store(index_path)
+
+    def integrate(listed: list[str]) -> None:
+        base = spark.read.parquet(store.resolve(index_path))
+        if listed:
+            delta = (
+                spark.read.parquet(*listed)
+                .dropDuplicates(["vec_id"])
+                .join(base.select("vec_id"), ["vec_id"], "left_anti")
+            )
+            merged = base.unionByName(delta)
+        else:
+            merged = base
+        merged = merged.localCheckpoint(eager=True)
+        store.commit_snapshot(
+            index_path,
+            lambda d: merged.write.mode("overwrite").parquet(d),
+        )
+
+    return _delta.fold(spark, index_path, integrate, _on_listed=_on_listed)
+
+
+def make_batch_processor(
+    out_path: str, index_path: str, *, tau: float = SEM_TAU
+):
+    """The foreachBatch body, exposed for direct (retry-semantics) tests.
+
+    Exactly-once store writes under foreachBatch's at-least-once
+    contract: survivors carry an ``_ingest_batch`` partition column and
+    the write is a DYNAMIC partition overwrite — a retried trigger
+    rewrites exactly its own batch leaf dir. Index delta appends stay
+    at-least-once — bucket rows are advisory candidates (duplicates cost
+    bytes, never correctness; compaction dedups on vec_id)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = load_index(spark, index_path)
+        # ONE stable snapshot of the batch and ONE bucket/norm pass for
+        # both consumers (filter + delta append) — the batch plan must
+        # never recompute through the stream source
+        stable = batch_df.localCheckpoint(eager=True)
+        bb = bucket_rows(stable).localCheckpoint(eager=True)
+        kept = semdedup_filter_batch(
+            stable, index, tau=tau, buckets=bb
+        ).localCheckpoint(eager=True)
+        (
+            kept.withColumn("_ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_ingest_batch")
+            .parquet(out_path)
+        )
+        kept_rows = bb.join(
+            kept.select("vec_id"), "vec_id", "left_semi"
+        ).select(*INDEX_COLS)
+        if kept_rows.limit(1).count():
+            _delta.append_one(kept_rows, index_path)
+
+    return _process
+
+
+def start_vector_ingest_stream(
+    embs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    index_path: str,
+    *,
+    tau: float = SEM_TAU,
+):
+    """Wire the streaming vector ingest and return the StreamingQuery."""
+    processor = make_batch_processor(out_path, index_path, tau=tau)
+    return (
+        embs.writeStream.outputMode("append")
+        .foreachBatch(processor)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
