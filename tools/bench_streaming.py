@@ -172,9 +172,76 @@ def bench_neardup(spark, work: Path, sf_dir: str, batches: int) -> dict:
     }
 
 
+def bench_vector(spark, work: Path, sf_dir: str, batches: int) -> dict:
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+    from projekt_data_engineering_iubh_spark.streaming.vector_stream import (
+        build_vector_index,
+        start_vector_ingest_stream,
+    )
+
+    embs = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    n = embs.count()
+    corpus_n = n // 2
+    batch_n = (n - corpus_n) // batches or 1
+
+    work.mkdir(parents=True, exist_ok=True)
+    index_path = str(work / "vec_index")
+    build_vector_index(embs.filter(F.col("vec_id") < corpus_n), index_path)
+
+    src = work / "src"
+    src.mkdir()
+
+    def drop(name: str, lo: int, hi: int) -> None:
+        staging = work / f"stage_{name}"
+        embs.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    schema = "vec_id long, embedding array<float>, label int"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = start_vector_ingest_stream(
+        stream,
+        str(work / "out"),
+        str(work / "ckpt_v"),
+        index_path,
+    )
+    wall0 = time.perf_counter()
+    try:
+        lo = corpus_n
+        for b in range(batches):
+            hi = min(lo + batch_n, n)
+            drop(f"b{b}", lo, hi)
+            lo = hi
+            q.processAllAvailable()
+        rows, secs, trig = _progress_stats(q)
+    finally:
+        q.stop()
+    return {
+        "tier": "vector_stream",
+        "sf_dir": sf_dir,
+        "corpus_index_vecs": corpus_n,
+        "batches": batches,
+        "input_rows": rows,
+        "trigger_exec_sec": round(secs, 2),
+        "sustained_rows_per_sec": round(rows / secs) if secs else None,
+        "wall_sec": round(time.perf_counter() - wall0, 2),
+        "triggers": trig,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--which", default="both", choices=["pipeline", "neardup", "both"])
+    ap.add_argument(
+        "--which",
+        default="both",
+        choices=["pipeline", "neardup", "vector", "both", "all"],
+    )
     ap.add_argument("--days", type=int, default=3)
     ap.add_argument("--machines", type=int, default=8)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -185,14 +252,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     work = Path(tempfile.mkdtemp(prefix="stream_bench_"))
     try:
-        if args.which in ("pipeline", "both"):
+        if args.which in ("pipeline", "both", "all"):
             print(
                 json.dumps(
                     bench_pipeline(spark, work / "p", args.days, args.machines)
                 )
             )
-        if args.which in ("neardup", "both"):
+        if args.which in ("neardup", "both", "all"):
             print(json.dumps(bench_neardup(spark, work / "n", args.sf_dir, args.batches)))
+        if args.which in ("vector", "all"):
+            print(json.dumps(bench_vector(spark, work / "v", args.sf_dir, args.batches)))
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
