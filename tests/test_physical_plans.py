@@ -234,3 +234,22 @@ def test_ann_pairs_probe_picks_uncapped_plan(spark):
     plan = plan_of(spark, "emb_lsh_ann_pairs")
     assert "Window" not in plan, plan
     assert "WindowGroupLimit" not in plan, plan
+
+
+def test_train_order_single_window_shuffle(spark):
+    """docs_train_order (#108) must stay one hash projection + ONE window
+    shuffle (the terasort shape): row_number and the running char-offset
+    share the same (shard, hkey) window spec, so a second Exchange or a
+    second Window node is a plan regression."""
+    import re
+
+    plan = plan_of(spark, "docs_train_order")
+    shuffles = len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
+    )
+    assert shuffles <= 1, plan
+    # one Window node computes every windowed column
+    assert plan.count("Window [") == 1, plan
