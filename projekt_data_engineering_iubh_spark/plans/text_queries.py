@@ -1744,3 +1744,84 @@ def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cell") >= F.min("c")).alias("never_underestimates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal (#110)
+# ---------------------------------------------------------------------------
+
+_ENT_SCALE = 1_000_000  # micro-units per nat (same policy as the LM/NB models)
+
+_ENTROPY_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_chars_split,
+         COUNT(*) AS n_distinct_chars,
+         CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * {_ENT_SCALE})
+                           AS BIGINT)) AS BIGINT) AS sum_c_lnc_micro
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, n_chars_split, n_distinct_chars, sum_c_lnc_micro,
+       CAST(floor(ln(CAST(n_chars_split AS DOUBLE)) * {_ENT_SCALE})
+            AS BIGINT) AS ln_n_micro,
+       CAST(floor(ln(CAST(n_chars_split AS DOUBLE)) * {_ENT_SCALE}) AS DOUBLE)
+         - CAST(sum_c_lnc_micro AS DOUBLE) / CAST(n_chars_split AS DOUBLE)
+         AS entropy_micro
+FROM per_doc
+"""
+
+
+@register("docs_char_entropy", oracle=_ENTROPY_SQL, driver=False)
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (#110) — the fourth quality
+    signal next to the heuristic (docs_text_stats), the trained NB
+    classifier (docs_quality_model) and the bigram LM
+    (docs_lm_perplexity): low entropy flags repetitive/garbage padding
+    (aaaaa…, boilerplate), high entropy flags base64/binary spill —
+    both standard web-corpus filters.
+
+    H = ln(N) - (1/N)·Σ c·ln(c) over the per-doc character histogram.
+    ln is not correctly-rounded cross-engine (NEXT.md trap list), so
+    every ln runs over an INTEGER (a count) and is floor-quantized to
+    micro-nats immediately — the histogram sums are then exact bigints
+    on both engines, and entropy_micro is one exact-over-exact double
+    subtraction/division (IEEE division IS correctly rounded). Char
+    split parity (spaces kept, unicode code points, empty text → ['']
+    with ln(1)=0) verified on both engines.
+
+    Scale shape: explode to ~total-chars rows (linear, map-side), one
+    shuffle into (doc_id, ch) groups — partial aggregation collapses to
+    docs × distinct-chars before the exchange — and a second (doc_id)
+    shuffle over the small histogram rows. No Python anywhere.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ln_micro = lambda c: F.floor(
+        F.ln(c.cast("double")) * _ENT_SCALE
+    ).cast("long")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_split"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("c") * ln_micro(F.col("c"))).alias("sum_c_lnc_micro"),
+    )
+    ln_n = ln_micro(F.col("n_chars_split"))
+    return per_doc.select(
+        "doc_id",
+        "n_chars_split",
+        "n_distinct_chars",
+        "sum_c_lnc_micro",
+        ln_n.alias("ln_n_micro"),
+        (
+            ln_n.cast("double")
+            - F.col("sum_c_lnc_micro").cast("double")
+            / F.col("n_chars_split").cast("double")
+        ).alias("entropy_micro"),
+    )

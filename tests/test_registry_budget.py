@@ -84,6 +84,8 @@ LOCAL_ONLY_FAMILY = {
     "docs_train_order",
     # round 7: multimodal layout arithmetic, second family oracle (#109)
     "docs_media_dims",
+    # round 7: char-entropy quality signal (#110)
+    "docs_char_entropy",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
