@@ -86,6 +86,8 @@ LOCAL_ONLY_FAMILY = {
     "docs_media_dims",
     # round 7: char-entropy quality signal (#110)
     "docs_char_entropy",
+    # round 7: binary-sketch Hamming ANN prefilter (#111)
+    "emb_hamming_ann",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
