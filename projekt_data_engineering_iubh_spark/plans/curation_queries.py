@@ -1575,3 +1575,278 @@ def docs_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(w >= h, m.cast("long")).otherwise(scale_w).alias("thumb_w"),
         F.when(w >= h, scale_h).otherwise(m.cast("long")).alias("thumb_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (registry query #112)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "vector", "stream")
+_BM25_TOP = 20
+# k1 = 1.2, b = 0.75 (the standard Okapi defaults); written as the folded
+# literals 2.2 (= k1 + 1) and 0.25 (= 1 - b) so both engines parse the
+# SAME decimal literals — no cross-engine re-derivation of constants.
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+), t2 AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM t2
+), tf AS (
+  SELECT doc_id, dl, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM t2, unnest(toks) AS u(tok)
+  WHERE tok IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2, 3
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), idf AS (
+  SELECT term,
+         CAST(floor(ln(1.0 + ((n - df) + 0.5) / (df + 0.5)) * 1000000.0)
+              AS BIGINT) AS idf_micro
+  FROM df CROSS JOIN stats
+), sc AS (
+  SELECT tf.doc_id,
+         CAST(floor(idf.idf_micro
+              * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25 + (0.75 * CAST(tf.dl AS DOUBLE))
+                             / stats.avgdl)))) AS BIGINT) AS s
+  FROM tf JOIN idf USING (term) CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_terms,
+       CAST(SUM(s) AS BIGINT) AS score_micro
+FROM sc GROUP BY 1
+ORDER BY score_micro DESC, doc_id
+LIMIT {_BM25_TOP}
+"""
+
+
+@register("docs_bm25_topk", oracle=_BM25_SQL, driver=False)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus for a fixed query — the
+    classic sparse-retrieval scorer next to the TF-IDF term profile
+    (docs_tfidf_top_terms): rank documents for a literal term set with
+    Okapi BM25 (k1=1.2, b=0.75), Lucene's non-negative idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Cross-engine determinism: per-TERM idf is floor-quantized to integer
+    micro-units at fit time (ln is the one non-correctly-rounded op —
+    the lm_model policy), and each (doc, term) partial score is floored
+    to a bigint before the per-doc SUM, so the aggregation is exact
+    integer arithmetic in any partition order; the tf-normalization
+    chain is single-path IEEE arithmetic with identical literals and
+    parenthesization on both engines.
+
+    Scale shape: doc length is carried THROUGH the tf groupBy key (no
+    per-doc join back), the idf table is |query| rows broadcast, corpus
+    stats one broadcast scalar row, and the final top-k is
+    orderBy+limit — Spark's TakeOrderedAndProject (per-partition heaps +
+    driver merge of k rows), NOT a global sort; at 100 TB only the
+    (doc_id, term) tf aggregation shuffles. The exploded scan filters to
+    query terms map-side before any exchange."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t2 = d.select(
+        "doc_id", tx.tokens(F.col("text")).alias("toks")
+    ).select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    stats = t2.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        t2.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                + ((F.col("n") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    s = F.floor(
+        F.col("idf_micro")
+        * (
+            (tfd * F.lit(2.2))
+            / (
+                tfd
+                + F.lit(1.2)
+                * (F.lit(0.25) + (F.lit(0.75) * dld) / F.col("avgdl"))
+            )
+        )
+    ).cast("long")
+    sc = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            F.sum("s").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_BM25_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (registry query #113)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096  # hashed n-gram feature buckets
+
+_DSIR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {tx.tokens_sql('text')} AS toks FROM documents
+), g AS (
+  SELECT doc_id, source,
+         unnest(list_concat(toks,
+                list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+  FROM t
+), gb AS (
+  SELECT doc_id, source, {hashing.md5_hash60_sql('gram')} % {_DSIR_B} AS bucket
+  FROM g
+), raw AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM gb GROUP BY 1
+), tgt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM gb WHERE source = 'src0' GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS tr,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+  FROM gb
+), w AS (
+  SELECT raw.bucket,
+         CAST(floor(ln(
+              (CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+               / CAST(tot.tt + {_DSIR_B} AS DOUBLE))
+              / (CAST(raw.cr + 1 AS DOUBLE)
+                 / CAST(tot.tr + {_DSIR_B} AS DOUBLE))) * 1000000.0)
+              AS BIGINT) AS lw_micro
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+)
+SELECT gb.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(w.lw_micro) AS BIGINT) AS lw_micro_sum,
+       CAST(SUM(w.lw_micro) AS DOUBLE) / COUNT(*) AS avg_lw_micro,
+       SUM(w.lw_micro) > 0 AS selected
+FROM gb JOIN w USING (bucket)
+GROUP BY 1
+"""
+
+
+@register("docs_dsir_weights", oracle=_DSIR_SQL, driver=False)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram features are, using
+    src0 as the trusted target distribution (the docs_bloom_membership
+    precedent). Features are unigrams + bigrams hashed into B=4096
+    buckets; the per-bucket log importance weight is
+    ln(p_target / p_raw) under add-one smoothing, and a document's
+    weight is the sum over its grams — selected = lw_micro_sum > 0
+    (more target-like than raw) is the deterministic selection rule
+    standing in for the paper's Gumbel top-k resample.
+
+    Determinism: per-BUCKET log-ratios are floor-quantized to integer
+    micro-units at fit time (single ln per bucket, lm_model policy), so
+    per-doc sums are exact bigints in any partition order; the smoothed
+    ratio is computed as a ratio OF ratios — each factor divided before
+    combining — so no intermediate product can leave double-exact
+    integer range at any corpus size (a direct cross-product of gram
+    totals would hit 2^53 near sf1).
+
+    Scale shape: the weight table is at most B=4096 rows and BROADCASTS
+    onto the exploded gram stream; fit is two bucket-keyed groupBys
+    (≤B rows out, map-side combined) + one scalar totals row; only the
+    per-doc sum shuffles doc-keyed rows. No vocabulary-sized state
+    anywhere — the hashing trick caps model size regardless of corpus
+    vocabulary, which is exactly why DSIR scales to 100 TB."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id", "source", tx.tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    m = F.greatest(n - F.lit(1), F.lit(0))
+    bi = F.zip_with(
+        F.slice(F.col("toks"), 1, m),
+        F.slice(F.col("toks"), 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    gb = t.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(F.col("toks"), bi)).alias("gram"),
+    ).select(
+        "doc_id",
+        "source",
+        (hashing.md5_hash60(F.col("gram")) % _DSIR_B).alias("bucket"),
+    )
+    raw = gb.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        gb.filter(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    tot = gb.agg(
+        F.count(F.lit(1)).cast("long").alias("tr"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("tt"),
+    )
+    w = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
+                            "double"
+                        )
+                        / (F.col("tt") + F.lit(_DSIR_B)).cast("double")
+                    )
+                    / (
+                        (F.col("cr") + F.lit(1)).cast("double")
+                        / (F.col("tr") + F.lit(_DSIR_B)).cast("double")
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lw_micro"),
+        )
+    )
+    return (
+        gb.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("lw_micro").alias("lw_micro_sum"),
+            (F.sum("lw_micro").cast("double") / F.count(F.lit(1))).alias(
+                "avg_lw_micro"
+            ),
+            (F.sum("lw_micro") > F.lit(0)).alias("selected"),
+        )
+    )

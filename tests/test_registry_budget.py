@@ -88,6 +88,10 @@ LOCAL_ONLY_FAMILY = {
     "docs_char_entropy",
     # round 7: binary-sketch Hamming ANN prefilter (#111)
     "emb_hamming_ann",
+    # round 7: BM25 sparse-retrieval top-k (#112)
+    "docs_bm25_topk",
+    # round 7: DSIR hashed-ngram importance weights (#113)
+    "docs_dsir_weights",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
