@@ -1850,3 +1850,191 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("lw_micro") > F.lit(0)).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit HyperLogLog distinct sketch (registry query #114)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8  # precision bits -> m = 256 registers
+_HLL_M = 1 << _HLL_P
+# alpha_m * m^2 * 2^53, folded to ONE double literal in Python so both
+# engines parse the identical decimal constant instead of re-deriving it
+# (alpha_256 = 0.7213 / (1 + 1.079/256) = 0.7182725932495458).
+_HLL_NUM = repr(0.7182725932495458 * float(_HLL_M * _HLL_M) * float(1 << 53))
+_HLL_LC_BAR = repr(2.5 * _HLL_M)  # linear-counting switchover 2.5m
+
+_HLL_SQL = f"""
+WITH b AS (
+  SELECT source,
+         {hashing.md5_hash60_sql('text')} & {_HLL_M - 1} AS bucket,
+         {hashing.md5_hash60_sql('text')} >> {_HLL_P} AS w
+  FROM documents
+), r AS (
+  SELECT source, bucket,
+         MAX(CASE WHEN w = 0 THEN 53
+             ELSE 53 - length(bin(w)) END) AS r
+  FROM b GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) AS s_present,
+         CAST(COUNT(*) AS BIGINT) AS npresent
+  FROM r GROUP BY 1
+), est AS (
+  SELECT source,
+         s_present + ({_HLL_M} - npresent) * (CAST(1 AS BIGINT) << 53)
+             AS s_sum,
+         {_HLL_M} - npresent AS v_zero
+  FROM agg
+), ex AS (
+  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+  FROM documents GROUP BY 1
+)
+SELECT est.source, ex.n_exact, est.v_zero, est.s_sum,
+       CAST(floor(
+         CASE WHEN est.v_zero > 0
+                   AND {_HLL_NUM} / CAST(est.s_sum AS DOUBLE) <= {_HLL_LC_BAR}
+              THEN {float(_HLL_M)} * ln({float(_HLL_M)} / est.v_zero)
+              ELSE {_HLL_NUM} / CAST(est.s_sum AS DOUBLE)
+         END * 1000000.0) AS BIGINT) AS hll_micro
+FROM est JOIN ex USING (source)
+"""
+
+
+@register("docs_hll_distinct", oracle=_HLL_SQL, driver=False)
+def docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit HyperLogLog distinct-count sketch per source — completes
+    the engine-portable mergeable-sketch trio next to Bloom membership
+    (docs_bloom_membership) and Count-Min heavy hitters
+    (docs_cms_heavy_hitters), with the exact COUNT(DISTINCT) alongside
+    so the sketch's error is MEASURED in the verified output (the exact
+    column is the verification baseline; the sketch side alone is the
+    scale path — agg_approx_distinct pins Spark's built-in cousin).
+
+    Flajolet et al. 2007 layout at p=8 (m=256 registers): the 60-bit md5
+    hash splits into 8 bucket bits + a 52-bit suffix whose
+    leading-zero rank is 53 - bitlength (bin()/length on both engines;
+    rank 53 for the all-zero suffix). Register state is ONE (source,
+    bucket) MAX — associative and mergeable, the map-side-combine shape
+    that makes HLL free at 100 TB. Determinism: the harmonic-mean
+    denominator is computed as Σ 2^(53-r) in EXACT bigint arithmetic
+    (absent registers contribute 2^53), so no unordered floating sum
+    exists; alpha·m²·2^53 is folded to one shared decimal literal, the
+    estimate is a single double division, and the linear-counting branch
+    (V>0, E ≤ 2.5m) is m·ln(m/V) micro-floored under the lm_model ln
+    policy. Large-range correction (E > 2^32/30) is out of scope at the
+    60-bit hash width."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    h = hashing.md5_hash60(F.col("text"))
+    b = d.select(
+        "source",
+        h.bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+        F.shiftright(h, _HLL_P).alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(F.col("w")))
+    )
+    r = b.groupBy("source", "bucket").agg(F.max(rank).alias("r"))
+    agg = r.groupBy("source").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))"))
+        .cast("long")
+        .alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("npresent"),
+    )
+    est = agg.select(
+        "source",
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("npresent")) * F.lit(1 << 53)
+        ).alias("s_sum"),
+        (F.lit(_HLL_M) - F.col("npresent")).alias("v_zero"),
+    )
+    ex = d.groupBy("source").agg(
+        F.count_distinct("text").cast("long").alias("n_exact")
+    )
+    num = F.lit(float(_HLL_NUM))
+    e_raw = num / F.col("s_sum").cast("double")
+    e_lc = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / F.col("v_zero")
+    )
+    return est.join(ex, "source").select(
+        "source",
+        "n_exact",
+        "v_zero",
+        "s_sum",
+        F.floor(
+            F.when(
+                (F.col("v_zero") > 0) & (e_raw <= F.lit(float(_HLL_LC_BAR))),
+                e_lc,
+            ).otherwise(e_raw)
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("hll_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (registry query #115)
+# ---------------------------------------------------------------------------
+
+_WS_K = 50
+_WS_DEN = 1 << 20  # uniform-draw resolution
+_WS_SALT = "ws1:"
+
+_WS_SQL = f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         CAST({hashing.md5_hash60_sql(
+             "concat('" + _WS_SALT + "', CAST(doc_id AS VARCHAR))")}
+              % {_WS_DEN} + 1 AS DOUBLE) / {float(_WS_DEN)} AS u
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(floor((ln(u) / n_chars) * 1000000000.0) AS BIGINT) AS key_nano
+FROM u
+ORDER BY key_nano DESC, doc_id
+LIMIT {_WS_K}
+"""
+
+
+@register("docs_weighted_sample", oracle=_WS_SQL, driver=False)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis 2006:
+    draw k=50 documents with probability proportional to length
+    (n_chars) by ranking on key = u^(1/w) and keeping the top k —
+    equivalently on ln(u)/w, skipping the exp. The length-proportional
+    draw is the corpus-mixture sampling primitive docs_mixture_epochs
+    rounds per-LANGUAGE; this is its per-DOCUMENT counterpart.
+
+    Determinism: u is an exact dyadic rational (hash % 2^20 + 1)/2^20 in
+    (0,1] from a salted doc_id hash (the docs_train_test_split
+    convention — reproducible across runs, engines, and corpus growth),
+    the key is ONE ln + one division + one nano-floor per row (lm_model
+    ln policy), and (key_nano, doc_id) is a total order so the LIMIT is
+    unambiguous. Integer-DIV is deliberately avoided for the negative
+    ln(u): Spark DIV truncates toward zero while DuckDB // floors (the
+    r6 ADVICE trap), so the floor happens once, on the double.
+
+    Scale shape: stateless per-row scoring (no shuffle at all) into
+    orderBy+limit = TakeOrderedAndProject per-partition heaps + a k-row
+    driver merge — the same no-global-sort top-k as docs_bm25_topk."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    u = (
+        hashing.md5_hash60(
+            F.concat(F.lit(_WS_SALT), F.col("doc_id").cast("string"))
+        )
+        % _WS_DEN
+        + 1
+    ).cast("double") / F.lit(float(_WS_DEN))
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.floor((F.log(u) / F.col("n_chars")) * F.lit(1000000000.0))
+            .cast("long")
+            .alias("key_nano"),
+        )
+        .orderBy(F.desc("key_nano"), F.asc("doc_id"))
+        .limit(_WS_K)
+    )

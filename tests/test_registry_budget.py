@@ -92,6 +92,10 @@ LOCAL_ONLY_FAMILY = {
     "docs_bm25_topk",
     # round 7: DSIR hashed-ngram importance weights (#113)
     "docs_dsir_weights",
+    # round 7: explicit HyperLogLog sketch (#114)
+    "docs_hll_distinct",
+    # round 7: Efraimidis-Spirakis weighted sample (#115)
+    "docs_weighted_sample",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
