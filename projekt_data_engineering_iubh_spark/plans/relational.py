@@ -1742,3 +1742,78 @@ def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.unionByName(
         ex.referential(o, c, "o_custkey", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout blocks (registry query #116)
+# ---------------------------------------------------------------------------
+
+from projekt_data_engineering_iubh_spark.operators import zorder  # noqa: E402
+
+_Z_BITS = 8  # 8-bit buckets per dimension -> z in [0, 65536)
+_Z_DEN = 1 << _Z_BITS
+_Z_BLOCK_SHIFT = 8  # 256 blocks of 256 z-values = 16x16 tiles
+
+_ZORDER_SQL = f"""
+WITH b AS (
+  SELECT l_partkey % {_Z_DEN} AS xb, l_suppkey % {_Z_DEN} AS yb
+  FROM lineitem
+), z AS (
+  SELECT xb, yb,
+         {zorder.zvalue_sql('xb', 'yb', _Z_BITS)} AS zval
+  FROM b
+)
+SELECT zval >> {_Z_BLOCK_SHIFT} AS block,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(xb) AS BIGINT) AS part_min,
+       CAST(MAX(xb) AS BIGINT) AS part_max,
+       CAST(MAX(xb) - MIN(xb) + 1 AS BIGINT) AS part_span,
+       CAST(MIN(yb) AS BIGINT) AS supp_min,
+       CAST(MAX(yb) AS BIGINT) AS supp_max,
+       CAST(MAX(yb) - MIN(yb) + 1 AS BIGINT) AS supp_span
+FROM z GROUP BY 1
+"""
+
+
+@register("lineitem_zorder_blocks", oracle=_ZORDER_SQL, driver=False)
+def lineitem_zorder_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout blocks over lineitem's two query
+    dimensions — the multi-dimensional data-layout lever behind Delta's
+    OPTIMIZE ZORDER BY, as an oracle-checkable kernel (no reference
+    analog; operators/zorder.py documents the 100 TB write path:
+    repartitionByRange(zval) + in-partition sort so file- and
+    row-group-level min/max pruning compose).
+
+    Each row's (l_partkey, l_suppkey) is bucketed into an 8-bit x 8-bit
+    grid and bit-interleaved; consecutive 256-value z-ranges (the blocks
+    a writer would pack into one row group) are then PROVEN tight in
+    BOTH dimensions by the verified output itself: every block's
+    part_span and supp_span is at most 16 of 256 bucket values — a
+    single-key sort would show span 256 in the other dimension.
+    tools/zorder_layout_audit.py measures the resulting row-group
+    pruning on real parquet metadata.
+
+    All arithmetic is shift/mask/add on non-negative bigints — exact on
+    both engines; one groupBy(block) shuffle (256 groups, map-side
+    combined)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        (F.col("l_partkey") % _Z_DEN).alias("xb"),
+        (F.col("l_suppkey") % _Z_DEN).alias("yb"),
+    )
+    z = b.select(
+        "xb", "yb", zorder.zvalue(F.col("xb"), F.col("yb"), _Z_BITS).alias("zval")
+    )
+    return (
+        z.select(F.shiftright(F.col("zval"), _Z_BLOCK_SHIFT).alias("block"), "xb", "yb")
+        .groupBy("block")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("xb").cast("long").alias("part_min"),
+            F.max("xb").cast("long").alias("part_max"),
+            (F.max("xb") - F.min("xb") + 1).cast("long").alias("part_span"),
+            F.min("yb").cast("long").alias("supp_min"),
+            F.max("yb").cast("long").alias("supp_max"),
+            (F.max("yb") - F.min("yb") + 1).cast("long").alias("supp_span"),
+        )
+    )
