@@ -1007,7 +1007,12 @@ def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the recursive-CTE cluster map (capped candidate rule), shared by every
 # oracle that consumes the transitive dedup's output
-_CLUSTER_MAP_CTES = f"""
+# Candidate-edge CTEs up through the deduped undirected edge list `und`
+# — shared by the transitive-cluster oracles below and the PageRank
+# oracle (the UNION in `und` dedups the capped join's per-band duplicate
+# emissions, so multigraph-sensitive consumers like degree counts see a
+# simple graph).
+_NEARDUP_EDGES_CTES = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
 ), sh AS (
@@ -1030,7 +1035,23 @@ edges AS (
        AND a.doc_id < b.doc_id AND a.rn <= {LSH_MAX_BUCKET}
   WHERE len(list_filter(range(1, 17), i -> a.minhash[i] = b.minhash[i])) / 16.0 >= 0.5
 ),
-und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+und AS MATERIALIZED (
+  SELECT DISTINCT s, d
+  FROM (SELECT s, d FROM edges UNION ALL SELECT d, s FROM edges)
+)"""
+# ^ two DuckDB traps in one CTE:
+# - explicit DISTINCT, not a bare UNION: DuckDB (1.0) treats the
+#   top-level UNION of ANY cte inside a WITH RECURSIVE block as UNION
+#   ALL (candidate recursive anchor/step), so "UNION" silently kept the
+#   capped join's per-band duplicate emissions. The CC consumers never
+#   noticed (min-label is multiplicity-insensitive); degree-sensitive
+#   consumers (PageRank) would.
+# - MATERIALIZED: DuckDB inlines a CTE at every reference site, so a
+#   consumer that references `und` k times re-runs the whole
+#   minhash/band pipeline k times (PageRank's 3 iterations + deg made
+#   the sf0.1 oracle ~4x slower than materialized).
+
+_CLUSTER_MAP_CTES = f"""{_NEARDUP_EDGES_CTES},
 reach(src, dst) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
@@ -1824,4 +1845,125 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sum_c_lnc_micro").cast("double")
             / F.col("n_chars_split").cast("double")
         ).alias("entropy_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (registry query #117)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000
+_PR_ITERS = 3
+# damping d = 0.85 as the exact rational 17/20 so every update is pure
+# integer arithmetic; base mass (1-d)*SCALE folded to a constant
+_PR_BASE = (3 * _PR_SCALE) // 20
+
+
+def _pagerank_sql() -> str:
+    parts = [
+        _NEARDUP_EDGES_CTES,
+        ",\ndeg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1)",
+        f",\nr0 AS (SELECT doc_id, CAST({_PR_SCALE} AS BIGINT) AS r FROM documents)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT u.d AS doc_id, CAST(SUM(r{i - 1}.r // deg.deg) AS BIGINT) AS m
+  FROM und u JOIN r{i - 1} ON r{i - 1}.doc_id = u.s
+  JOIN deg ON deg.s = u.s
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT d0.doc_id,
+         CAST({_PR_BASE} + (17 * COALESCE(c{i}.m, 0)) // 20 AS BIGINT) AS r
+  FROM documents d0 LEFT JOIN c{i} USING (doc_id)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT r{_PR_ITERS}.doc_id,
+       CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg,
+       r{_PR_ITERS}.r AS rank_micro
+FROM r{_PR_ITERS} LEFT JOIN deg ON deg.s = r{_PR_ITERS}.doc_id
+"""
+    )
+    return "".join(parts)
+
+
+@register("docs_pagerank", oracle=_pagerank_sql(), driver=False)
+def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup similarity graph — the second
+    iterative graph algorithm next to connected components
+    (docs_dedup_apply): an importance weighting of documents by how
+    centrally they sit in duplicate/template clusters (the corpus-
+    curation use: heavily-templated hubs get high rank and can be
+    down-weighted, the FineWeb/RefinedWeb posture of using graph
+    centrality as a quality prior).
+
+    Semantics: undirected simple graph from the capped LSH candidate
+    pairs at est_jaccard >= 0.5 (the docs_dedup_clusters edge rule; the
+    Spark side DISTINCTs the pairs because the capped join may emit a
+    pair once per agreeing band — harmless for CC's min-label, WRONG for
+    degree counts), uniform init 1.0 per vertex, 3 synchronous
+    iterations of r <- (1-d) + d·Σ r(u)/deg(u) with d = 0.85, dangling
+    mass dropped (isolated docs pin at (1-d) — the simplified variant;
+    exact cross-engine determinism matters more here than the
+    stochastic-matrix nicety).
+
+    Determinism: masses are integer micro-units; per-edge contribution
+    is r DIV deg (floor — operands non-negative so Spark's
+    truncate-toward-zero DIV and DuckDB's floor // agree; the r6 ADVICE
+    negative-DIV trap cannot fire), damping is the exact rational 17/20,
+    so every iteration is exact bigint arithmetic in any partition
+    order — no floating point anywhere.
+
+    Scale shape: the classic Pregel-on-DataFrames loop — per iteration
+    ONE edge-keyed equi-join (rank onto source) + ONE vertex-keyed
+    groupBy SUM, both map-side combinable; deg and the edge list are
+    loop-invariant (exchange-reused here; persist() them on a cluster).
+    Iteration count is a fixed constant, so the whole 3-round lineage is
+    one lazy plan — no driver-side convergence actions."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = (
+        _lsh_pairs(spark, sf_dir, max_bucket=LSH_MAX_BUCKET)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    und = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    r = d.select("doc_id", F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            und.join(r.withColumnRenamed("doc_id", "s"), "s")
+            .join(deg, "s")
+            .select(
+                F.col("d").alias("doc_id"),
+                F.expr("r DIV deg").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias("m")
+        )
+        r = d.join(sums, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit(_PR_BASE)
+                + F.expr("CAST((17 * COALESCE(m, 0)) DIV 20 AS BIGINT)")
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    return (
+        r.join(deg.withColumnRenamed("s", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+            F.col("r").alias("rank_micro"),
+        )
     )

@@ -96,6 +96,8 @@ LOCAL_ONLY_FAMILY = {
     "docs_hll_distinct",
     # round 7: Efraimidis-Spirakis weighted sample (#115)
     "docs_weighted_sample",
+    # round 7: PageRank over the near-dup graph (#117)
+    "docs_pagerank",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
