@@ -1864,16 +1864,43 @@ _HLL_M = 1 << _HLL_P
 _HLL_NUM = repr(0.7182725932495458 * float(_HLL_M * _HLL_M) * float(1 << 53))
 _HLL_LC_BAR = repr(2.5 * _HLL_M)  # linear-counting switchover 2.5m
 
-_HLL_SQL = f"""
-WITH b AS (
+# estimate from (s_sum, v_zero) — shared by the per-source query and
+# the merge query so both engines evaluate the IDENTICAL formula text
+def _hll_est_sql(s_sum: str, v_zero: str) -> str:
+    return f"""CAST(floor(
+         CASE WHEN {v_zero} > 0
+                   AND {_HLL_NUM} / CAST({s_sum} AS DOUBLE) <= {_HLL_LC_BAR}
+              THEN {float(_HLL_M)} * ln({float(_HLL_M)} / {v_zero})
+              ELSE {_HLL_NUM} / CAST({s_sum} AS DOUBLE)
+         END * 1000000.0) AS BIGINT)"""
+
+
+def _hll_est(s_sum, v_zero):
+    num = F.lit(float(_HLL_NUM))
+    e_raw = num / s_sum.cast("double")
+    e_lc = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v_zero)
+    return (
+        F.floor(
+            F.when((v_zero > 0) & (e_raw <= F.lit(float(_HLL_LC_BAR))), e_lc)
+            .otherwise(e_raw)
+            * F.lit(1000000.0)
+        ).cast("long")
+    )
+
+
+# the (bucket, w) split and the leading-zero rank, shared likewise
+_HLL_B_SQL = f"""
   SELECT source,
          {hashing.md5_hash60_sql('text')} & {_HLL_M - 1} AS bucket,
          {hashing.md5_hash60_sql('text')} >> {_HLL_P} AS w
-  FROM documents
+  FROM documents"""
+_HLL_RANK_SQL = "CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END"
+
+_HLL_SQL = f"""
+WITH b AS ({_HLL_B_SQL}
 ), r AS (
   SELECT source, bucket,
-         MAX(CASE WHEN w = 0 THEN 53
-             ELSE 53 - length(bin(w)) END) AS r
+         MAX({_HLL_RANK_SQL}) AS r
   FROM b GROUP BY 1, 2
 ), agg AS (
   SELECT source,
@@ -1891,12 +1918,7 @@ WITH b AS (
   FROM documents GROUP BY 1
 )
 SELECT est.source, ex.n_exact, est.v_zero, est.s_sum,
-       CAST(floor(
-         CASE WHEN est.v_zero > 0
-                   AND {_HLL_NUM} / CAST(est.s_sum AS DOUBLE) <= {_HLL_LC_BAR}
-              THEN {float(_HLL_M)} * ln({float(_HLL_M)} / est.v_zero)
-              ELSE {_HLL_NUM} / CAST(est.s_sum AS DOUBLE)
-         END * 1000000.0) AS BIGINT) AS hll_micro
+       {_hll_est_sql('est.s_sum', 'est.v_zero')} AS hll_micro
 FROM est JOIN ex USING (source)
 """
 
@@ -1952,25 +1974,12 @@ def docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = d.groupBy("source").agg(
         F.count_distinct("text").cast("long").alias("n_exact")
     )
-    num = F.lit(float(_HLL_NUM))
-    e_raw = num / F.col("s_sum").cast("double")
-    e_lc = F.lit(float(_HLL_M)) * F.log(
-        F.lit(float(_HLL_M)) / F.col("v_zero")
-    )
     return est.join(ex, "source").select(
         "source",
         "n_exact",
         "v_zero",
         "s_sum",
-        F.floor(
-            F.when(
-                (F.col("v_zero") > 0) & (e_raw <= F.lit(float(_HLL_LC_BAR))),
-                e_lc,
-            ).otherwise(e_raw)
-            * F.lit(1000000.0)
-        )
-        .cast("long")
-        .alias("hll_micro"),
+        _hll_est(F.col("s_sum"), F.col("v_zero")).alias("hll_micro"),
     )
 
 
@@ -2037,4 +2046,117 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("key_nano"), F.asc("doc_id"))
         .limit(_WS_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch MERGE (registry query #118)
+# ---------------------------------------------------------------------------
+
+_HLL_UNION_SQL = f"""
+WITH b AS ({_HLL_B_SQL}
+), rsb AS (
+  SELECT source, bucket, MAX({_HLL_RANK_SQL}) AS r
+  FROM b GROUP BY 1, 2
+), merged AS (
+  SELECT bucket, MAX(r) AS r FROM rsb GROUP BY 1
+), direct AS (
+  SELECT bucket, MAX({_HLL_RANK_SQL}) AS r FROM b GROUP BY 1
+), magg AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
+           + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS s_sum,
+         {_HLL_M} - CAST(COUNT(*) AS BIGINT) AS v_zero
+  FROM merged
+), dagg AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
+           + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS s_sum,
+         {_HLL_M} - CAST(COUNT(*) AS BIGINT) AS v_zero
+  FROM direct
+), ex AS (
+  SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact_global
+  FROM documents
+), pex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(SUM(cnt) AS BIGINT) AS sum_exact
+  FROM (SELECT source, COUNT(DISTINCT text) AS cnt
+        FROM documents GROUP BY 1)
+)
+SELECT pex.n_sources, pex.sum_exact, ex.n_exact_global,
+       magg.v_zero, magg.s_sum,
+       {_hll_est_sql('magg.s_sum', 'magg.v_zero')} AS hll_micro_merged,
+       {_hll_est_sql('dagg.s_sum', 'dagg.v_zero')} AS hll_micro_direct
+FROM magg CROSS JOIN dagg CROSS JOIN ex CROSS JOIN pex
+"""
+
+
+@register("docs_hll_union", oracle=_HLL_UNION_SQL, driver=False)
+def docs_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch MERGE — the property that makes the sketch a
+    distributed-aggregation primitive, proven in the verified output:
+    per-source register tables are merged with a per-bucket MAX, and the
+    result is BIT-IDENTICAL to the sketch computed in one pass over all
+    data (hll_micro_merged == hll_micro_direct; MAX is associative and
+    commutative, so per-partition / per-shard / per-day sketches can be
+    rolled up in any tree shape at 100 TB without touching raw data
+    again). The exact columns measure WHY merging matters:
+    sum_exact (Σ per-source distincts) double-counts cross-source
+    duplicates, while the merged sketch estimates the true union
+    (n_exact_global) — the classic "distinct users across shards"
+    problem that naive per-shard counts get wrong.
+
+    Arithmetic contract identical to docs_hll_distinct (#114, shared
+    helpers): exact-bigint harmonic denominators, one shared decimal
+    literal for alpha·m²·2^53, micro-floored linear-counting branch.
+    Scale shape: two bucket-keyed groupBys (≤ sources·m and m rows) +
+    scalar aggregates; the exact COUNT(DISTINCT) columns are the
+    verification baseline, not the scale path."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    h = hashing.md5_hash60(F.col("text"))
+    b = d.select(
+        "source",
+        h.bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+        F.shiftright(h, _HLL_P).alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(F.col("w")))
+    )
+    rsb = b.groupBy("source", "bucket").agg(F.max(rank).alias("r"))
+    merged = rsb.groupBy("bucket").agg(F.max("r").alias("r"))
+    direct = b.groupBy("bucket").agg(F.max(rank).alias("r"))
+
+    def agg_sketch(reg: DataFrame, s_name: str, v_name: str) -> DataFrame:
+        return reg.agg(
+            (
+                F.sum(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")
+                ).cast("long")
+                + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << 53)
+            ).alias(s_name),
+            (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long").alias(v_name),
+        )
+
+    magg = agg_sketch(merged, "m_s", "m_v")
+    dagg = agg_sketch(direct, "d_s", "d_v")
+    ex = d.agg(F.count_distinct("text").cast("long").alias("n_exact_global"))
+    pex = (
+        d.groupBy("source")
+        .agg(F.count_distinct("text").alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.sum("cnt").cast("long").alias("sum_exact"),
+        )
+    )
+    return (
+        magg.crossJoin(F.broadcast(dagg))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(pex))
+        .select(
+            "n_sources",
+            "sum_exact",
+            "n_exact_global",
+            F.col("m_v").alias("v_zero"),
+            F.col("m_s").alias("s_sum"),
+            _hll_est(F.col("m_s"), F.col("m_v")).alias("hll_micro_merged"),
+            _hll_est(F.col("d_s"), F.col("d_v")).alias("hll_micro_direct"),
+        )
     )

@@ -98,6 +98,8 @@ LOCAL_ONLY_FAMILY = {
     "docs_weighted_sample",
     # round 7: PageRank over the near-dup graph (#117)
     "docs_pagerank",
+    # round 7: HLL sketch merge identity (#118)
+    "docs_hll_union",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
