@@ -754,3 +754,71 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     views, purchases = split_events(ev)
     return attribute(views, purchases)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 state history (registry query #119)
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH ch AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+), tr AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM ch WHERE prev IS NULL OR prev != event_type
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       lead(valid_from) OVER w IS NULL AS is_current,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+FROM tr
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+"""
+
+
+@register("events_scd2_state", oracle=_SCD2_SQL, driver=False)
+def events_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 derivation from the event
+    stream — the warehouse-modeling idiom the reference's daily summary
+    implies but never materializes: per user, collapse consecutive
+    repeats of the same state (event_type) into one versioned validity
+    interval [valid_from, valid_to), open-ended current row flagged.
+    This is the standard "current state + full history" table a
+    dashboard joins instead of re-scanning raw events.
+
+    Plan shape: change-detection lag() and the interval lead()/
+    row_number() share the SAME (user_id; ts, event_id) window
+    partitioning, so Catalyst plans ONE exchange and two Window nodes
+    over it — the filter between them is narrow. The (ts, event_id)
+    tiebreak is the P7 stable-order rule; all outputs are raw column
+    values (timestamps pass through untouched), no arithmetic to
+    diverge cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    tr = ch.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return tr.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
