@@ -822,3 +822,81 @@ def events_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiler (registry query #120)
+# ---------------------------------------------------------------------------
+
+_SKEW_PROFILE_SQL = """
+WITH per AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(SUM(cnt) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(MAX(cnt) AS BIGINT) AS max_user_events
+  FROM per GROUP BY 1
+), top AS (
+  SELECT event_type, user_id AS top_user_id
+  FROM (SELECT event_type, user_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, user_id) AS rn
+        FROM per)
+  WHERE rn = 1
+)
+SELECT agg.event_type, agg.n_events, agg.n_users, agg.max_user_events,
+       top.top_user_id,
+       CAST(agg.max_user_events * agg.n_users AS DOUBLE) / agg.n_events
+         AS skew_ratio
+FROM agg JOIN top USING (event_type)
+"""
+
+
+@register("events_key_skew_profile", oracle=_SKEW_PROFILE_SQL, driver=False)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew profiler — the diagnostic that DECIDES the
+    salting question events_salted_agg answers: per grouping key
+    (event_type), how concentrated is the secondary key (user_id)?
+    skew_ratio = max_user_events / mean_user_events; ~1 means uniform
+    (hash partitioning is fine), >>1 means a hot key (salt it, or let
+    AQE's skew-join handle the join case). At 100 TB this query runs on
+    a sample or the previous day's partition before choosing a plan —
+    the profile is two small groupBys, never a data-sized collect.
+
+    Determinism: all aggregates are exact bigints; the hot key is picked
+    by a total-order window (cnt DESC, user_id) not an unordered
+    arg_max; skew_ratio is ONE exact-bigint-over-exact-bigint double
+    division (the r6 rounding policy). Plan: groupBy(type, user) with
+    map-side combine, then a ~|types|-row rollup + the same-partitioning
+    top-1 window — the second groupBy and the window reuse the first
+    aggregation's output, which is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    agg = per.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.max("cnt").cast("long").alias("max_user_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("user_id")
+    )
+    top = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("top_user_id"))
+    )
+    return agg.join(top, "event_type").select(
+        "event_type",
+        "n_events",
+        "n_users",
+        "max_user_events",
+        "top_user_id",
+        (
+            (F.col("max_user_events") * F.col("n_users")).cast("double")
+            / F.col("n_events")
+        ).alias("skew_ratio"),
+    )
