@@ -25,32 +25,42 @@ from pyspark.sql import Column, functions as F
 DEFAULT_BITS = 16
 
 
-def zvalue(x: Column, y: Column, bits: int = DEFAULT_BITS) -> Column:
-    """Morton z-value of two non-negative integer columns.
+def morton(cols: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` of each non-negative integer column
+    into one Morton key: bit i of column j lands at position
+    i*len(cols)+j. Pure bitwise Column arithmetic — codegen'd, no UDF.
 
-    Interleaves the low ``bits`` bits of each input (x takes the even
-    output bits, y the odd) into one bigint:
-    z = Σ_i ((x>>i)&1)<<(2i)  |  ((y>>i)&1)<<(2i+1).
+    The canonical kernel: ``zvalue`` below is its 2-column
+    specialization (x on even bits, y on odd), and
+    ``pipeline/maintenance.py::zorder_write`` uses it for the N-column
+    range-normalized write path. len(cols)·bits ≤ 62 keeps the result
+    in a signed bigint.
+    """
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(
+            f"len(cols)*bits must be <= 62, got {n}*{bits}"
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return z
+
+
+def zvalue(x: Column, y: Column, bits: int = DEFAULT_BITS) -> Column:
+    """Morton z-value of two non-negative integer columns:
+    z = Σ_i ((x>>i)&1)<<(2i) | ((y>>i)&1)<<(2i+1).
 
     Inputs wider than ``bits`` must be masked/bucketed by the caller —
     silently dropping high bits would interleave garbage; the layout
-    query buckets with an explicit ``% (1<<bits)``. 2·bits ≤ 62 keeps
-    the result in a signed bigint.
+    query buckets with an explicit ``% (1<<bits)``.
     """
-    if 2 * bits > 62:
-        raise ValueError(f"2*bits must be <= 62, got bits={bits}")
-    terms = []
-    for i in range(bits):
-        terms.append(
-            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
-        terms.append(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out.cast("long")
+    return morton([x, y], bits)
 
 
 def zvalue_sql(x_expr: str, y_expr: str, bits: int = DEFAULT_BITS) -> str:

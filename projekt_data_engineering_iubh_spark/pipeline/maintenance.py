@@ -98,21 +98,12 @@ def compact(
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-
-def _morton(cols: list[Column], bits: int) -> Column:
-    """Interleave the low ``bits`` of each normalized column into one
-    Morton key: bit i of column j lands at position i*len(cols)+j. Pure
-    bitwise Column arithmetic — codegen'd, no UDF."""
-    n = len(cols)
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, c in enumerate(cols):
-            z = z.bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j
-                )
-            )
-    return z
+# the Morton kernel lives in operators/zorder.py (with its DuckDB SQL
+# rendering and the oracle-checked lineitem_zorder_blocks query); this
+# module owns the range-normalized WRITE path around it
+from projekt_data_engineering_iubh_spark.operators.zorder import (
+    morton as _morton,
+)
 
 
 def zorder_write(
