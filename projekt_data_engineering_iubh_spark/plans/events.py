@@ -900,3 +900,102 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_events")
         ).alias("skew_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch (registry query #121)
+# ---------------------------------------------------------------------------
+
+_HIST_W = 10  # bin width
+_HIST_BINS = 64  # fixed domain [0, 640); overflow clamps into the last bin
+
+_HIST_QUANT_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(floor(value / {float(_HIST_W)}) AS BIGINT), 0),
+               {_HIST_BINS - 1}) AS bin
+  FROM events WHERE value IS NOT NULL
+), h AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cum > n // 2 THEN (bin + 1) * {_HIST_W} END)
+            AS BIGINT) AS p50_ub,
+       CAST(MIN(CASE WHEN cum > (n * 9) // 10 THEN (bin + 1) * {_HIST_W} END)
+            AS BIGINT) AS p90_ub,
+       CAST(MIN(CASE WHEN cum > (n * 99) // 100 THEN (bin + 1) * {_HIST_W} END)
+            AS BIGINT) AS p99_ub
+FROM cum GROUP BY event_type
+"""
+
+
+@register(
+    "events_value_hist_quantiles", oracle=_HIST_QUANT_SQL, driver=False
+)
+def events_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch — the quantile member of the
+    sketch family (membership: Bloom #~, frequency: Count-Min, distinct:
+    HLL #114/#118): per event_type, a FIXED 64-bin width-10 histogram of
+    `value` (domain [0,640), clamped at both ends) and the p50/p90/p99
+    upper bin edges read off the cumulative counts. Fixed-size SUM-able
+    bins are what production metric pipelines actually merge across
+    shards/days (the t-digest/KLL alternative trades the fixed error
+    width ±bin for adaptivity but needs randomized compaction that can't
+    be verified cross-engine value-exactly); exact percentiles live in
+    agg_stats_percentiles — this is the scale path with a declared ±10
+    error bar.
+
+    Determinism: the only floating op is ONE floor(value/10) per row
+    (correctly-rounded division + floor); everything after is exact
+    bigint arithmetic — cumulative sums over unique bins, rank
+    thresholds as integer floor-divisions (n DIV 2, 9n DIV 10,
+    99n DIV 100 — non-negative, so Spark DIV == DuckDB //), quantile
+    estimates as integer bin edges. Plan: one groupBy(type, bin) with
+    map-side combine (≤ types·64 rows out), then windows over that tiny
+    table."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    b = ev.select(
+        "event_type",
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") / F.lit(float(_HIST_W))).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin"),
+    )
+    h = b.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    edge = (F.col("bin") + 1) * _HIST_W
+
+    def q_ub(num: int, den: int):
+        k = F.expr(f"(n * {num}) DIV {den}")
+        return F.min(F.when(F.col("cum") > k, edge)).cast("long")
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        q_ub(1, 2).alias("p50_ub"),
+        q_ub(9, 10).alias("p90_ub"),
+        q_ub(99, 100).alias("p99_ub"),
+    )
