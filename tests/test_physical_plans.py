@@ -253,3 +253,69 @@ def test_train_order_single_window_shuffle(spark):
     assert shuffles <= 1, plan
     # one Window node computes every windowed column
     assert plan.count("Window [") == 1, plan
+
+
+def test_scd2_single_exchange_two_windows(spark):
+    """events_scd2_state (#119): the change-detect lag and the interval
+    lead/row_number share one (user_id; ts, event_id) partitioning, so
+    the plan must hold ONE shuffle exchange and exactly two Window
+    nodes with no re-sort between them."""
+    import re
+
+    plan = plan_of(spark, "events_scd2_state")
+    shuffles = len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
+    )
+    assert shuffles == 1, plan
+    assert plan.count("Window [") == 2, plan
+
+
+def test_hist_quantiles_exchange_budget(spark):
+    """events_value_hist_quantiles (#121): one groupBy(type, bin)
+    shuffle feeds windows + final rollup over the <= types*64-row
+    histogram — the per-type window and final agg repartition that tiny
+    table; nothing else may shuffle event-sized data (budget 3)."""
+    import re
+
+    plan = plan_of(spark, "events_value_hist_quantiles")
+    shuffles = len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
+    )
+    assert shuffles <= 3, plan
+
+
+def test_bm25_takeordered_no_global_sort(spark):
+    """docs_bm25_topk (#112): the top-k must plan as
+    TakeOrderedAndProject (per-partition heaps + k-row driver merge),
+    never a global Sort over the scored corpus."""
+    plan = plan_of(spark, "docs_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_no_shuffle(spark):
+    """docs_weighted_sample (#115): stateless per-row scoring into
+    TakeOrderedAndProject — ZERO shuffle exchanges."""
+    import re
+
+    plan = plan_of(spark, "docs_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    shuffles = len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
+    )
+    assert shuffles == 0, plan
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """docs_dsir_weights (#113): the B=4096-row weight table must reach
+    the gram stream as a broadcast join, never a shuffled one."""
+    plan = plan_of(spark, "docs_dsir_weights")
+    assert "BroadcastExchange" in plan, plan
