@@ -109,6 +109,11 @@ def bench_neardup(spark, work: Path, sf_dir: str, batches: int) -> dict:
         start_neardup_corpus_stream,
     )
 
+    from pyspark.sql import Window
+
+    # split on a DENSE rank, not raw ids: replicated dirs (/tmp/sf1)
+    # carry sparse offset ids, and an id-range filter there silently
+    # selects nothing — the bench would report 0 rows instead of failing
     docs = (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -117,7 +122,10 @@ def bench_neardup(spark, work: Path, sf_dir: str, batches: int) -> dict:
             "lang",
             F.lit("2024-08-01 00:00:00").cast("timestamp").alias("ingest_ts"),
         )
-        .orderBy("doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy("doc_id")) - 1,
+        )
         .localCheckpoint(eager=True)
     )
     n = docs.count()
@@ -126,7 +134,9 @@ def bench_neardup(spark, work: Path, sf_dir: str, batches: int) -> dict:
 
     work.mkdir(parents=True, exist_ok=True)
     index_path = str(work / "sig_index")
-    build_signature_index(docs.filter(F.col("doc_id") < corpus_n), index_path)
+    build_signature_index(
+        docs.filter(F.col("rk") < corpus_n).drop("rk"), index_path
+    )
 
     src = work / "src"
     src.mkdir()
@@ -134,8 +144,8 @@ def bench_neardup(spark, work: Path, sf_dir: str, batches: int) -> dict:
     def drop(name: str, lo: int, hi: int) -> None:
         staging = work / f"stage_{name}"
         docs.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        ).coalesce(1).write.parquet(str(staging))
+            (F.col("rk") >= lo) & (F.col("rk") < hi)
+        ).drop("rk").coalesce(1).write.parquet(str(staging))
         part = glob.glob(str(staging / "part-*.parquet"))[0]
         shutil.move(part, str(src / f"{name}.parquet"))
 
@@ -179,9 +189,15 @@ def bench_vector(spark, work: Path, sf_dir: str, batches: int) -> dict:
         start_vector_ingest_stream,
     )
 
+    from pyspark.sql import Window
+
+    # dense-rank split for the same sparse-id reason as bench_neardup
     embs = (
         load_table(spark, sf_dir, "embeddings")
-        .orderBy("vec_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy("vec_id")) - 1,
+        )
         .localCheckpoint(eager=True)
     )
     n = embs.count()
@@ -190,16 +206,24 @@ def bench_vector(spark, work: Path, sf_dir: str, batches: int) -> dict:
 
     work.mkdir(parents=True, exist_ok=True)
     index_path = str(work / "vec_index")
-    build_vector_index(embs.filter(F.col("vec_id") < corpus_n), index_path)
+    build_vector_index(
+        embs.filter(F.col("rk") < corpus_n).drop("rk"), index_path
+    )
 
     src = work / "src"
     src.mkdir()
 
     def drop(name: str, lo: int, hi: int) -> None:
         staging = work / f"stage_{name}"
-        embs.filter(
-            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-        ).coalesce(1).write.parquet(str(staging))
+        out = embs.filter(
+            (F.col("rk") >= lo) & (F.col("rk") < hi)
+        ).drop("rk")
+        n_out = out.count()
+        if n_out == 0:
+            raise RuntimeError(
+                f"drop {name}: rank range [{lo},{hi}) selected 0 rows"
+            )
+        out.coalesce(1).write.parquet(str(staging))
         part = glob.glob(str(staging / "part-*.parquet"))[0]
         shutil.move(part, str(src / f"{name}.parquet"))
 
