@@ -2160,3 +2160,125 @@ def docs_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             _hll_est(F.col("d_s"), F.col("d_v")).alias("hll_micro_direct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate pruning (registry query #122)
+# ---------------------------------------------------------------------------
+
+_BOILER_K = 3  # spans in >= K distinct docs are boilerplate (C4's line rule)
+
+_BOILER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+), spans AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1) + 1, {_SPAN_W})) AS s
+  FROM toks
+), keyed AS (
+  SELECT doc_id,
+         CAST((s - 1) // {_SPAN_W} AS INTEGER) AS span_no,
+         array_to_string(list_slice(toks, s, s + {_SPAN_W} - 1), ' ')
+           AS span_text,
+         CASE WHEN len(toks) - s + 1 >= {_SPAN_W}
+              THEN {hashing.md5_hash60_sql(
+                  f"array_to_string(list_slice(toks, s, s + {_SPAN_W} - 1), ' ')")}
+              ELSE -(doc_id * 1073741824 + (s - 1) // {_SPAN_W} + 1) END AS k
+  FROM spans
+), freq AS (
+  SELECT k FROM keyed WHERE k >= 0
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {_BOILER_K}
+), flagged AS (
+  SELECT keyed.doc_id, keyed.span_no, keyed.span_text,
+         freq.k IS NOT NULL AS boiler
+  FROM keyed LEFT JOIN freq USING (k)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE boiler) AS INTEGER) AS n_boiler,
+       coalesce(string_agg(span_text, ' ' ORDER BY span_no)
+                FILTER (WHERE NOT boiler), '') AS text_clean
+FROM flagged GROUP BY 1
+"""
+
+
+@register("docs_boilerplate_prune", oracle=_BOILER_SQL, driver=False)
+def docs_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the C4 rule that a LINE
+    occurring in three or more documents is template boilerplate
+    (cookie banners, nav bars) and is removed from EVERY document,
+    re-expressed over fixed 8-token spans (the synthetic docs carry no
+    line breaks; same span geometry as docs_span_dedup, which is the
+    complementary policy: span_dedup KEEPS the first occurrence,
+    boilerplate pruning keeps NONE once frequency >= K=3).
+
+    Trailing partial spans get the per-doc-unique negative sentinel key
+    and are excluded from the frequency table, so they can never be
+    flagged — short docs lose only genuinely corpus-frequent spans.
+
+    Scale shape: span keys are 60-bit bigints BEFORE any shuffle; the
+    frequency table is one (k)-keyed groupBy COUNT(DISTINCT doc_id)
+    with map-side partials, and the >= K HAVING filter runs BEFORE the
+    flag join — the join's build side holds only genuinely
+    corpus-frequent spans (boilerplate templates), tiny at any corpus
+    size, so the planner's broadcast choice stays correct at 100 TB
+    (plan-pinned); reassembly is one groupBy(doc_id). Three shuffles,
+    no pair enumeration — linear, same family as docs_span_dedup."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    spans = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(_SPAN_W)
+            )
+        ).alias("s"),
+    )
+    span_text = F.concat_ws(
+        " ", F.slice(F.col("toks"), F.col("s"), F.lit(_SPAN_W))
+    )
+    keyed = spans.select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) div {_SPAN_W} AS INT)").alias("span_no"),
+        span_text.alias("span_text"),
+        F.when(
+            F.size("toks") - F.col("s") + 1 >= _SPAN_W,
+            hashing.md5_hash60(span_text),
+        )
+        .otherwise(
+            -(
+                F.col("doc_id") * F.lit(1 << 30)
+                + F.expr(f"(s - 1) div {_SPAN_W}")
+                + F.lit(1)
+            ).cast("long")
+        )
+        .alias("k"),
+    )
+    freq = (
+        keyed.filter(F.col("k") >= 0)
+        .groupBy("k")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOILER_K)
+        .select("k")
+    )
+    flagged = keyed.join(freq.withColumn("hit", F.lit(1)), "k", "left").select(
+        "doc_id",
+        "span_no",
+        "span_text",
+        F.col("hit").isNotNull().alias("boiler"),
+    )
+    kept_struct = F.when(
+        ~F.col("boiler"), F.struct(F.col("span_no"), F.col("span_text"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.count(F.when(F.col("boiler"), F.lit(1))).cast("int").alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x.getField("span_text"),
+            ),
+            " ",
+        ).alias("text_clean"),
+    )

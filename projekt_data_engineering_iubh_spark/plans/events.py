@@ -999,3 +999,87 @@ def events_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_ub(9, 10).alias("p90_ub"),
         q_ub(99, 100).alias("p99_ub"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: contiguous activity runs (registry query #122+)
+# ---------------------------------------------------------------------------
+
+_ISLANDS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM ud
+), g AS (
+  SELECT user_id, day, day - CAST(rn AS INTEGER) AS grp FROM r
+), isl AS (
+  SELECT user_id,
+         MIN(day) AS island_start,
+         MAX(day) AS island_end,
+         CAST(COUNT(*) AS INTEGER) AS island_days
+  FROM g GROUP BY user_id, grp
+)
+SELECT user_id, island_start, island_end, island_days,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS island_no,
+       island_start
+         - lag(island_end) OVER w - 1 AS gap_days_before
+FROM isl
+WINDOW w AS (PARTITION BY user_id ORDER BY island_start)
+"""
+
+
+@register("events_gaps_islands", oracle=_ISLANDS_SQL, driver=False)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, collapse the set of active DAYS into
+    maximal runs of consecutive dates (islands) with the gap length
+    before each run — the classic warehouse idiom behind streak
+    features ("active 7 days in a row"), churn detection (gap > N), and
+    engagement cohorting; the interval-building complement of
+    events_scd2_state (which versions STATE changes, not presence).
+
+    Technique: the row_number difference trick — within a user, day
+    minus its per-user day-rank is constant exactly on a run of
+    consecutive dates, so the constant is the island key and islands
+    fall out of one groupBy. No self-join, no recursive expansion.
+
+    Determinism: days are distinct per user so the (day) ordering is
+    total; island metrics are date min/max and exact counts; gap
+    arithmetic is integer date subtraction (datediff semantics match
+    cross-engine; NULL for a user's first island on both sides).
+
+    Plan shape: distinct (one (user_id, day) shuffle), then the rank
+    window, island groupBy, and island-sequence window all partition by
+    user_id — after the first user_id-keyed exchange the engine reuses
+    the partitioning (the day-rank window's sort covers the groupBy's
+    partial agg input and the final window's order). Scales linearly:
+    state per user is its distinct-day list, never raw events — the
+    distinct collapses 100 TB of events to |users|·|days| rows first."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    wr = Window.partitionBy("user_id").orderBy("day")
+    g = ud.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(wr)).alias("grp"),
+    )
+    isl = g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("island_start"),
+        F.max("day").alias("island_end"),
+        F.count(F.lit(1)).cast("int").alias("island_days"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("island_start")
+    return isl.select(
+        "user_id",
+        "island_start",
+        "island_end",
+        "island_days",
+        F.row_number().over(wi).cast("int").alias("island_no"),
+        (
+            F.datediff(
+                F.col("island_start"), F.lag("island_end").over(wi)
+            )
+            - F.lit(1)
+        ).alias("gap_days_before"),
+    )

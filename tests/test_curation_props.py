@@ -111,3 +111,76 @@ def test_dsir_src0_docs_score_higher(spark):
     )
     by = {r[0]: r.a for r in avg}
     assert by[True] > by[False], by
+
+
+def test_boilerplate_removed_everywhere(spark, duck):
+    """The C4 rule's defining property: a span flagged as boilerplate
+    is removed from EVERY document (unlike span_dedup, which keeps the
+    first occurrence) — so no surviving text_clean may contain any
+    full-width span that occurs in >= K distinct documents. Also: a doc
+    whose spans are all corpus-unique keeps its full reassembled text."""
+    from projekt_data_engineering_iubh_spark.plans.curation_queries import (
+        _BOILER_K,
+        _SPAN_W,
+    )
+
+    rows = _Q["docs_boilerplate_prune"].fn(spark, SF).collect()
+    frequent = {
+        r[0]
+        for r in duck.execute(
+            f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+              FROM documents
+            ), sp AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(t, s, s + {_SPAN_W} - 1), ' ')
+                       AS span
+              FROM toks,
+                   unnest(range(1, greatest(len(t), 1) + 1, {_SPAN_W})) AS u(s)
+              WHERE len(t) - s + 1 >= {_SPAN_W}
+            )
+            SELECT span FROM sp
+            GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {_BOILER_K}
+            """
+        ).fetchall()
+    }
+    assert frequent, "fixture corpus must contain corpus-frequent spans"
+    flagged_docs = 0
+    for r in rows:
+        if r.n_boiler:
+            flagged_docs += 1
+        # re-span the cleaned text: no full span may be corpus-frequent
+        toks = r.text_clean.split(" ") if r.text_clean else []
+        for s in range(0, len(toks) - _SPAN_W + 1, _SPAN_W):
+            span = " ".join(toks[s : s + _SPAN_W])
+            assert span not in frequent, (r.doc_id, span)
+    assert flagged_docs >= _BOILER_K  # every copy of a frequent span goes
+
+
+def test_gaps_islands_partition_exactly(spark, duck):
+    """Islands tile each user's active-day set: consecutive inside
+    (island_days == end - start + 1 with every day active), separated
+    by true gaps (gap_days_before >= 1 for every non-first island), and
+    summing to the user's distinct active days."""
+    rows = _Q["events_gaps_islands"].fn(spark, SF).collect()
+    active = {}
+    for uid, day in duck.execute(
+        "SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events"
+    ).fetchall():
+        active.setdefault(uid, set()).add(day)
+    per_user_days = {}
+    for r in rows:
+        assert (r.island_end - r.island_start).days + 1 == r.island_days, r
+        d = r.island_start
+        while d <= r.island_end:
+            assert d in active[r.user_id], (r.user_id, d)
+            d = d + __import__("datetime").timedelta(days=1)
+        if r.island_no == 1:
+            assert r.gap_days_before is None, r
+        else:
+            assert r.gap_days_before >= 1, r
+        per_user_days[r.user_id] = (
+            per_user_days.get(r.user_id, 0) + r.island_days
+        )
+    assert per_user_days == {u: len(s) for u, s in active.items()}

@@ -319,3 +319,43 @@ def test_dsir_weight_table_broadcasts(spark):
     the gram stream as a broadcast join, never a shuffled one."""
     plan = plan_of(spark, "docs_dsir_weights")
     assert "BroadcastExchange" in plan, plan
+
+
+def test_boilerplate_prune_broadcasts_frequent_spans(spark):
+    """docs_boilerplate_prune (#122): the flag join's build side is the
+    >= K-frequent span keys ONLY (HAVING runs before the join), so it
+    must plan as a broadcast — correct at any corpus size because
+    boilerplate templates, not the corpus, bound it. Budget: the freq
+    groupBy, its partial-agg exchange, and the doc reassembly — no
+    span-table self-join anywhere (<= 3 shuffles)."""
+    import re
+
+    plan = plan_of(spark, "docs_boilerplate_prune")
+    assert "BroadcastExchange" in plan, plan
+    shuffles = len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
+    )
+    assert shuffles <= 3, plan
+    assert "Window [" not in plan, plan
+
+
+def test_gaps_islands_two_exchanges_two_windows(spark):
+    """events_gaps_islands (#123): distinct (user_id, day) is one
+    exchange; the day-rank window re-partitions to user_id and that
+    partitioning is REUSED by both the island groupBy (grouping keys
+    superset) and the island-sequence window — so exactly two shuffles
+    and two Window nodes, no third exchange for the final window."""
+    import re
+
+    plan = plan_of(spark, "events_gaps_islands")
+    shuffles = len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
+    )
+    assert shuffles == 2, plan
+    assert plan.count("Window [") == 2, plan

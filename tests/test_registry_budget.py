@@ -100,6 +100,8 @@ LOCAL_ONLY_FAMILY = {
     "docs_pagerank",
     # round 7: HLL sketch merge identity (#118)
     "docs_hll_union",
+    # round 7: corpus-frequency boilerplate pruning, C4 line rule (#122)
+    "docs_boilerplate_prune",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
