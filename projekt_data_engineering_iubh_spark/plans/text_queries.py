@@ -1967,3 +1967,167 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").alias("rank_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup graph (registry query #124)
+# ---------------------------------------------------------------------------
+
+_TRI_SCALE = 1_000_000
+
+_TRIANGLES_SQL = f"""{_NEARDUP_EDGES_CTES},
+tdeg AS MATERIALIZED (
+  SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1
+),
+ori AS MATERIALIZED (
+  SELECT u.s, u.d, dd.deg AS deg_d
+  FROM und u
+  JOIN tdeg ds ON ds.v = u.s
+  JOIN tdeg dd ON dd.v = u.d
+  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND u.s < u.d)
+),
+tri AS MATERIALIZED (
+  SELECT a.s AS u, a.d AS v, b.d AS w
+  FROM ori a JOIN ori b
+    ON a.s = b.s
+   AND (a.deg_d < b.deg_d OR (a.deg_d = b.deg_d AND a.d < b.d))
+  JOIN ori c ON c.s = a.d AND c.d = b.d
+),
+tv AS (
+  SELECT u AS doc_id FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+),
+tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM tv GROUP BY 1)
+SELECT d0.doc_id,
+       CAST(COALESCE(tdeg.deg, 0) AS BIGINT) AS deg,
+       CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN COALESCE(tdeg.deg, 0) >= 2
+            THEN (CAST(2 AS BIGINT) * {_TRI_SCALE} * COALESCE(tc.n_tri, 0))
+                 // (tdeg.deg * (tdeg.deg - 1))
+            ELSE 0 END AS BIGINT) AS clustering_micro
+FROM documents d0
+LEFT JOIN tdeg ON tdeg.v = d0.doc_id
+LEFT JOIN tc ON tc.doc_id = d0.doc_id
+"""
+
+
+@register("docs_neardup_triangles", oracle=_TRIANGLES_SQL, driver=False)
+def docs_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle count and local clustering coefficient over
+    the near-dup similarity graph — the third graph primitive beside
+    connected components (docs_dedup_apply) and PageRank (docs_pagerank).
+    The curation read: a document whose neighborhood is densely
+    interconnected (coefficient near 1) sits inside a template cluster
+    (every copy resembles every other copy), while a high-degree /
+    low-coefficient document is a hub bridging unrelated near-dup groups
+    (boilerplate shared across otherwise-distinct pages) — the two need
+    different dedup treatment, and degree alone cannot tell them apart.
+
+    Algorithm: compact-forward / node-iterator++ (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11 — the
+    canonical MapReduce formulation). Orient every undirected edge from
+    the (degree, id)-smaller endpoint to the larger; each triangle then
+    has EXACTLY one vertex with two outgoing edges, so emitting wedges
+    from shared sources and closing them against the oriented edge list
+    counts each triangle once, and the per-source wedge fan-out is
+    bounded by the max ORIENTED out-degree ~ O(sqrt(m)) regardless of
+    raw degree skew — the property that makes this the 100 TB-safe plan
+    (a raw wedge join on the undirected list is quadratic in the hottest
+    vertex's degree; orientation caps exactly that).
+
+    Graph contract: same DISTINCTed simple graph as docs_pagerank (the
+    capped LSH join's per-band duplicate emissions would inflate both
+    degrees and triangle counts). Coefficient is exact integer micro-
+    units: (2e6 * tri) DIV (deg * (deg - 1)), operands non-negative so
+    Spark DIV and DuckDB // agree.
+
+    Scale shape: degree agg, two degree joins, the wedge self-join on
+    the shared source, the closure equi-join on (v, w), one final
+    vertex groupBy — all key-partitioned equi-joins, no cartesian, no
+    driver action; edge list and degrees are reused branches."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # materialize the DISTINCTed edge list once (eager localCheckpoint —
+    # same contract as _lsh_pairs' banded rows and the CC operator: swap
+    # to checkpoint() + SPARK_GRAFT_CHECKPOINT_DIR on a cluster). The
+    # graph is consumed by FIVE downstream branches (deg, both wedge
+    # sides, closure, final); without truncation each branch replays the
+    # whole signature/band/join pipeline — measured 107 shuffles vs 14.
+    pairs = (
+        _lsh_pairs(spark, sf_dir, max_bucket=LSH_MAX_BUCKET)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("s"), F.col("doc_a").alias("d")
+                ),
+            )
+        ).alias("e")
+    ).select("e.s", "e.d")
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ori = (
+        und.join(
+            deg.select(F.col("s"), F.col("deg").alias("deg_s")), "s"
+        )
+        .join(
+            deg.select(F.col("s").alias("d"), F.col("deg").alias("deg_d")),
+            "d",
+        )
+        .filter(
+            (F.col("deg_s") < F.col("deg_d"))
+            | ((F.col("deg_s") == F.col("deg_d")) & (F.col("s") < F.col("d")))
+        )
+        .select("s", "d", "deg_d")
+        # referenced three times (both wedge sides + closure)
+        .localCheckpoint(eager=True)
+    )
+    wedges = (
+        ori.select(
+            F.col("s").alias("u"), F.col("d").alias("v"),
+            F.col("deg_d").alias("dv"),
+        )
+        .join(
+            ori.select(
+                F.col("s").alias("u"), F.col("d").alias("w"),
+                F.col("deg_d").alias("dw"),
+            ),
+            "u",
+        )
+        .filter(
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+        )
+    )
+    tri = wedges.join(
+        ori.select(F.col("s").alias("v"), F.col("d").alias("w")), ["v", "w"]
+    ).select("u", "v", "w")
+    # one pass over the triangle list (explode, not a 3-way self-union —
+    # the join output would otherwise execute three times)
+    tv = tri.select(
+        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("doc_id")
+    )
+    tc = tv.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    return (
+        d.join(deg.withColumnRenamed("s", "doc_id"), "doc_id", "left")
+        .join(tc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+            F.coalesce(F.col("n_tri"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.expr(
+                f"CAST(CASE WHEN COALESCE(deg, 0) >= 2 THEN "
+                f"(CAST(2 AS BIGINT) * {_TRI_SCALE} * COALESCE(n_tri, 0)) "
+                f"DIV (deg * (deg - 1)) ELSE 0 END AS BIGINT)"
+            ).alias("clustering_micro"),
+        )
+    )

@@ -184,3 +184,45 @@ def test_gaps_islands_partition_exactly(spark, duck):
             per_user_days.get(r.user_id, 0) + r.island_days
         )
     assert per_user_days == {u: len(s) for u, s in active.items()}
+
+
+def test_triangles_match_independent_node_iterator(spark, duck):
+    """Recount triangles with a DIFFERENT algorithm: plain Python
+    node-iterator (intersect adjacency sets per undirected edge) over
+    the same DISTINCT edge list, and check per-vertex counts, degrees,
+    and the integer coefficient — so the oracle's compact-forward SQL
+    and the Spark plan can't share a bug."""
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        _NEARDUP_EDGES_CTES,
+        _TRI_SCALE,
+    )
+
+    edges = duck.execute(
+        _NEARDUP_EDGES_CTES + " SELECT s, d FROM und WHERE s < d"
+    ).fetchall()
+    assert edges, "fixture corpus must produce near-dup edges"
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    tri: dict[int, int] = {}
+    n_total = 0
+    for s, d in edges:
+        for _w in adj[s] & adj[d]:
+            # each triangle seen once per edge => 3 times total; credit
+            # the opposite vertex each time => each vertex of the
+            # triangle credited exactly once
+            tri[_w] = tri.get(_w, 0) + 1
+            n_total += 1
+    assert n_total % 3 == 0 and n_total > 0, n_total
+    rows = _Q["docs_neardup_triangles"].fn(spark, SF).collect()
+    for r in rows:
+        deg = len(adj.get(r.doc_id, ()))
+        assert r.deg == deg, r
+        assert r.n_triangles == tri.get(r.doc_id, 0), r
+        want = (
+            (2 * _TRI_SCALE * r.n_triangles) // (deg * (deg - 1))
+            if deg >= 2
+            else 0
+        )
+        assert r.clustering_micro == want, r

@@ -359,3 +359,26 @@ def test_gaps_islands_two_exchanges_two_windows(spark):
     )
     assert shuffles == 2, plan
     assert plan.count("Window [") == 2, plan
+
+
+def test_triangles_no_cartesian_bounded_shuffles(spark):
+    """docs_neardup_triangles (#124): the wedge join MUST be a
+    key-partitioned equi-join on the shared oriented source (a raw
+    cartesian or broadcast-nested-loop would be quadratic in the
+    hottest bucket), and the whole plan stays within a fixed shuffle
+    budget: with the edge list and oriented list localCheckpointed
+    (measured: 107 shuffles -> 7 without lineage truncation), what
+    remains is the degree agg, degree joins, wedge + closure joins, and
+    the triangle-vertex groupBy."""
+    import re
+
+    plan = plan_of(spark, "docs_neardup_triangles")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    shuffles = len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
+    )
+    assert shuffles <= 8, f"{shuffles} shuffles\n{plan}"

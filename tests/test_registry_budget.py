@@ -102,6 +102,9 @@ LOCAL_ONLY_FAMILY = {
     "docs_hll_union",
     # round 7: corpus-frequency boilerplate pruning, C4 line rule (#122)
     "docs_boilerplate_prune",
+    # round 7: triangle count / clustering coefficient, third graph
+    # primitive (#124)
+    "docs_neardup_triangles",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
