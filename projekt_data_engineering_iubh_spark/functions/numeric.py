@@ -47,3 +47,24 @@ def half_up_4dp_sql(cents_sql: str, n_sql: str) -> str:
         f"  / 10000.0 "
         f"END"
     )
+
+
+def floordiv_expr(a: str, b: str) -> str:
+    """Spark SQL text for exact FLOOR division of bigints (``b`` must be
+    positive; either sign of ``a``). Spark's DIV truncates toward zero,
+    so a bare ``a DIV b`` diverges from floor on negative numerators
+    (the r6 ADVICE trap). Subtracting ``pmod`` first makes the operand
+    exactly divisible, where truncation == floor — pure bigint
+    arithmetic, no double roundtrip, no 2^53 ceiling."""
+    return f"((({a}) - pmod(({a}), ({b}))) DIV ({b}))"
+
+
+def floordiv_sql(a: str, b: str) -> str:
+    """The DuckDB mirror of :func:`floordiv_expr`. DuckDB's ``//`` ALSO
+    truncates toward zero on integers (measured: ``(-7) // 2 = -3``,
+    not floor's -4 — it is NOT Python's operator), so the same
+    subtract-positive-remainder formulation is required; ``pmod`` is
+    spelled out as ``((a % b) + b) % b``."""
+    return (
+        f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
+    )

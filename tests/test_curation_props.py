@@ -226,3 +226,43 @@ def test_triangles_match_independent_node_iterator(spark, duck):
             else 0
         )
         assert r.clustering_micro == want, r
+
+
+def test_power_iteration_rayleigh_climbs(spark):
+    """The claim hash equality can't state: each power-iteration round
+    moves the iterate TOWARD the dominant eigenspace. Pin the Rayleigh
+    quotient v'Cv / v'v (C = numpy covariance of the same quantized
+    centered data) strictly non-decreasing across the three verified
+    iterates, ending within 75% of numpy's exact lambda_max."""
+    import numpy as np
+
+    from projekt_data_engineering_iubh_spark.plans.vector_queries import (
+        _PC_Q,
+    )
+
+    rows = sorted(
+        _Q["emb_top_pc_power"].fn(spark, SF).collect(), key=lambda r: r.dim
+    )
+    X = np.array(
+        duckdb.connect()
+        .execute(f"SELECT embedding FROM '{SF}/embeddings.parquet'")
+        .fetchnumpy()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    Xq = np.floor(X * _PC_Q)
+    mean = np.floor_divide(
+        Xq.sum(axis=0).astype(object), Xq.shape[0]
+    ).astype(np.float64)
+    Xc = Xq - mean
+    # cross-check the verified mean column against numpy exactly
+    got_mean = np.array([r.mean_q for r in rows], dtype=np.float64)
+    assert np.array_equal(got_mean, mean), "mean_q != numpy floor-div mean"
+    C = Xc.T @ Xc
+    lam = np.linalg.eigvalsh(C)[-1]
+    rq = []
+    for k in ("pc_v1", "pc_v2", "pc_v3"):
+        v = np.array([getattr(r, k) for r in rows], dtype=np.float64)
+        rq.append(float(v @ C @ v) / float(v @ v))
+    assert rq[0] <= rq[1] <= rq[2], rq
+    assert rq[2] >= 0.75 * lam, (rq[2], lam)

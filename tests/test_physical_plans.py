@@ -382,3 +382,23 @@ def test_triangles_no_cartesian_bounded_shuffles(spark):
         )
     )
     assert shuffles <= 8, f"{shuffles} shuffles\n{plan}"
+
+
+def test_power_iteration_one_pass_per_round(spark):
+    """emb_top_pc_power (#125): with the centered matrix and each
+    round's 64-row iterate localCheckpointed, the FINAL plan must be
+    the cheap tail only — the three materialized iterates joined to the
+    means (<= 6 shuffles, no cartesian, no parquet re-scan beyond the
+    one inside the eager checkpoint)."""
+    import re
+
+    plan = plan_of(spark, "emb_top_pc_power")
+    assert "CartesianProduct" not in plan, plan
+    shuffles = len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
+    )
+    assert shuffles <= 6, f"{shuffles} shuffles\n{plan}"
+    assert plan.count("Scan parquet") <= 1, plan

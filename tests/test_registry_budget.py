@@ -105,6 +105,8 @@ LOCAL_ONLY_FAMILY = {
     # round 7: triangle count / clustering coefficient, third graph
     # primitive (#124)
     "docs_neardup_triangles",
+    # round 7: power-iteration dominant principal component (#125)
+    "emb_top_pc_power",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
