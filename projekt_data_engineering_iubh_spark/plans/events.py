@@ -1083,3 +1083,217 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(1)
         ).alias("gap_days_before"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (registry query #126)
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 5
+_PATH_TOPK = 20
+
+_TOP_PATHS_SQL = f"""
+WITH sess AS ({_SESSIONIZE_SQL}),
+sp AS (
+  SELECT user_id, session_seq,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id),
+                      1, {_PATH_LEN}), '->') AS path
+  FROM sess
+  WHERE session_seq > 0 AND event_type != '{SESSION_MARKER}'
+  GROUP BY 1, 2
+),
+pc AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM sp GROUP BY 1)
+SELECT path, n_sessions,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path)
+            AS INTEGER) AS rank
+FROM pc
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOPK}
+"""
+
+
+@register("events_top_paths", oracle=_TOP_PATHS_SQL, driver=False)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the top-20 most frequent event-type
+    sequences (first 5 non-marker events per marker session,
+    '->'-joined) — the product-analytics complement of events_funnel:
+    the funnel scores ONE predeclared step sequence, this DISCOVERS
+    which sequences users actually take.
+
+    Determinism: per-session ordering is the sessionize total order
+    (ts, event_id); the in-session sequence is built by sorting the
+    collected (ts, event_id, event_type) structs — array_sort on
+    structs is lexicographic, so the tie order is exact, not
+    collect_list's arrival order. Top-k ties break on the path string.
+
+    Scale shape: one groupBy per (user, session) — same key domain as
+    every session aggregate, map-side combinable, no window over raw
+    events; then a groupBy on the path whose DOMAIN is bounded by the
+    event-type vocabulary (|types|^5), so the final rank
+    window's single-partition input is small at any corpus size. The
+    per-session agg state is capped too: sessions are marker-bounded
+    (~tens of events), and only the first 5 survive the slice."""
+    sess = _sessionized(spark, sf_dir).filter(
+        (F.col("session_seq") > 0)
+        & (F.col("event_type") != SESSION_MARKER)
+    )
+    sp = sess.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s.event_type,
+                ),
+                1,
+                _PATH_LEN,
+            ),
+            "->",
+        ).alias("path")
+    )
+    pc = sp.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    w = Window.orderBy(F.desc("n_sessions"), "path")
+    return (
+        pc.select(
+            "path",
+            "n_sessions",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+        .limit(_PATH_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user feature vector (registry query #127)
+# ---------------------------------------------------------------------------
+
+_UF_SQL = f"""
+WITH base AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = '{SESSION_MARKER}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_sessions,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+         MAX(CAST(ts AS DATE)) AS last_day,
+         CAST(SUM(CASE WHEN value IS NOT NULL
+                  THEN CAST(FLOOR(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS monetary_cents,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+),
+corpus AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+tt AS (
+  SELECT user_id, event_type AS top_type
+  FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type) AS rn
+    FROM events GROUP BY user_id, event_type
+  ) WHERE rn = 1
+)
+SELECT base.user_id, n_events, n_sessions, n_active_days,
+       CAST(date_diff('day', last_day, max_day) AS INTEGER) AS recency_days,
+       monetary_cents, n_purchases, n_errors,
+       CAST((CAST(1000000 AS BIGINT) * n_errors) // n_events AS BIGINT)
+         AS error_rate_micro,
+       tt.top_type
+FROM base CROSS JOIN corpus
+JOIN tt ON tt.user_id = base.user_id
+"""
+
+
+@register("events_user_features", oracle=_UF_SQL, driver=False)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature-engineering rollup — the RFM-style vector a
+    training pipeline materializes as model input: recency (days since
+    the user's last event, anchored to the CORPUS max day so the
+    feature is reproducible from the data alone), frequency (events,
+    marker sessions, distinct active days), monetary (exact bigint
+    cents: per-row FLOOR(value*100) before summing, so the total is
+    shuffle-order independent — a raw SUM(double) is not), error rate
+    in integer micro-units, and the modal event type with a
+    deterministic (count DESC, type ASC) tiebreak.
+
+    Scale shape: one user-keyed groupBy for the numeric features; the
+    modal type is a (user, type) groupBy + a user-partitioned top-1
+    window on the 5-types-per-user aggregate (bounded input, shares the
+    user partitioning); the corpus anchor is a single-row aggregate
+    broadcast-crossed on (the events_funnel pattern) — no data-sized
+    driver action anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == SESSION_MARKER, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_sessions"),
+        F.countDistinct(day).cast("long").alias("n_active_days"),
+        F.max(day).alias("last_day"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(),
+                F.floor(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("monetary_cents"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    # materialize the per-user aggregate once: it feeds BOTH the corpus
+    # anchor (max of per-user maxes — no separate events scan) and the
+    # final join, and the two branches' prunings differ enough that
+    # exchange reuse never fires (measured: 3 events scans -> 2 without)
+    base = base.localCheckpoint(eager=True)
+    corpus = base.agg(F.max("last_day").alias("max_day"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("type_cnt"), "event_type"
+    )
+    tt = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("type_cnt"))
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+    return (
+        base.crossJoin(F.broadcast(corpus))
+        .join(tt, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "n_sessions",
+            "n_active_days",
+            F.datediff("max_day", "last_day").cast("int").alias(
+                "recency_days"
+            ),
+            "monetary_cents",
+            "n_purchases",
+            "n_errors",
+            F.expr(
+                "CAST((CAST(1000000 AS BIGINT) * n_errors) DIV n_events"
+                " AS BIGINT)"
+            ).alias("error_rate_micro"),
+            "top_type",
+        )
+    )

@@ -266,3 +266,74 @@ def test_power_iteration_rayleigh_climbs(spark):
         rq.append(float(v @ C @ v) / float(v @ v))
     assert rq[0] <= rq[1] <= rq[2], rq
     assert rq[2] >= 0.75 * lam, (rq[2], lam)
+
+
+def test_top_paths_match_python_recompute(spark, duck):
+    """Independent recompute of the whole top-k path table in plain
+    Python from raw events (marker running count, in-session sort,
+    slice-5, count, rank with the (count DESC, path ASC) tiebreak)."""
+    rows = _Q["events_top_paths"].fn(spark, SF).collect()
+    evs = duck.execute(
+        "SELECT user_id, ts, event_id, event_type FROM events"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    sess: dict[tuple[int, int], list[str]] = {}
+    cur: dict[int, int] = {}
+    for uid, _ts, _eid, et in evs:
+        if et == "signup":
+            cur[uid] = cur.get(uid, 0) + 1
+            continue
+        seq = cur.get(uid, 0)
+        if seq > 0:
+            sess.setdefault((uid, seq), []).append(et)
+    counts: dict[str, int] = {}
+    for types in sess.values():
+        p = "->".join(types[:5])
+        counts[p] = counts.get(p, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = sorted(rows, key=lambda r: r.rank)
+    assert [(r.path, r.n_sessions) for r in got] == want
+    assert [r.rank for r in got] == list(range(1, len(want) + 1))
+
+
+def test_user_features_match_python_recompute(spark, duck):
+    """Recompute every user's feature row in plain Python — including
+    the exact-cents quantization (floor(value*100) per ROW, matching
+    C double semantics via the same parquet doubles) and the modal-type
+    tiebreak."""
+    import math
+
+    rows = {r.user_id: r for r in _Q["events_user_features"].fn(spark, SF).collect()}
+    evs = duck.execute(
+        "SELECT user_id, CAST(ts AS DATE), event_type, value FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(lambda: {"n": 0, "s": 0, "days": set(), "cents": 0,
+                               "p": 0, "e": 0, "types": defaultdict(int)})
+    maxd = max(d for _, d, _, _ in evs)
+    for uid, d, et, val in evs:
+        u = per[uid]
+        u["n"] += 1
+        u["days"].add(d)
+        u["types"][et] += 1
+        if et == "signup":
+            u["s"] += 1
+        elif et == "purchase":
+            u["p"] += 1
+        elif et == "error":
+            u["e"] += 1
+        if val is not None:
+            u["cents"] += math.floor(val * 100)
+    assert set(rows) == set(per)
+    for uid, u in per.items():
+        r = rows[uid]
+        top = sorted(u["types"].items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert (
+            r.n_events, r.n_sessions, r.n_active_days, r.recency_days,
+            r.monetary_cents, r.n_purchases, r.n_errors,
+            r.error_rate_micro, r.top_type,
+        ) == (
+            u["n"], u["s"], len(u["days"]), (maxd - max(u["days"])).days,
+            u["cents"], u["p"], u["e"], (1_000_000 * u["e"]) // u["n"], top,
+        ), (uid, r)

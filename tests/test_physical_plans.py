@@ -402,3 +402,32 @@ def test_power_iteration_one_pass_per_round(spark):
     )
     assert shuffles <= 6, f"{shuffles} shuffles\n{plan}"
     assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_top_paths_and_user_features_plan_shape(spark):
+    """events_top_paths (#126): no window over raw events — the
+    sessionize cumulative sum and the rank-on-path-counts window only
+    (path domain is bounded by the type vocabulary); one scan, <= 3
+    shuffles. events_user_features (#127): the per-user aggregate is
+    materialized once and the corpus anchor is its max-of-maxes, so the
+    final plan re-scans events only for the modal-type branch; the
+    anchor joins as a 1-row broadcast, and no cartesian."""
+    import re
+
+    plan = plan_of(spark, "events_top_paths")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Window [") <= 2, plan
+    assert (
+        len(
+            re.findall(
+                r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+                plan,
+            )
+        )
+        <= 3
+    ), plan
+
+    plan = plan_of(spark, "events_user_features")
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
