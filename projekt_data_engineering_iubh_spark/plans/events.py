@@ -1297,3 +1297,145 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_type",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier detection (registry query #128)
+# ---------------------------------------------------------------------------
+
+# Contract: lower median — the value at ascending position (n+1) DIV 2
+# (ties ordered by event_id for a total order; the value AT a position is
+# tie-order independent). MAD is the lower median of |x - median|.
+# Outlier: |x - median| > 3 * MAD, all in exact integer cents.
+
+_MAD_SQL = """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type, MAX(cents) AS median_cents
+  FROM r WHERE rn <= (n + 1) // 2 GROUP BY 1
+),
+d AS (
+  SELECT v.event_type, v.event_id, v.cents,
+         ABS(v.cents - med.median_cents) AS dev
+  FROM v JOIN med USING (event_type)
+),
+dr AS (
+  SELECT event_type, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY dev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type, MAX(dev) AS mad_cents
+  FROM dr WHERE rn <= (n + 1) // 2 GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(med.median_cents) AS median_cents,
+       MAX(mad.mad_cents) AS mad_cents,
+       CAST(SUM(CASE WHEN d.dev > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST((CAST(1000000 AS BIGINT)
+             * SUM(CASE WHEN d.dev > 3 * mad.mad_cents THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS outlier_rate_micro
+FROM d
+JOIN med USING (event_type)
+JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+
+@register("events_anomaly_mad", oracle=_MAD_SQL, driver=False)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: median + MAD (median absolute
+    deviation) in EXACT integer cents, flagging |x - median| > 3*MAD —
+    the data-quality screen that, unlike mean/stddev z-scores, is not
+    itself dragged by the outliers it hunts, and unlike the fixed
+    threshold rules (P12, events_threshold_errors) needs no configured
+    bounds. Medians are exact order statistics (lower median, the value
+    at ascending position (n+1) DIV 2 — tie-order independent), NOT the
+    approximate percentile sketch, so the result is bit-identical on
+    any engine and any partitioning.
+
+    Scale shape: two rank windows partitioned by event_type (the
+    selection shuffle), each followed by a tiny per-type aggregate that
+    broadcast-joins back onto the rows. The window partition is the
+    type domain — bounded, but a single hot type serializes its sort
+    exactly like sessionize's hot-user caveat; the two-level prefix
+    strategy (operators/sessionize.py) or a sampled-boundary
+    repartitionByRange would be the 100 TB swap if the type domain were
+    small AND hot. Exact medians at scale are genuinely
+    sort-expensive; the cheap alternative is the fixed-bin histogram
+    sketch (events_value_hist_quantiles) whose declared error bar this
+    operator does not have."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wc = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        return (
+            ranked.filter(F.col("rn") <= F.expr("(n + 1) DIV 2"))
+            .groupBy("event_type")
+            .agg(F.max(col).alias(f"med_{col}"))
+        )
+
+    med = lower_median(v, "cents").withColumnRenamed(
+        "med_cents", "median_cents"
+    )
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
+    )
+    mad = lower_median(d, "dev").withColumnRenamed("med_dev", "mad_cents")
+    return (
+        d.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("median_cents").alias("median_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "median_cents",
+            "mad_cents",
+            "n_outliers",
+            F.expr(
+                "CAST((CAST(1000000 AS BIGINT) * n_outliers) DIV n AS BIGINT)"
+            ).alias("outlier_rate_micro"),
+        )
+    )

@@ -1675,12 +1675,22 @@ def _pc_v0(i: int) -> int:
 PC_V0 = [_pc_v0(i) for i in range(EMB_DIM)]
 
 
-def _pc_sql() -> str:
+_PC_FOLD = (
+    f"list_reduce(list_transform(range(1, {EMB_DIM + 1}), "
+    f"i -> xc[i] * varr[i]), (a, b) -> a + b)"
+)
+
+
+def _pc_ctes() -> str:
+    """The shared WITH block: quantize -> center -> 3 power-iteration
+    rounds; consumers append their own final SELECT (emb_top_pc_power
+    reads the iterates, emb_pc_outliers projects the corpus onto v3)."""
     v0 = "[" + ", ".join(str(v) for v in PC_V0) + "]"
     parts = [
         f"""
 WITH xq AS MATERIALIZED (
-  SELECT list_transform(embedding,
+  SELECT vec_id, label,
+         list_transform(embedding,
            e -> CAST(FLOOR(CAST(e AS DOUBLE) * {_PC_Q}) AS BIGINT)) AS xq
   FROM embeddings
 ),
@@ -1694,20 +1704,17 @@ means AS MATERIALIZED (
 ),
 marr AS (SELECT list(mean_q ORDER BY dim) AS marr FROM means),
 xc AS MATERIALIZED (
-  SELECT list_transform(range(1, {EMB_DIM + 1}),
+  SELECT vec_id, label,
+         list_transform(range(1, {EMB_DIM + 1}),
                         i -> xq.xq[i] - marr.marr[i]) AS xc
   FROM xq CROSS JOIN marr
 ),
 v0arr AS (SELECT CAST({v0} AS BIGINT[]) AS varr)"""
     ]
     for k in range(1, _PC_ITERS + 1):
-        fold = (
-            f"list_reduce(list_transform(range(1, {EMB_DIM + 1}), "
-            f"i -> xc[i] * varr[i]), (a, b) -> a + b)"
-        )
         parts.append(
             f""",
-s{k}raw AS (SELECT xc, {fold} AS sr FROM xc CROSS JOIN v{k - 1}arr),
+s{k}raw AS (SELECT xc, {_PC_FOLD} AS sr FROM xc CROSS JOIN v{k - 1}arr),
 s{k} AS (SELECT xc, {floordiv_sql('sr', str(_PC_SDIV))} AS sp FROM s{k}raw),
 t{k} AS MATERIALIZED (
   SELECT u.i - 1 AS dim, SUM({floordiv_sql('xc[u.i] * sp', str(_PC_Q))}) AS t
@@ -1721,8 +1728,11 @@ v{k} AS MATERIALIZED (
 ),
 v{k}arr AS (SELECT list(v ORDER BY dim) AS varr FROM v{k})"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _pc_sql() -> str:
+    return _pc_ctes() + f"""
 SELECT CAST(means.dim AS INTEGER) AS dim,
        CAST(means.mean_q AS BIGINT) AS mean_q,
        CAST(v1.v AS BIGINT) AS pc_v1,
@@ -1733,8 +1743,6 @@ JOIN v1 ON v1.dim = means.dim
 JOIN v2 ON v2.dim = means.dim
 JOIN v3 ON v3.dim = means.dim
 """
-    )
-    return "".join(parts)
 
 
 @register("emb_top_pc_power", oracle=_pc_sql(), driver=False)
@@ -1775,14 +1783,35 @@ def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint()/persist on a cluster). Each round's v is a 64-row
     aggregate collapsed to a single-row array and broadcast-crossed back
     onto the rows — never a driver-side collect."""
+    means, vs, _xc, _v_arr = _pc_chain(spark, sf_dir)
+    out = means
+    for k, v in enumerate(vs, start=1):
+        out = out.join(v.withColumnRenamed("v", f"pc_v{k}"), "dim")
+    return out.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("mean_q").cast("long").alias("mean_q"),
+        F.col("pc_v1").cast("long").alias("pc_v1"),
+        F.col("pc_v2").cast("long").alias("pc_v2"),
+        F.col("pc_v3").cast("long").alias("pc_v3"),
+    )
+
+
+def _pc_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame], DataFrame, DataFrame]:
+    """(means, per-round 64-row iterates, checkpointed centered matrix
+    with vec_id/label, final single-row iterate array) — the shared
+    power-iteration pipeline behind emb_top_pc_power / emb_pc_outliers."""
     e = load_table(spark, sf_dir, "embeddings")
     xq = e.select(
+        "vec_id",
+        "label",
         F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") * F.lit(float(_PC_Q))).cast(
                 "long"
             ),
-        ).alias("xq")
+        ).alias("xq"),
     )
     ex = xq.select(F.posexplode("xq").alias("dim", "x"))
     sums = ex.groupBy("dim").agg(
@@ -1796,7 +1825,11 @@ def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.transform("ms", lambda s: s.mean_q).alias("marr"))
     xc = (
         xq.crossJoin(F.broadcast(marr))
-        .select(F.zip_with("xq", "marr", lambda x, m: x - m).alias("xc"))
+        .select(
+            "vec_id",
+            "label",
+            F.zip_with("xq", "marr", lambda x, m: x - m).alias("xc"),
+        )
         .localCheckpoint(eager=True)
     )
     v_arr: DataFrame | None = None  # single-row (varr) after round 1
@@ -1842,13 +1875,107 @@ def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v_arr = v.agg(
             F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("vv")
         ).select(F.transform("vv", lambda x: x.v).alias("varr"))
-    out = means
-    for k, v in enumerate(vs, start=1):
-        out = out.join(v.withColumnRenamed("v", f"pc_v{k}"), "dim")
-    return out.select(
-        F.col("dim").cast("int").alias("dim"),
-        F.col("mean_q").cast("long").alias("mean_q"),
-        F.col("pc_v1").cast("long").alias("pc_v1"),
-        F.col("pc_v2").cast("long").alias("pc_v2"),
-        F.col("pc_v3").cast("long").alias("pc_v3"),
+    assert v_arr is not None
+    return means, vs, xc, v_arr
+
+
+# ---------------------------------------------------------------------------
+# PC-projection outlier screen (registry query #129)
+# ---------------------------------------------------------------------------
+
+_PC_OUTLIERS_SQL = (
+    _pc_ctes()
+    + f""",
+proj AS MATERIALIZED (
+  SELECT label, {floordiv_sql('sr', str(_PC_SDIV))} AS proj
+  FROM (SELECT label, {_PC_FOLD} AS sr FROM xc CROSS JOIN v3arr)
+),
+g AS (
+  SELECT CAST(SUM(proj * proj) AS BIGINT) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM proj
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST({floordiv_sql('SUM(proj)', 'COUNT(*)')} AS BIGINT) AS mean_proj,
+       CAST(MIN(proj) AS BIGINT) AS min_proj,
+       CAST(MAX(proj) AS BIGINT) AS max_proj,
+       CAST(SUM(CASE WHEN CAST(proj * proj AS DOUBLE) * n_total
+                          > 9.0 * CAST(s2 AS DOUBLE)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM proj CROSS JOIN g
+GROUP BY 1
+"""
+)
+
+
+@register("emb_pc_outliers", oracle=_PC_OUTLIERS_SQL, driver=False)
+def emb_pc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The USE of the trained component (emb_top_pc_power): project
+    every embedding onto the round-3 iterate and screen for semantic
+    outliers — vectors whose |projection| exceeds 3x the corpus RMS
+    along the dominant axis (the embedding-space analog of the
+    median/MAD value screen, and the balancing diagnostic: per-label
+    projection means show which clusters sit where on the corpus's
+    principal direction).
+
+    Determinism: the projection is the SAME bigint fold as the training
+    rounds (shrunk by 2^26, floor division); the only doubles are the
+    final 3-sigma comparison CAST(proj^2) * n > 9 * sum(proj^2) — casts
+    and comparisons of bit-identical operands, no accumulation order
+    anywhere (the sum inside g is bigint: |proj| <= 2^22 keeps
+    sum(proj^2) exact to ~2^18 rows at worst-case magnitude and far
+    beyond at observed magnitudes; at larger corpora shrink proj one
+    more power of two).
+
+    Scale shape: one pass over the checkpointed centered matrix, a
+    1-row global aggregate broadcast-crossed back, and a label-keyed
+    groupBy — same fixed-shuffle shape as the training rounds."""
+    _means, _vs, xc, v_arr = _pc_chain(spark, sf_dir)
+    s = F.aggregate(
+        F.zip_with("xc", "varr", lambda x, v: x * v),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    proj = (
+        xc.crossJoin(F.broadcast(v_arr))
+        .select("label", s.alias("sr"))
+        .select(
+            "label", F.expr(floordiv_expr("sr", str(_PC_SDIV))).alias("proj")
+        )
+    )
+    g = proj.agg(
+        F.sum(F.col("proj") * F.col("proj")).cast("long").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    return (
+        proj.crossJoin(F.broadcast(g))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(floordiv_expr("SUM(proj)", "COUNT(*)"))
+            .cast("long")
+            .alias("mean_proj"),
+            F.min("proj").cast("long").alias("min_proj"),
+            F.max("proj").cast("long").alias("max_proj"),
+            F.sum(
+                F.when(
+                    F.col("proj").cast("double")
+                    * F.col("proj").cast("double")
+                    * F.col("n_total").cast("double")
+                    > F.lit(9.0) * F.col("s2").cast("double"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n",
+            "mean_proj",
+            "min_proj",
+            "max_proj",
+            "n_outliers",
+        )
     )

@@ -337,3 +337,74 @@ def test_user_features_match_python_recompute(spark, duck):
             u["n"], u["s"], len(u["days"]), (maxd - max(u["days"])).days,
             u["cents"], u["p"], u["e"], (1_000_000 * u["e"]) // u["n"], top,
         ), (uid, r)
+
+
+def test_mad_matches_python_statistics(spark, duck):
+    """Recompute median/MAD/outliers per type with Python's sorted-list
+    order statistics (statistics.median_low on the same floor-cents),
+    pinning the 'lower median' contract independently of both engines'
+    window machinery."""
+    import math
+    from statistics import median_low
+
+    rows = {r.event_type: r for r in _Q["events_anomaly_mad"].fn(spark, SF).collect()}
+    vals: dict[str, list[int]] = {}
+    for et, v in duck.execute(
+        "SELECT event_type, value FROM events WHERE value IS NOT NULL"
+    ).fetchall():
+        vals.setdefault(et, []).append(math.floor(v * 100))
+    assert set(rows) == set(vals)
+    for et, xs in vals.items():
+        med = median_low(sorted(xs))
+        devs = sorted(abs(x - med) for x in xs)
+        mad = median_low(devs)
+        out = sum(1 for d in devs if d > 3 * mad)
+        r = rows[et]
+        assert (r.n, r.median_cents, r.mad_cents, r.n_outliers,
+                r.outlier_rate_micro) == (
+            len(xs), med, mad, out, (1_000_000 * out) // len(xs)
+        ), (et, r)
+        assert r.n_outliers < r.n * 0.2  # a robust screen flags a minority
+
+
+def test_pc_outliers_match_python_projection(spark, duck):
+    """Recompute every projection in exact Python ints — quantize,
+    floor-div mean, center, dot with the VERIFIED v3 iterate, shrink —
+    and check each label's row (n, mean, min, max, outlier count by the
+    same 3x-RMS rule). Independent of Spark's fold and DuckDB's
+    list_reduce alike."""
+    from projekt_data_engineering_iubh_spark.plans.vector_queries import (
+        _PC_Q,
+        _PC_SDIV,
+    )
+
+    pc = {r.dim: r.pc_v3
+          for r in _Q["emb_top_pc_power"].fn(spark, SF).collect()}
+    v3 = [pc[i] for i in range(len(pc))]
+    rows = {r.label: r for r in _Q["emb_pc_outliers"].fn(spark, SF).collect()}
+    data = duck.execute(
+        f"SELECT label, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    import math
+
+    n_rows = len(data)
+    dims = len(v3)
+    xq = [[math.floor(float(e) * _PC_Q) for e in emb] for _, emb in data]
+    mean = [sum(r[i] for r in xq) // n_rows for i in range(dims)]
+    # python // already floors — exactly the subtract-pmod semantics
+    projs = []
+    for (label, _), r in zip(data, xq):
+        s = sum((r[i] - mean[i]) * v3[i] for i in range(dims))
+        projs.append((label, s // _PC_SDIV))
+    s2 = sum(p * p for _, p in projs)
+    per: dict[int, list[int]] = {}
+    for label, p in projs:
+        per.setdefault(label, []).append(p)
+    assert set(rows) == set(per)
+    for label, ps in per.items():
+        r = rows[label]
+        out = sum(1 for p in ps if float(p * p) * n_rows > 9.0 * float(s2))
+        assert (r.n, r.mean_proj, r.min_proj, r.max_proj, r.n_outliers) == (
+            len(ps), sum(ps) // len(ps), min(ps), max(ps), out
+        ), (label, r)
+    assert sum(r.n for r in rows.values()) == n_rows

@@ -107,6 +107,8 @@ LOCAL_ONLY_FAMILY = {
     "docs_neardup_triangles",
     # round 7: power-iteration dominant principal component (#125)
     "emb_top_pc_power",
+    # round 7: PC-projection outlier screen (#129)
+    "emb_pc_outliers",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
