@@ -1439,3 +1439,179 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_rate_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day actives (registry query #130)
+# ---------------------------------------------------------------------------
+
+_WAU_WINDOW = 7  # trailing days, inclusive
+
+_WAU_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d AS day FROM ud)
+SELECT days.day,
+       CAST(COUNT(DISTINCT CASE WHEN ud.d = days.day THEN ud.user_id END)
+            AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau,
+       CAST((CAST(1000000 AS BIGINT)
+             * COUNT(DISTINCT CASE WHEN ud.d = days.day
+                              THEN ud.user_id END))
+            // COUNT(DISTINCT ud.user_id) AS BIGINT) AS stickiness_micro
+FROM ud JOIN days
+  ON ud.d <= days.day AND ud.d >= days.day - {_WAU_WINDOW - 1}
+GROUP BY 1
+"""
+
+
+@register("events_rolling_wau", oracle=_WAU_SQL, driver=False)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per day, the exact trailing-7-day distinct
+    actives (WAU), same-day actives (DAU), and the DAU/WAU stickiness
+    ratio in integer micro-units — the BATCH sliding event-time window
+    the streaming tier expresses with F.window(slide); exact sliding
+    COUNT DISTINCT has no window-frame form (distinct aggregates are
+    not frame-computable), so the idiomatic plan is a range join
+    against the day spine.
+
+    Scale shape: events collapse to DISTINCT (user, day) first — the
+    one big shuffle, and the 7x row expansion that follows happens on
+    user-DAYS, not raw events. The day spine is broadcast (bounded:
+    3,650 rows per decade — a fixed-cardinality dimension like q5's
+    nation/region), making the range join a linear broadcast pass; the
+    per-day distinct count is the final day-keyed aggregate. The
+    deliberate BroadcastNestedLoopJoin is bounded by the spine, same
+    contract as events_funnel's single-row crossJoins; at extreme day
+    counts the swap is bucketing days into months and an equi-join on
+    month +- 1 prefilter."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    j = ud.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") >= F.date_sub("day", _WAU_WINDOW - 1)),
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("day"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("dau"),
+            F.countDistinct("user_id").cast("long").alias("wau"),
+        )
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr(
+                "CAST((CAST(1000000 AS BIGINT) * dau) DIV wau AS BIGINT)"
+            ).alias("stickiness_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (registry query #131)
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, day, c,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+  FROM daily
+),
+cu AS (
+  SELECT event_type, day, n_days, total,
+         n_days * run
+           - total * CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                             ORDER BY day) AS BIGINT)
+           AS cusum
+  FROM s
+),
+r AS (
+  SELECT event_type, day, n_days, total, cusum,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(cusum) DESC, day) AS rn
+  FROM cu
+)
+SELECT event_type, n_days, total,
+       day AS shift_day,
+       CAST(ABS(cusum) AS BIGINT) AS cusum_abs_max,
+       CAST((CAST(1000000 AS BIGINT) * ABS(cusum)) // (n_days * total)
+            AS BIGINT) AS magnitude_micro
+FROM r WHERE rn = 1
+"""
+
+
+@register("events_cusum_shift", oracle=_CUSUM_SQL, driver=False)
+def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over each type's daily count series:
+    the day where the cumulative deviation from the series mean peaks —
+    the classic level-shift detector for pipeline monitoring (did a
+    source break / a bot arrive mid-corpus?). The mean never appears as
+    a division: S_k = n*run_k - total*k is the n-scaled cusum
+    (identically zero at k = n), so the whole statistic is exact bigint
+    and the argmax (tie -> earliest day) is engine-independent; the
+    reported magnitude normalizes by n*total in integer micro-units.
+
+    Scale shape: one (type, day) groupBy over raw events is the only
+    data-sized shuffle; every window after it runs on the tiny
+    types-x-days series (same posture as the histogram sketch: heavy
+    reduce first, analytics on the reduced series)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wp = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    cu = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_days"),
+        F.sum("c").over(wp).cast("long").alias("total"),
+        F.sum("c")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("run"),
+        F.row_number().over(wo).cast("long").alias("k"),
+    ).select(
+        "event_type",
+        "day",
+        "n_days",
+        "total",
+        (F.col("n_days") * F.col("run") - F.col("total") * F.col("k")).alias(
+            "cusum"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "day"
+    )
+    return (
+        cu.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            "total",
+            F.col("day").alias("shift_day"),
+            F.abs(F.col("cusum")).cast("long").alias("cusum_abs_max"),
+            F.expr(
+                "CAST((CAST(1000000 AS BIGINT) * ABS(cusum))"
+                " DIV (n_days * total) AS BIGINT)"
+            ).alias("magnitude_micro"),
+        )
+    )

@@ -408,3 +408,55 @@ def test_pc_outliers_match_python_projection(spark, duck):
             len(ps), sum(ps) // len(ps), min(ps), max(ps), out
         ), (label, r)
     assert sum(r.n for r in rows.values()) == n_rows
+
+
+def test_rolling_wau_matches_python_sets(spark, duck):
+    """Recompute DAU/WAU/stickiness per day with Python set unions over
+    the trailing-7-day window."""
+    import datetime as dt
+
+    rows = {r.day: r for r in _Q["events_rolling_wau"].fn(spark, SF).collect()}
+    per_day: dict[dt.date, set[int]] = {}
+    for uid, d in duck.execute(
+        "SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events"
+    ).fetchall():
+        per_day.setdefault(d, set()).add(uid)
+    assert set(rows) == set(per_day)
+    for day, dau_set in per_day.items():
+        wau_set = set()
+        for k in range(7):
+            wau_set |= per_day.get(day - dt.timedelta(days=k), set())
+        r = rows[day]
+        assert (r.dau, r.wau, r.stickiness_micro) == (
+            len(dau_set), len(wau_set),
+            (1_000_000 * len(dau_set)) // len(wau_set),
+        ), (day, r)
+        assert r.dau <= r.wau  # containment by construction
+
+
+def test_cusum_matches_python_series(spark, duck):
+    """Recompute each type's n-scaled cusum series in Python and pin the
+    argmax day, peak value, and the zero-sum identity S_n == 0."""
+    rows = {r.event_type: r for r in _Q["events_cusum_shift"].fn(spark, SF).collect()}
+    daily: dict[str, list[tuple]] = {}
+    for et, d, c in duck.execute(
+        "SELECT event_type, CAST(ts AS DATE), COUNT(*) FROM events"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall():
+        daily.setdefault(et, []).append((d, c))
+    assert set(rows) == set(daily)
+    for et, series in daily.items():
+        n = len(series)
+        total = sum(c for _, c in series)
+        run, best = 0, None
+        for k, (d, c) in enumerate(series, start=1):
+            run += c
+            s = n * run - total * k
+            if best is None or abs(s) > best[0]:
+                best = (abs(s), d)
+        assert run * n - total * n == 0  # S_n == 0 identity
+        r = rows[et]
+        assert (r.n_days, r.total, r.shift_day, r.cusum_abs_max,
+                r.magnitude_micro) == (
+            n, total, best[1], best[0], (1_000_000 * best[0]) // (n * total)
+        ), (et, r)
