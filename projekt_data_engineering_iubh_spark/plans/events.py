@@ -1615,3 +1615,70 @@ def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("magnitude_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# In-session Markov transition matrix (registry query #132)
+# ---------------------------------------------------------------------------
+
+_MARKOV_SQL = f"""
+WITH sess AS ({_SESSIONIZE_SQL}),
+tr AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts, event_id) AS nxt
+  FROM sess WHERE session_seq > 0 AND event_type != '{SESSION_MARKER}'
+),
+pc AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS n_cur FROM pc GROUP BY 1)
+SELECT pc.cur, pc.nxt, pc.n, tot.n_cur,
+       CAST((CAST(1000000 AS BIGINT) * pc.n) // tot.n_cur AS BIGINT)
+         AS p_micro
+FROM pc JOIN tot ON tot.cur = pc.cur
+"""
+
+
+@register("events_markov_transitions", oracle=_MARKOV_SQL, driver=False)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over in-session event types:
+    P(next | current) in integer micro-units — the MODEL complement of
+    events_top_paths' frequency mining (paths enumerate what happened;
+    the transition matrix is the generative summary a simulator or
+    next-event predictor consumes). Transitions never cross a session
+    boundary (lead() is partitioned by (user, session)), and the final
+    event of each session emits nothing.
+
+    Scale shape: ONE window pass over sessionized events (same
+    (user_id; ts, event_id) partitioning as sessionize itself — at
+    cluster scale the two windows share the exchange), then aggregates
+    whose domain is the squared type vocabulary — bounded at any corpus
+    size. Probabilities are exact integer micro-units of the exact
+    count ratio (n, n_cur both in the verified output, so rows sum to
+    n_cur per cur up to the documented floor truncation)."""
+    sess = _sessionized(spark, sf_dir).filter(
+        (F.col("session_seq") > 0)
+        & (F.col("event_type") != SESSION_MARKER)
+    )
+    w = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    tr = sess.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pc = tr.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = pc.groupBy("cur").agg(F.sum("n").cast("long").alias("n_cur"))
+    return pc.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        "n_cur",
+        F.expr(
+            "CAST((CAST(1000000 AS BIGINT) * n) DIV n_cur AS BIGINT)"
+        ).alias("p_micro"),
+    )

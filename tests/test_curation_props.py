@@ -460,3 +460,41 @@ def test_cusum_matches_python_series(spark, duck):
                 r.magnitude_micro) == (
             n, total, best[1], best[0], (1_000_000 * best[0]) // (n * total)
         ), (et, r)
+
+
+def test_markov_matches_python_and_row_stochastic(spark, duck):
+    """Recompute the transition counts in Python (session walk from raw
+    events) and pin row-stochasticity: per cur, sum(n) == n_cur and
+    sum(p_micro) within |matrix row| of 1e6 (floor truncation)."""
+    rows = _Q["events_markov_transitions"].fn(spark, SF).collect()
+    evs = duck.execute(
+        "SELECT user_id, ts, event_id, event_type FROM events"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    counts: dict[tuple[str, str], int] = {}
+    cur_by_sess: dict[tuple[int, int], str] = {}
+    seq: dict[int, int] = {}
+    for uid, _ts, _eid, et in evs:
+        if et == "signup":
+            seq[uid] = seq.get(uid, 0) + 1
+            continue
+        k = (uid, seq.get(uid, 0))
+        if k[1] > 0:
+            prev = cur_by_sess.get(k)
+            if prev is not None:
+                counts[(prev, et)] = counts.get((prev, et), 0) + 1
+            cur_by_sess[k] = et
+    got = {(r.cur, r.nxt): (r.n, r.n_cur, r.p_micro) for r in rows}
+    assert set(got) == set(counts)
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for (a, _), n in counts.items():
+        tot[a] += n
+    psum = defaultdict(int)
+    for (a, b), n in counts.items():
+        assert got[(a, b)] == (n, tot[a], (1_000_000 * n) // tot[a])
+        psum[a] += got[(a, b)][2]
+    for a, s in psum.items():
+        fanout = sum(1 for (x, _) in counts if x == a)
+        assert 1_000_000 - fanout < s <= 1_000_000, (a, s)
