@@ -1682,3 +1682,170 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((CAST(1000000 AS BIGINT) * n) DIV n_cur AS BIGINT)"
         ).alias("p_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (registry query #133)
+# ---------------------------------------------------------------------------
+
+from projekt_data_engineering_iubh_spark.functions import (  # noqa: E402
+    hashing as _hashing,
+)
+
+_BOOT_B = 40  # replicates; ranks 1 / B-1 ~ the 2.5% / 97.5% percentile CI
+_BOOT_RES = 1 << 20
+# Poisson(1) CDF quantized at 2^20 (int(round(cdf * 2^20)) in Python),
+# P(X <= k) for k = 0..6; weights above 7 are capped (P ~ 5e-5 tail).
+_BOOT_CDF = [385750, 771499, 964374, 1028665, 1044738, 1047953, 1048489]
+
+
+def _boot_w_case(u: str) -> str:
+    """Inverse-CDF weight as a CASE chain (same text both engines)."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN ({u}) < {c} THEN CAST({k} AS BIGINT)"
+            for k, c in enumerate(_BOOT_CDF)
+        )
+        + " ELSE CAST(7 AS BIGINT) END"
+    )
+
+
+_BOOT_U_SQL = (
+    _hashing.md5_hash60_sql(
+        "concat(CAST(event_id AS VARCHAR), '_', CAST(r.rep AS VARCHAR))"
+    )
+    + f" % {_BOOT_RES}"
+)
+
+_BOOT_SQL = f"""
+WITH p AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+wt AS (
+  SELECT event_type, cents, r.rep,
+         {_boot_w_case(_BOOT_U_SQL)} AS w
+  FROM p, unnest(range(0, {_BOOT_B})) AS r(rep)
+),
+reps AS (
+  SELECT event_type, rep,
+         CAST((CAST(1000000 AS BIGINT) * SUM(w * cents)) // SUM(w)
+              AS BIGINT) AS mean_micro
+  FROM wt GROUP BY 1, 2 HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT event_type, rep, mean_micro,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY mean_micro, rep) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nb
+  FROM reps
+),
+pt AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST((CAST(1000000 AS BIGINT) * SUM(cents)) // COUNT(*)
+              AS BIGINT) AS point_micro
+  FROM p GROUP BY 1
+)
+SELECT pt.event_type, pt.n, pt.point_micro,
+       MAX(CASE WHEN rn = 1 THEN mean_micro END) AS boot_lo_micro,
+       MAX(CASE WHEN rn = nb - 1 THEN mean_micro END) AS boot_hi_micro
+FROM pt JOIN ranked ON ranked.event_type = pt.event_type
+GROUP BY 1, 2, 3
+"""
+
+
+@register("events_bootstrap_ci", oracle=_BOOT_SQL, driver=False)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty at scale: a 95% percentile CI for each type's mean
+    value via the POISSON BOOTSTRAP (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", 2012 — the single-pass
+    reformulation of resampling): each of B=40 replicates weights every
+    row Poisson(1), with the weight drawn DETERMINISTICALLY by pushing a
+    60-bit md5 of (event_id, replicate) through the quantized inverse
+    CDF — no data shuffle per replicate, no RNG state, bit-identical on
+    both engines and any partitioning.
+
+    The replicate fan-out (rows x B) never shuffles raw data: weights
+    are computed map-side and partial-aggregated into (type, replicate)
+    cells before the exchange, so the shuffle carries B rows per type
+    regardless of corpus size. Replicate means are exact integer
+    micro-cents (values non-negative — the enforced contract of the
+    cents quantization); the CI endpoints are order statistics of the
+    B-row-per-type series (ranks 1 and B-1 ~ 2.5%/97.5%), tie-broken by
+    replicate id."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = (
+        p.select(
+            "event_type",
+            "cents",
+            "event_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+            ).alias("rep"),
+        )
+        .withColumn(
+            "u",
+            _hashing.md5_hash60(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit("_"),
+                    F.col("rep").cast("string"),
+                )
+            )
+            % _BOOT_RES,
+        )
+        .withColumn("w", F.expr(_boot_w_case("u")))
+    )
+    reps = (
+        w.groupBy("event_type", "rep")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "rep",
+            F.expr(
+                "CAST((CAST(1000000 AS BIGINT) * swc) DIV sw AS BIGINT)"
+            ).alias("mean_micro"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("mean_micro", "rep")
+    wn = Window.partitionBy("event_type")
+    ranked = reps.select(
+        "event_type",
+        "mean_micro",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nb"),
+    )
+    pt = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "CAST((CAST(1000000 AS BIGINT) * SUM(cents)) DIV COUNT(*)"
+            " AS BIGINT)"
+        ).alias("point_micro"),
+    )
+    return (
+        pt.join(ranked, "event_type")
+        .groupBy("event_type", "n", "point_micro")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == 1, F.col("mean_micro"))
+            ).alias("boot_lo_micro"),
+            F.max(
+                F.when(F.col("rn") == F.col("nb") - 1, F.col("mean_micro"))
+            ).alias("boot_hi_micro"),
+        )
+    )

@@ -498,3 +498,51 @@ def test_markov_matches_python_and_row_stochastic(spark, duck):
     for a, s in psum.items():
         fanout = sum(1 for (x, _) in counts if x == a)
         assert 1_000_000 - fanout < s <= 1_000_000, (a, s)
+
+
+def test_bootstrap_ci_matches_python_and_brackets_point(spark, duck):
+    """Recompute every replicate mean in Python (same md5-derived
+    Poisson weights) and pin the CI endpoints; the point estimate must
+    lie inside its own CI (Poisson weights average 1, so replicate
+    means scatter AROUND the sample mean)."""
+    import hashlib
+    import math
+
+    from projekt_data_engineering_iubh_spark.plans.events import (
+        _BOOT_B,
+        _BOOT_CDF,
+        _BOOT_RES,
+    )
+
+    def weight(eid: int, rep: int) -> int:
+        h = int(hashlib.md5(f"{eid}_{rep}".encode()).hexdigest()[:15], 16)
+        u = h % _BOOT_RES
+        for k, c in enumerate(_BOOT_CDF):
+            if u < c:
+                return k
+        return 7
+
+    rows = {r.event_type: r for r in _Q["events_bootstrap_ci"].fn(spark, SF).collect()}
+    data: dict[str, list[tuple[int, int]]] = {}
+    for et, eid, v in duck.execute(
+        "SELECT event_type, event_id, value FROM events"
+        " WHERE value IS NOT NULL"
+    ).fetchall():
+        data.setdefault(et, []).append((eid, math.floor(v * 100)))
+    assert set(rows) == set(data)
+    for et, pts in data.items():
+        means = []
+        for rep in range(_BOOT_B):
+            swc = sw = 0
+            for eid, cents in pts:
+                w = weight(eid, rep)
+                swc += w * cents
+                sw += w
+            means.append((1_000_000 * swc) // sw)
+        means.sort()
+        point = (1_000_000 * sum(c for _, c in pts)) // len(pts)
+        r = rows[et]
+        assert (r.n, r.point_micro, r.boot_lo_micro, r.boot_hi_micro) == (
+            len(pts), point, means[0], means[_BOOT_B - 2]
+        ), (et, r)
+        assert r.boot_lo_micro <= r.point_micro <= r.boot_hi_micro, r
