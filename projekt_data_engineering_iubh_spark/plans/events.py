@@ -1405,15 +1405,24 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(col).alias(f"med_{col}"))
         )
 
-    med = lower_median(v, "cents").withColumnRenamed(
-        "med_cents", "median_cents"
+    # the two median tables are |types| rows; materializing them keeps
+    # the deviation/final branches from replaying the rank-window pass
+    # over all value rows once per reference
+    med = (
+        lower_median(v, "cents")
+        .withColumnRenamed("med_cents", "median_cents")
+        .localCheckpoint(eager=True)
     )
     d = v.join(F.broadcast(med), "event_type").select(
         "event_type",
         "event_id",
         F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
     )
-    mad = lower_median(d, "dev").withColumnRenamed("med_dev", "mad_cents")
+    mad = (
+        lower_median(d, "dev")
+        .withColumnRenamed("med_dev", "mad_cents")
+        .localCheckpoint(eager=True)
+    )
     return (
         d.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
@@ -1488,7 +1497,11 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     month +- 1 prefilter."""
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    days = ud.select(F.col("d").alias("day")).distinct()
+    # day spine straight from events, NOT from ud: deriving it from ud
+    # replays the big (user, day) distinct shuffle for a ~days-row
+    # result, while a day-only distinct partial-aggregates map-side and
+    # ships only the day domain
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
     j = ud.join(
         F.broadcast(days),
         (F.col("d") <= F.col("day"))
@@ -1632,12 +1645,12 @@ tr AS (
 pc AS (
   SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
   FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2
-),
-tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS n_cur FROM pc GROUP BY 1)
-SELECT pc.cur, pc.nxt, pc.n, tot.n_cur,
-       CAST((CAST(1000000 AS BIGINT) * pc.n) // tot.n_cur AS BIGINT)
-         AS p_micro
-FROM pc JOIN tot ON tot.cur = pc.cur
+)
+SELECT cur, nxt, n,
+       CAST(SUM(n) OVER (PARTITION BY cur) AS BIGINT) AS n_cur,
+       CAST((CAST(1000000 AS BIGINT) * n)
+            // SUM(n) OVER (PARTITION BY cur) AS BIGINT) AS p_micro
+FROM pc
 """
 
 
@@ -1672,14 +1685,19 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = tr.groupBy("cur", "nxt").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    tot = pc.groupBy("cur").agg(F.sum("n").cast("long").alias("n_cur"))
-    return pc.join(F.broadcast(tot), "cur").select(
+    # totals as a window over the types^2-row count table: a second
+    # groupBy + join would REPLAY the sessionize/lead window pass over
+    # raw events for the totals branch (measured 2 scans / 4 windows ->
+    # 1 / 3)
+    wcur = Window.partitionBy("cur")
+    return pc.select(
         "cur",
         "nxt",
         "n",
-        "n_cur",
+        F.sum("n").over(wcur).cast("long").alias("n_cur"),
         F.expr(
-            "CAST((CAST(1000000 AS BIGINT) * n) DIV n_cur AS BIGINT)"
+            "CAST((CAST(1000000 AS BIGINT) * n)"
+            " DIV (SUM(n) OVER (PARTITION BY cur)) AS BIGINT)"
         ).alias("p_micro"),
     )
 

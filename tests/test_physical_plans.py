@@ -431,3 +431,38 @@ def test_top_paths_and_user_features_plan_shape(spark):
     assert plan.count("Scan parquet") <= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_new_event_analytics_plan_shapes(spark):
+    """Plan pins for the fourth-session analytics family. Budgets from
+    measured shapes; the structural claims are the load-bearing ones:
+    no cartesian anywhere, the WAU range join's only nested-loop is the
+    bounded day-spine broadcast, Markov computes totals as a window
+    over the count table (one scan — a groupBy+join replayed the raw
+    window pass), and the bootstrap's rows x B fan-out partial-
+    aggregates before its exchange."""
+    import re
+
+    budgets = {
+        # name: (max shuffles, max parquet scans)
+        "events_rolling_wau": (4, 2),
+        "events_cusum_shift": (2, 1),
+        "events_markov_transitions": (3, 1),
+        "events_bootstrap_ci": (3, 2),
+        "events_anomaly_mad": (2, 1),
+    }
+    for name, (max_sh, max_scan) in budgets.items():
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        sh = len(
+            re.findall(
+                r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+                plan,
+            )
+        )
+        assert sh <= max_sh, (name, sh, plan)
+        assert plan.count("Scan parquet") <= max_scan, (name, plan)
+        if name == "events_bootstrap_ci":
+            assert "partial_sum" in plan, plan
+        if name != "events_rolling_wau":
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
