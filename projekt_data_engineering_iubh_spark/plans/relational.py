@@ -1817,3 +1817,83 @@ def lineitem_zorder_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("yb") - F.min("yb") + 1).cast("long").alias("supp_span"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance test (registry query #135)
+# ---------------------------------------------------------------------------
+
+# P(first digit = d) = log10(1 + 1/d), quantized to exact per-mille
+# literals (they sum to exactly 1000); computed once in Python so both
+# engines compare against identical integers.
+_BENFORD_MILLI = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58,
+                  8: 51, 9: 46}
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_MILLI.items())
+    + " END"
+)
+
+_BENFORD_SQL = f"""
+WITH d AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+),
+c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+  FROM d GROUP BY 1
+)
+SELECT digit, n_d, n,
+       CAST({_BENFORD_CASE} AS BIGINT) AS expected_milli,
+       CAST(1000 * n_d - n * ({_BENFORD_CASE}) AS BIGINT) AS diff_milli,
+       CAST(((1000 * n_d - n * ({_BENFORD_CASE}))
+             * (1000 * n_d - n * ({_BENFORD_CASE})))
+            // (n * ({_BENFORD_CASE})) AS BIGINT) AS chi2_contrib_milli
+FROM c
+"""
+
+
+@register("orders_benford", oracle=_BENFORD_SQL, driver=False)
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance over order totals — the
+    forensic data-quality test for fabricated or truncated monetary
+    data (naturally-grown amounts follow P(d) = log10(1 + 1/d); uniform
+    synthetic generators, like this fixture's, do NOT — the test's
+    per-digit chi-square contributions make that legible). Expected
+    probabilities are exact per-mille integer literals summing to 1000,
+    so the deviation diff_d = 1000*n_d - n*p_milli(d) and its
+    chi-square-style contribution diff^2 DIV (n * p_milli) are pure
+    bigint on both engines (magnitude budget: |diff| <= 1000n, so
+    diff^2 <= 1e6 n^2 — safe to ~3e6 rows per digit cell; normalize
+    the scale up at larger corpora).
+
+    Scale shape: a map-side digit projection and one 9-group aggregate;
+    the corpus total comes from an unpartitioned window over the 9-row
+    aggregate, not a second scan."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    w = Window.partitionBy()
+    c = c.withColumn("n", F.sum("n_d").over(w).cast("long"))
+    return c.select(
+        "digit",
+        "n_d",
+        "n",
+        F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("expected_milli"),
+        F.expr(
+            f"CAST(1000 * n_d - n * ({_BENFORD_CASE}) AS BIGINT)"
+        ).alias("diff_milli"),
+        F.expr(
+            f"CAST(((1000 * n_d - n * ({_BENFORD_CASE}))"
+            f" * (1000 * n_d - n * ({_BENFORD_CASE})))"
+            f" DIV (n * ({_BENFORD_CASE})) AS BIGINT)"
+        ).alias("chi2_contrib_milli"),
+    )

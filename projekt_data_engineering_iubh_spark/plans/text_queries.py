@@ -2131,3 +2131,68 @@ def docs_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index export (registry query #134)
+# ---------------------------------------------------------------------------
+
+_IDX_POSTINGS_CAP = 20
+
+_INVERTED_INDEX_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, u.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM t, unnest(toks) AS u(term)
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT term, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       list(doc_id ORDER BY doc_id)
+         FILTER (WHERE rn <= {_IDX_POSTINGS_CAP}) AS postings
+FROM r
+GROUP BY 1
+"""
+
+
+@register("docs_inverted_index", oracle=_INVERTED_INDEX_SQL, driver=False)
+def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the SERVING export the BM25 scorer
+    (docs_bm25_topk) queries online: per term, document frequency,
+    collection frequency, and the posting list (first 20 doc_ids,
+    ascending). The cap is applied BEFORE the collect: a bare
+    collect_list per term would hold a stopword's entire corpus-wide
+    posting in one aggregation buffer (df can be the corpus size), so
+    docs are ranked inside the term partition first and only rn <= cap
+    rows contribute to the array — bounded state per group at any
+    corpus size, while df/cf still aggregate over everything.
+
+    Determinism: postings are array_sort-ed (collect_list order is
+    shuffle-order); the rank's (term; doc_id) window gives the same
+    bounded prefix on any partitioning."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    r = tf.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rn") <= _IDX_POSTINGS_CAP, F.col("doc_id"))
+            )
+        ).alias("postings"),
+    )

@@ -546,3 +546,60 @@ def test_bootstrap_ci_matches_python_and_brackets_point(spark, duck):
             len(pts), point, means[0], means[_BOOT_B - 2]
         ), (et, r)
         assert r.boot_lo_micro <= r.point_micro <= r.boot_hi_micro, r
+
+
+def test_inverted_index_matches_python_tokenizer(spark, duck):
+    """Rebuild the whole index in Python from raw text (re.split on the
+    same token pattern) and check every term's df, cf, and capped
+    posting list — independent of both engines' split/window/collect
+    machinery."""
+    import re
+
+    rows = {r.term: r for r in _Q["docs_inverted_index"].fn(spark, SF).collect()}
+    tf: dict[str, dict[int, int]] = {}
+    for doc_id, text in duck.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall():
+        for term in re.split(r"[^a-z0-9]+", text.lower()):
+            if term:
+                tf.setdefault(term, {}).setdefault(doc_id, 0)
+                tf[term][doc_id] += 1
+    assert set(rows) == set(tf)
+    for term, per_doc in tf.items():
+        r = rows[term]
+        docs = sorted(per_doc)
+        assert (r.df, r.cf, list(r.postings)) == (
+            len(docs), sum(per_doc.values()), docs[:20]
+        ), (term, r)
+
+
+def test_benford_matches_python_digits(spark, duck):
+    """Recompute the digit histogram and chi-square contributions in
+    Python; per-mille expectations must sum to exactly 1000 and counts
+    to the table size."""
+    import math
+
+    from projekt_data_engineering_iubh_spark.plans.relational import (
+        _BENFORD_MILLI,
+    )
+
+    assert sum(_BENFORD_MILLI.values()) == 1000
+    rows = {r.digit: r for r in _Q["orders_benford"].fn(spark, SF).collect()}
+    counts: dict[int, int] = {}
+    vals = duck.execute(
+        f"SELECT o_totalprice FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    for (v,) in vals:
+        d = int(str(math.floor(v))[0])
+        counts[d] = counts.get(d, 0) + 1
+    n = len(vals)
+    assert set(rows) == set(counts)
+    assert sum(r.n_d for r in rows.values()) == n
+    for d, n_d in counts.items():
+        p = _BENFORD_MILLI[d]
+        diff = 1000 * n_d - n * p
+        r = rows[d]
+        assert (r.n_d, r.n, r.expected_milli, r.diff_milli,
+                r.chi2_contrib_milli) == (
+            n_d, n, p, diff, (diff * diff) // (n * p)
+        ), (d, r)

@@ -109,6 +109,8 @@ LOCAL_ONLY_FAMILY = {
     "emb_top_pc_power",
     # round 7: PC-projection outlier screen (#129)
     "emb_pc_outliers",
+    # round 7: inverted-index export with bounded postings (#134)
+    "docs_inverted_index",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
