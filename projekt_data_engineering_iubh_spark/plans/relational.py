@@ -1897,3 +1897,80 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV (n * ({_BENFORD_CASE})) AS BIGINT)"
         ).alias("chi2_contrib_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (registry query #136)
+# ---------------------------------------------------------------------------
+
+# (child table, fk column, parent table, pk column) — the fixture's full
+# foreign-key graph; reference analog: init_db.sql's implicit FK contract
+# between machine_data and daily_summary.
+_RI_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_RI_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{child}.{fk} -> {parent}.{pk}' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_fk,
+       CAST(SUM(CASE WHEN {fk} IS NOT NULL AND pk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM (SELECT c.{fk}, p.{pk} AS pk
+      FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk})"""
+    for child, fk, parent, pk in _RI_EDGES
+)
+
+
+@register("referential_integrity_audit", oracle=_RI_SQL, driver=False)
+def referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Whole-schema referential-integrity audit: for every foreign-key
+    edge in the fixture's TPC-H graph, the row count, NULL-FK count,
+    and orphan count (non-null FK with no parent) — the cross-TABLE
+    data-quality layer above orders_expectations' single-table rules,
+    and the check a 100 TB ingest runs before trusting joins (an orphan
+    rate > 0 silently deflates every inner join downstream).
+
+    Scale shape: each edge is one left join probing the parent — the
+    fixed-cardinality parents (nation, region) broadcast; the big ones
+    (orders, part, supplier as parents) shuffle on the key exactly like
+    the production joins this audit protects. Counting NULL-vs-orphan
+    separately matters: a NULL FK is a modeling choice, an orphan is
+    corruption — conflating them (a bare anti-join count) hides the
+    distinction."""
+    out: DataFrame | None = None
+    for child, fk, parent, pk in _RI_EDGES:
+        c = load_table(spark, sf_dir, child).select(fk)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk")
+        )
+        j = c.join(p, F.col(fk) == F.col("__pk"), "left").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+            F.sum(
+                F.when(
+                    F.col(fk).isNotNull() & F.col("__pk").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
+            F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("relationship"),
+            "n_rows",
+            "n_null_fk",
+            "n_orphans",
+        )
+        out = j if out is None else out.unionByName(j)
+    assert out is not None
+    return out

@@ -603,3 +603,46 @@ def test_benford_matches_python_digits(spark, duck):
                 r.chi2_contrib_milli) == (
             n_d, n, p, diff, (diff * diff) // (n * p)
         ), (d, r)
+
+
+def test_ri_audit_detects_injected_corruption(spark, tmp_path):
+    """The fixture is referentially clean (all-zero audit) — so corrupt
+    a copy: orphan 7 orders (custkey -> 10^9) and NULL 5 more; the
+    audit must report exactly those counts on exactly that edge and
+    stay clean elsewhere."""
+    import shutil
+
+    src = SF
+    for t in ("orders", "customer", "lineitem", "part", "supplier",
+              "nation", "region", "events", "documents", "embeddings"):
+        p = f"{src}/{t}.parquet"
+        shutil.copy(p, tmp_path / f"{t}.parquet")
+    import duckdb as ddb
+
+    con = ddb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN o_orderkey % 97 < 7 THEN 1000000000
+                 WHEN o_orderkey % 97 >= 92 THEN NULL
+                 ELSE o_custkey END AS o_custkey)
+          FROM '{src}/orders.parquet'
+        ) TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    want_orphans, want_nulls = con.execute(
+        f"""SELECT SUM(CASE WHEN o_orderkey % 97 < 7 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN o_orderkey % 97 >= 92 THEN 1 ELSE 0 END)
+            FROM '{src}/orders.parquet'"""
+    ).fetchone()
+    rows = {
+        r.relationship: r
+        for r in _Q["referential_integrity_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    bad = rows["orders.o_custkey -> customer.c_custkey"]
+    assert (bad.n_orphans, bad.n_null_fk) == (want_orphans, want_nulls)
+    assert want_orphans > 0 and want_nulls > 0
+    for rel, r in rows.items():
+        if rel != "orders.o_custkey -> customer.c_custkey":
+            assert r.n_orphans == 0 and r.n_null_fk == 0, r
