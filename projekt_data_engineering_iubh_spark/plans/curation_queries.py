@@ -2282,3 +2282,109 @@ def docs_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame-sampling arithmetic (registry query #137)
+# ---------------------------------------------------------------------------
+
+_FS_EVERY_MS = 1000
+_FS_GOP = 48  # keyframe cadence in frames
+
+# synthesized per-asset video metadata, same md5-byte scheme as
+# docs_media_dims (#109): duration from digest bytes 3-4, fps 24/30 from
+# byte 5's parity
+_FS_DUR_SQL = "CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 30000"
+_FS_FPS_SQL = (
+    "CASE WHEN CAST(concat('0x', substr(md5(text), 9, 2)) AS BIGINT) % 2 = 0"
+    " THEN 24 ELSE 30 END"
+)
+
+_FRAMESAMPLE_SQL = f"""
+WITH meta AS (
+  SELECT doc_id,
+         CAST({_FS_DUR_SQL} AS BIGINT) AS duration_ms,
+         CAST({_FS_FPS_SQL} AS BIGINT) AS fps,
+         CAST({_MD_W_SQL} AS BIGINT) AS width,
+         CAST({_MD_H_SQL} AS BIGINT) AS height
+  FROM documents
+)
+SELECT doc_id AS asset_id, u.frame_ts_ms, fps,
+       (u.frame_ts_ms * fps) // 1000 AS frame_idx,
+       ((u.frame_ts_ms * fps) // 1000) % {_FS_GOP} = 0 AS is_keyframe,
+       ((u.frame_ts_ms * fps) // 1000) * width * height * 3
+         AS byte_offset
+FROM meta, unnest(range(0, duration_ms + 1, {_FS_EVERY_MS}))
+  AS u(frame_ts_ms)
+"""
+
+
+@register("docs_media_framesample", oracle=_FRAMESAMPLE_SQL, driver=False)
+def docs_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing, oracle-checked end to end (#137;
+    third oracle row of the multimodal family): synthesizes per-asset
+    video metadata (duration, fps, dims) from the same md5-byte scheme
+    as docs_media_dims, then drives the REAL operator —
+    multimodal/binary_ops.py::sample_frames, the metadata-only explode
+    that fans a video row into (asset_id, frame_ts_ms) sample points —
+    and attaches what the downstream decode mapInPandas needs per
+    sample: the frame index at the asset's fps (integer-exact
+    (ts * fps) DIV 1000), the GOP-48 keyframe flag (seek targets), and
+    the byte offset in a fixed-stride RGB888 container (frame_idx *
+    width * height * 3 — Arrow batch slicing).
+
+    The oracle pins the operator's boundary semantics cross-engine:
+    Spark's sequence(0, dur, step) is stop-INCLUSIVE, DuckDB's range is
+    stop-exclusive — range(0, dur + 1, step) generates the identical
+    sample set (a real trap: a bare range(0, dur, step) silently drops
+    the final sample of every asset whose duration is a step multiple).
+
+    Scale shape: metadata-only — the payload column never reaches the
+    scan (sample_frames prunes it); one explode plus an asset-keyed
+    join to re-attach the columns the operator deliberately pruned
+    (broadcast at test scale; co-partitioned on asset_id beyond it)."""
+    from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
+        sample_frames,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    hexd = F.md5(F.col("text"))
+    dur = (
+        F.conv(F.substring(hexd, 5, 4), 16, 10).cast("long") % 30000
+    ).alias("duration_ms")
+    fps = (
+        F.when(
+            F.conv(F.substring(hexd, 9, 2), 16, 10).cast("long") % 2 == 0,
+            F.lit(24),
+        )
+        .otherwise(F.lit(30))
+        .cast("long")
+        .alias("fps")
+    )
+    b0 = F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long")
+    b1 = F.conv(F.substring(hexd, 3, 2), 16, 10).cast("long")
+    meta = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.struct(dur).alias("meta"),
+        fps,
+        (F.lit(64) + b0 % 192).alias("width"),
+        (F.lit(64) + b1 % 192).alias("height"),
+    )
+    frames = sample_frames(meta, every_ms=_FS_EVERY_MS)
+    # sample_frames projects (asset_id, frame_ts_ms); re-attach the
+    # per-asset columns it deliberately pruned
+    out = frames.join(
+        meta.select("asset_id", "fps", "width", "height"), "asset_id"
+    )
+    idx = F.expr("(frame_ts_ms * fps) DIV 1000")
+    return out.select(
+        "asset_id",
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        "fps",
+        idx.cast("long").alias("frame_idx"),
+        (idx % _FS_GOP == 0).alias("is_keyframe"),
+        (idx * F.col("width") * F.col("height") * 3)
+        .cast("long")
+        .alias("byte_offset"),
+    )

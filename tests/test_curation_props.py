@@ -646,3 +646,32 @@ def test_ri_audit_detects_injected_corruption(spark, tmp_path):
     for rel, r in rows.items():
         if rel != "orders.o_custkey -> customer.c_custkey":
             assert r.n_orphans == 0 and r.n_null_fk == 0, r
+
+
+def test_framesample_tiles_durations_exactly(spark, duck):
+    """Every asset emits exactly floor(duration/step) + 1 samples
+    (stop-INCLUSIVE — the boundary the oracle's range(0, dur+1, step)
+    mirrors), frame indices are the exact integer (ts * fps) DIV 1000,
+    and keyframes recur every 48 frames."""
+    import hashlib
+
+    rows = _Q["docs_media_framesample"].fn(spark, SF).collect()
+    per_asset: dict[int, list] = {}
+    for r in rows:
+        per_asset.setdefault(r.asset_id, []).append(r)
+    texts = dict(duck.execute("SELECT doc_id, text FROM documents").fetchall())
+    assert set(per_asset) == set(texts)
+    for doc_id, text in texts.items():
+        hx = hashlib.md5(text.encode()).hexdigest()
+        dur = int(hx[4:8], 16) % 30000
+        fps = 24 if int(hx[8:10], 16) % 2 == 0 else 30
+        w = 64 + int(hx[0:2], 16) % 192
+        h = 64 + int(hx[2:4], 16) % 192
+        got = sorted(per_asset[doc_id], key=lambda r: r.frame_ts_ms)
+        assert len(got) == dur // 1000 + 1, (doc_id, dur, len(got))
+        assert got[-1].frame_ts_ms == (dur // 1000) * 1000
+        for r in got:
+            idx = (r.frame_ts_ms * fps) // 1000
+            assert (r.fps, r.frame_idx, r.is_keyframe, r.byte_offset) == (
+                fps, idx, idx % 48 == 0, idx * w * h * 3
+            ), (doc_id, r)

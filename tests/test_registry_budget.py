@@ -111,6 +111,9 @@ LOCAL_ONLY_FAMILY = {
     "emb_pc_outliers",
     # round 7: inverted-index export with bounded postings (#134)
     "docs_inverted_index",
+    # round 7: multimodal frame-sampling arithmetic, drives the real
+    # sample_frames operator (#137)
+    "docs_media_framesample",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
