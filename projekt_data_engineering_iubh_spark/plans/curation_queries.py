@@ -2388,3 +2388,112 @@ def docs_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("byte_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL-merged rolling actives (registry query #138) — an events-table
+# query living here beside the HLL fragments (#114/#118) it composes
+# ---------------------------------------------------------------------------
+
+_HLL_WAU_WINDOW = 7
+
+_HLL_UHASH_SQL = hashing.md5_hash60_sql("CAST(user_id AS VARCHAR)")
+
+_HLL_WAU_SQL = f"""
+WITH b AS (
+  SELECT CAST(ts AS DATE) AS d,
+         {_HLL_UHASH_SQL} & {_HLL_M - 1} AS bucket,
+         {_HLL_UHASH_SQL} >> {_HLL_P} AS w
+  FROM events
+),
+rg AS (
+  SELECT d, bucket, MAX({_HLL_RANK_SQL}) AS r
+  FROM b GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+mg AS (
+  SELECT days.day, rg.bucket, MAX(rg.r) AS r
+  FROM rg JOIN days
+    ON rg.d <= days.day AND rg.d >= days.day - {_HLL_WAU_WINDOW - 1}
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT day,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) AS s_present,
+         CAST(COUNT(*) AS BIGINT) AS npresent
+  FROM mg GROUP BY 1
+),
+est AS (
+  SELECT day,
+         s_present + ({_HLL_M} - npresent) * (CAST(1 AS BIGINT) << 53)
+             AS s_sum,
+         {_HLL_M} - npresent AS v_zero
+  FROM agg
+)
+SELECT day, v_zero, s_sum,
+       {_hll_est_sql('s_sum', 'v_zero')} AS hll_wau_micro
+FROM est
+"""
+
+
+@register("events_rolling_wau_hll", oracle=_HLL_WAU_SQL, driver=False)
+def events_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for rolling actives: trailing-7-day WAU per day
+    from MERGED per-day HyperLogLog register tables — the composition
+    the mergeable-sketch trio exists for. events_rolling_wau (#130) is
+    exact but ships every (user, day) row into a 7x range-join
+    expansion; this variant reduces each day to <= 256 (bucket, max
+    rank) registers FIRST, merges trailing windows by per-bucket MAX
+    (the any-tree-shape rollup property #118 proves), and pays the
+    range join only on registers — per-day shuffle traffic is constant
+    in corpus size, the textbook sliding-distinct design at 100 TB.
+
+    Same engine-portable sketch as #114: 60-bit md5 of the user id,
+    p=8 buckets, harmonic denominator as the EXACT bigint sum of
+    2^(53-rank) (no unordered FP accumulation — merge order cannot
+    matter), one double division + the linear-counting branch folded
+    from identical literals on both engines.
+
+    Accuracy contract: ~1.04/sqrt(256) = 6.5% standard error — the
+    property test pins every day's estimate against the exact #130
+    WAU inside 4 sigma."""
+    ev = load_table(spark, sf_dir, "events")
+    uh = hashing.md5_hash60(F.col("user_id").cast("string"))
+    b = ev.select(
+        F.to_date("ts").alias("d"),
+        (uh.bitwiseAND(F.lit(_HLL_M - 1))).alias("bucket"),
+        F.shiftright(uh, _HLL_P).alias("w"),
+    )
+    rank = F.expr(_HLL_RANK_SQL)
+    rg = b.groupBy("d", "bucket").agg(F.max(rank).alias("r"))
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    mg = (
+        rg.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.date_sub("day", _HLL_WAU_WINDOW - 1)),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    agg = mg.groupBy("day").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - r)"))
+        .cast("long")
+        .alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("npresent"),
+    )
+    est = agg.select(
+        "day",
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("npresent"))
+            * F.lit(1 << 53).cast("long")
+        ).alias("s_sum"),
+        (F.lit(_HLL_M) - F.col("npresent")).cast("long").alias("v_zero"),
+    )
+    return est.select(
+        "day",
+        "v_zero",
+        "s_sum",
+        _hll_est(F.col("s_sum"), F.col("v_zero")).alias("hll_wau_micro"),
+    )

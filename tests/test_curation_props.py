@@ -675,3 +675,16 @@ def test_framesample_tiles_durations_exactly(spark, duck):
             assert (r.fps, r.frame_idx, r.is_keyframe, r.byte_offset) == (
                 fps, idx, idx % 48 == 0, idx * w * h * 3
             ), (doc_id, r)
+
+
+def test_hll_wau_tracks_exact_within_bound(spark):
+    """The sketch's accuracy contract vs the exact rolling WAU (#130):
+    every day's merged-HLL estimate within 4 sigma of the m=256
+    standard error (1.04/sqrt(m) ~ 6.5%)."""
+    exact = {r.day: r.wau for r in _Q["events_rolling_wau"].fn(spark, SF).collect()}
+    est = {r.day: r.hll_wau_micro / 1e6
+           for r in _Q["events_rolling_wau_hll"].fn(spark, SF).collect()}
+    assert set(exact) == set(est)
+    for day, wau in exact.items():
+        rel = abs(est[day] - wau) / wau
+        assert rel < 4 * 1.04 / 16, (day, wau, est[day], rel)
