@@ -1867,3 +1867,210 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boot_hi_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch linear attribution (registry query #139)
+# ---------------------------------------------------------------------------
+
+_ATTR_TOUCH_TYPES = ("view", "click")
+
+_LINEAR_ATTR_SQL = f"""
+WITH sess AS ({_SESSIONIZE_SQL}),
+s2 AS (SELECT event_id, user_id, ts, event_type, session_seq
+       FROM sess WHERE session_seq > 0),
+p AS (
+  SELECT s2.*, CAST(FLOOR(e.value * 100) AS BIGINT) AS cents
+  FROM s2 JOIN events e USING (event_id)
+  WHERE s2.event_type = 'purchase' AND e.value IS NOT NULL
+),
+t AS (
+  SELECT * FROM s2
+  WHERE event_type IN {_ATTR_TOUCH_TYPES!r}
+),
+pairs AS (
+  SELECT p.event_id AS purchase_id, p.cents,
+         t.event_id AS touch_id, t.event_type AS touch_type,
+         CAST(COUNT(*) OVER (PARTITION BY p.event_id) AS BIGINT)
+           AS n_touches
+  FROM p JOIN t
+    ON t.user_id = p.user_id AND t.session_seq = p.session_seq
+   AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_credits,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases_touched,
+       CAST(SUM((CAST(1000000 AS BIGINT) * cents) // n_touches)
+            AS BIGINT) AS attributed_micro_cents
+FROM pairs
+GROUP BY 1
+"""
+
+
+@register("events_linear_attribution", oracle=_LINEAR_ATTR_SQL, driver=False)
+def events_linear_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: every purchase's value is split
+    equally across the view/click touches that preceded it INSIDE its
+    marker session, and credit rolls up per touch type — the
+    position-independent complement of events_attribution_join's
+    last-touch time-window model. Shares are exact integer
+    micro-cents ((1e6 * cents) DIV n_touches per touch), so the
+    conservation law is checkable: a purchase's credited total differs
+    from 1e6*cents by strictly less than its touch count (floor
+    remainder) — the property test pins exactly that.
+
+    Precedence is the session total order (ts, event_id) — strict, so
+    a touch at the purchase's own timestamp with a later id gets no
+    credit, deterministically.
+
+    Scale shape: the purchase-touch join is an equi-join on (user,
+    session) with pair cardinality bounded by session size squared
+    (marker sessions are small by construction); n_touches is a window
+    over the pairs, same partitioning as the join output. No
+    corpus-sized window anywhere."""
+    sess = _sessionized(spark, sf_dir).filter(F.col("session_seq") > 0)
+    p = (
+        sess.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "session_seq",
+            F.col("ts").alias("p_ts"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    t = sess.filter(F.col("event_type").isin(*_ATTR_TOUCH_TYPES)).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        "session_seq",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = p.join(t, ["user_id", "session_seq"]).filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        | (
+            (F.col("t_ts") == F.col("p_ts"))
+            & (F.col("touch_id") < F.col("purchase_id"))
+        )
+    )
+    w = Window.partitionBy("purchase_id")
+    pairs = pairs.withColumn(
+        "n_touches", F.count(F.lit(1)).over(w).cast("long")
+    )
+    return pairs.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.countDistinct("purchase_id")
+        .cast("long")
+        .alias("n_purchases_touched"),
+        F.sum(
+            F.expr("(CAST(1000000 AS BIGINT) * cents) DIV n_touches")
+        )
+        .cast("long")
+        .alias("attributed_micro_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast baseline evaluation (registry query #140)
+# ---------------------------------------------------------------------------
+
+_SN_LAG = 7
+
+_SEASONAL_NAIVE_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+l AS (
+  SELECT event_type, day, c,
+         LAG(c, {_SN_LAG}) OVER (PARTITION BY event_type ORDER BY day)
+           AS f7,
+         LAG(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1
+  FROM daily
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(f7) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN f7 IS NOT NULL THEN ABS(c - f7) END) AS BIGINT)
+         AS sum_abs_err7,
+       CAST(SUM(CASE WHEN f1 IS NOT NULL THEN ABS(c - f1) END) AS BIGINT)
+         AS sum_abs_err1,
+       CAST((CAST(1000 AS BIGINT)
+             * SUM(CASE WHEN f7 IS NOT NULL THEN ABS(c - f7) END))
+            // COUNT(f7) AS BIGINT) AS mae7_milli,
+       CAST((CAST(1000 AS BIGINT)
+             * SUM(CASE WHEN f7 IS NOT NULL THEN ABS(c - f7) END)
+             * (COUNT(*) - 1))
+            // (COUNT(f7)
+                * SUM(CASE WHEN f1 IS NOT NULL THEN ABS(c - f1) END))
+            AS BIGINT) AS mase_milli
+FROM l
+GROUP BY 1
+"""
+
+
+@register(
+    "events_seasonal_naive_eval", oracle=_SEASONAL_NAIVE_SQL, driver=False
+)
+def events_seasonal_naive_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast-baseline evaluation over each type's daily count series:
+    the seasonal-naive predictor (value 7 observed days earlier) scored
+    by MAE and by MASE — MAE scaled by the naive-1 in-sample MAE, the
+    standard scale-free skill score (Hyndman & Koehler 2006; MASE < 1000
+    milli means weekly seasonality beats plain persistence). Every
+    statistic is exact bigint: integer counts, integer absolute errors,
+    and milli-unit ratios via DIV — the evaluation harness any forecast
+    model plugged into this pipeline would be graded by, with no FP
+    accumulation to diverge cross-engine. Lags are over the OBSERVED
+    day series per type (calendar gaps compress), the standard
+    contiguous-series convention.
+
+    Scale shape: same as the CUSUM detector — one (type, day) groupBy
+    over raw events, then lag windows and aggregates over the tiny
+    types-x-days series."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ld = daily.select(
+        "event_type",
+        "c",
+        F.lag("c", _SN_LAG).over(w).alias("f7"),
+        F.lag("c", 1).over(w).alias("f1"),
+    )
+    e7 = F.when(F.col("f7").isNotNull(), F.abs(F.col("c") - F.col("f7")))
+    e1 = F.when(F.col("f1").isNotNull(), F.abs(F.col("c") - F.col("f1")))
+    return (
+        ld.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.count("f7").cast("long").alias("n_eval"),
+            F.sum(e7).cast("long").alias("sum_abs_err7"),
+            F.sum(e1).cast("long").alias("sum_abs_err1"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "n_eval",
+            "sum_abs_err7",
+            "sum_abs_err1",
+            F.expr(
+                "CAST((CAST(1000 AS BIGINT) * sum_abs_err7) DIV n_eval"
+                " AS BIGINT)"
+            ).alias("mae7_milli"),
+            F.expr(
+                "CAST((CAST(1000 AS BIGINT) * sum_abs_err7 * (n_days - 1))"
+                " DIV (n_eval * sum_abs_err1) AS BIGINT)"
+            ).alias("mase_milli"),
+        )
+    )

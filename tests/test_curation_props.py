@@ -688,3 +688,73 @@ def test_hll_wau_tracks_exact_within_bound(spark):
     for day, wau in exact.items():
         rel = abs(est[day] - wau) / wau
         assert rel < 4 * 1.04 / 16, (day, wau, est[day], rel)
+
+
+def test_linear_attribution_conserves_value(spark, duck):
+    """Recompute the attribution in Python from raw events and pin
+    conservation: per purchase, the credited micro-total differs from
+    1e6 * cents by strictly less than its touch count (floor
+    remainder); per-type rollups match exactly."""
+    import math
+
+    rows = {r.touch_type: r
+            for r in _Q["events_linear_attribution"].fn(spark, SF).collect()}
+    evs = duck.execute(
+        "SELECT user_id, ts, event_id, event_type, value FROM events"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    seq: dict[int, int] = {}
+    touches: dict[tuple[int, int], list[tuple[int, str]]] = {}
+    per_type = {t: [0, set(), 0] for t in ("view", "click")}
+    for uid, _ts, eid, et, val in evs:
+        if et == "signup":
+            seq[uid] = seq.get(uid, 0) + 1
+            continue
+        k = (uid, seq.get(uid, 0))
+        if k[1] == 0:
+            continue
+        if et in ("view", "click"):
+            touches.setdefault(k, []).append((eid, et))
+        elif et == "purchase" and val is not None:
+            ts_touches = touches.get(k, [])
+            n = len(ts_touches)
+            if n == 0:
+                continue
+            cents = math.floor(val * 100)
+            share = (1_000_000 * cents) // n
+            credited = 0
+            for _tid, tt in ts_touches:
+                per_type[tt][0] += 1
+                per_type[tt][1].add(eid)
+                per_type[tt][2] += share
+                credited += share
+            assert 0 <= 1_000_000 * cents - credited < n, (eid, n)
+    for tt, (n_credits, purchases, micro) in per_type.items():
+        r = rows[tt]
+        assert (r.n_credits, r.n_purchases_touched,
+                r.attributed_micro_cents) == (n_credits, len(purchases), micro), (tt, r)
+
+
+def test_seasonal_naive_matches_python_series(spark, duck):
+    """Recompute MAE/MASE per type from the raw daily series in Python
+    (observed-day lags, exact integer milli-ratios)."""
+    rows = {r.event_type: r
+            for r in _Q["events_seasonal_naive_eval"].fn(spark, SF).collect()}
+    daily: dict[str, list[int]] = {}
+    for et, _d, c in duck.execute(
+        "SELECT event_type, CAST(ts AS DATE), COUNT(*) FROM events"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall():
+        daily.setdefault(et, []).append(c)
+    assert set(rows) == set(daily)
+    for et, cs in daily.items():
+        n = len(cs)
+        e7 = [abs(cs[k] - cs[k - 7]) for k in range(7, n)]
+        e1 = [abs(cs[k] - cs[k - 1]) for k in range(1, n)]
+        r = rows[et]
+        assert (r.n_days, r.n_eval, r.sum_abs_err7, r.sum_abs_err1,
+                r.mae7_milli, r.mase_milli) == (
+            n, len(e7), sum(e7), sum(e1),
+            (1000 * sum(e7)) // len(e7),
+            (1000 * sum(e7) * (n - 1)) // (len(e7) * sum(e1)),
+        ), (et, r)
