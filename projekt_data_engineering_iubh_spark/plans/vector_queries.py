@@ -1979,3 +1979,310 @@ def emb_pc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with residual codebooks (registry query #141)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+
+
+def _ivfpq_sql() -> str:
+    """The full IVF-PQ oracle: coarse k-means CTE chain -> residuals ->
+    per-subspace k-means on residual slices -> encoded corpus ->
+    nprobe-2 probed cells per query -> per-(query, cell) residual ADC
+    -> top-k, with the exact fixed-point distance alongside."""
+    parts = []
+    # coarse quantizer (same geometry as the trained IVF)
+    src = (
+        f"SELECT vec_id, {km.quantize_sql('embedding')} AS qemb"
+        f" FROM embeddings"
+    )
+    cctes, ccent = km.kmeans_train_sql_ctes(
+        src, _KM_K, _KM_ITERS, EMB_DIM, "cv"
+    )
+    parts.append(cctes)
+    parts.append(f"casg AS ({km._assign_sql('cvqv', ccent, EMB_DIM)})")
+    # residuals (vec_id, cell, qemb, remb). MATERIALIZED: DuckDB inlines
+    # a plain CTE at every reference site, and res feeds the four
+    # subspace chains plus the candidate join — five re-executions of
+    # the coarse pipeline otherwise (the known trap; at sf1 it OOMs).
+    parts.append(
+        f"res AS MATERIALIZED (SELECT a.vec_id, a.cell, a.qemb,"
+        f" list_transform(range(1, {EMB_DIM} + 1),"
+        f" i -> a.qemb[i] - c.cq[i]) AS remb"
+        f" FROM casg a JOIN {ccent} c USING (cell))"
+    )
+    # per-subspace codebooks trained on residual slices + encoding
+    encs = []
+    for m in range(_PQ_M):
+        sub_src = (
+            f"SELECT vec_id, {_pq_sub_sql('remb', m)} AS qemb FROM res"
+        )
+        ctes, cent = km.kmeans_train_sql_ctes(
+            sub_src, _PQ_CODES, _PQT_ITERS, _PQ_SUBDIM, f"r{m}"
+        )
+        parts.append(ctes)
+        parts.append(
+            f"r{m}enc AS (SELECT a.vec_id, a.cell, c.cq FROM "
+            f"({km._assign_sql(f'r{m}qv', cent, _PQ_SUBDIM)}) a "
+            f"JOIN {cent} c USING (cell))"
+        )
+        encs.append(f"r{m}enc")
+    # queries: nprobe nearest coarse cells by exact centroid distance
+    cdist = (
+        f"list_reduce(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> (q.qemb[i] - c.cq[i]) * (q.qemb[i] - c.cq[i])), "
+        f"(x, y) -> x + y)"
+    )
+    parts.append(
+        f"qp AS (SELECT query_id, qq, cell AS pcell, cq AS pcq FROM ("
+        f"  SELECT q.vec_id AS query_id, q.qemb AS qq, c.cell, c.cq,"
+        f"         ROW_NUMBER() OVER (PARTITION BY q.vec_id"
+        f"             ORDER BY {cdist}, c.cell) AS prn"
+        f"  FROM cvqv q CROSS JOIN {ccent} c"
+        f"  WHERE q.vec_id < {_PQ_QUERIES}"
+        f") WHERE prn <= {_IVFPQ_NPROBE})"
+    )
+    # query residual against EACH probed cell's centroid
+    parts.append(
+        f"qr AS (SELECT query_id, qq, pcell,"
+        f" list_transform(range(1, {EMB_DIM} + 1),"
+        f" i -> qq[i] - pcq[i]) AS qres FROM qp)"
+    )
+    adc = " + ".join(
+        f"list_reduce(list_transform(range(1, {_PQ_SUBDIM} + 1), "
+        f"i -> (q.qres[{m * _PQ_SUBDIM} + i] - e{m}.cq[i])"
+        f" * (q.qres[{m * _PQ_SUBDIM} + i] - e{m}.cq[i])), (x, y) -> x + y)"
+        for m in range(_PQ_M)
+    )
+    exact = (
+        f"list_reduce(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> (q.qq[i] - x.qemb[i]) * (q.qq[i] - x.qemb[i])), "
+        f"(x, y) -> x + y)"
+    )
+    enc_joins = " ".join(
+        f"JOIN {e} e{m} ON e{m}.vec_id = x.vec_id"
+        for m, e in enumerate(encs)
+    )
+    parts.append(
+        f"cand AS (SELECT q.query_id, x.vec_id AS neighbor_id,"
+        f" x.cell AS cell,"
+        f" CAST({adc} AS DOUBLE) / {_PQT_SCALE2!r} AS adc_dist,"
+        f" CAST({exact} AS DOUBLE) / {_PQT_SCALE2!r} AS exact_dist"
+        f" FROM qr q JOIN res x"
+        f" ON x.cell = q.pcell AND x.vec_id != q.query_id {enc_joins})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+, r AS (
+  SELECT query_id, neighbor_id, cell, adc_dist, exact_dist,
+         abs(adc_dist - exact_dist) AS abs_err,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rn
+  FROM cand
+)
+SELECT query_id, neighbor_id, cell, adc_dist, exact_dist, abs_err, rn
+FROM r WHERE rn <= {_PQ_K}
+"""
+    )
+
+
+_IVFPQ_SQL = _ivfpq_sql()
+
+
+@register("emb_ivfpq_residual", oracle=_IVFPQ_SQL, driver=False)
+def emb_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL codebooks — the full FAISS-style composition
+    the family was missing: a trained coarse quantizer routes the
+    search (nprobe=2 cells per query), and product quantization encodes
+    the residual x - centroid(cell) rather than x itself, which is what
+    makes PQ codes sharp at scale (residuals are centered near zero, so
+    the same 4x16 codebook geometry spends its precision on the
+    within-cell structure instead of re-encoding cell location).
+
+    Everything stays exact fixed-point: coarse training, residuals,
+    per-subspace Lloyd rounds on residual slices, and ADC tables are
+    bigint end to end (residual magnitude <= 2^21 keeps every squared
+    term under 2^46); the only doubles are the final power-of-two
+    rescale — so the whole trained index hash-matches DuckDB.
+
+    Search shape: per query, the ADC table is computed per PROBED CELL
+    (the query's residual differs per cell — the part naive IVF+PQ
+    compositions get wrong); candidates join on the cell equi-key, so
+    each query scans nprobe cells' codes, never the corpus. Each
+    candidate lives in exactly one cell, so probes cannot duplicate.
+    At 100 TB: codes (4 bytes/vector) are the stored index, training
+    runs on a sample, and the cell equi-join is the same bucketed
+    shape as every other ANN path here.
+
+    Codebooks are k x dim driver literals (8x64 coarse + 4x16x16
+    residual — never data-sized)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = e.select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
+    coarse = (
+        km.kmeans_train(qv, _KM_K, _KM_ITERS, EMB_DIM)
+        .orderBy("cell")
+        .collect()
+    )
+    coarse_cells = [r.cell for r in coarse]
+    coarse_cqs = [list(r.cq) for r in coarse]
+    coarse_arr = F.array(
+        *[F.array(*[F.lit(v) for v in cq]) for cq in coarse_cqs]
+    )
+
+    def isq(a: F.Column, b: F.Column) -> F.Column:
+        sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    # coarse assignment against the collected literals (argmin; cell ids
+    # are the trainer's, which may be non-contiguous after empty cells)
+    cdists = F.array(
+        *[
+            isq(F.col("qemb"), F.array(*[F.lit(v) for v in cq]))
+            for cq in coarse_cqs
+        ]
+    )
+    cidx = F.array_position(cdists, F.array_min(cdists)).cast("int")
+    cell_lit = F.array(*[F.lit(c) for c in coarse_cells])
+    withcell = qv.select(
+        "vec_id",
+        "qemb",
+        F.element_at(cell_lit, cidx).alias("cell"),
+        F.element_at(coarse_arr, cidx).alias("cvec"),
+    )
+    res = withcell.select(
+        "vec_id",
+        "cell",
+        "qemb",
+        F.zip_with("qemb", "cvec", lambda x, c: x - c).alias("remb"),
+    ).localCheckpoint(eager=True)
+
+    # residual codebooks (k x dim literals per subspace)
+    books: list[list[list[int]]] = []
+    for m in range(_PQ_M):
+        subv = res.select(
+            "vec_id",
+            F.slice("remb", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("qemb"),
+        )
+        cents = (
+            km.kmeans_train(subv, _PQ_CODES, _PQT_ITERS, _PQ_SUBDIM)
+            .orderBy("cell")
+            .collect()
+        )
+        books.append([list(r.cq) for r in cents])
+
+    code_cols = []
+    for m, cqs in enumerate(books):
+        dists = F.array(
+            *[
+                isq(
+                    F.slice("remb", m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                    F.array(*[F.lit(v) for v in cq]),
+                )
+                for cq in cqs
+            ]
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"c{m}")
+        )
+    codes = res.select("vec_id", "cell", "qemb", *code_cols)
+
+    # queries: nprobe nearest coarse cells, then a per-(query, cell)
+    # residual ADC table against the same literal codebooks
+    qd = qv.filter(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qemb").alias("qq")
+    )
+    pdists = F.array(
+        *[
+            isq(F.col("qq"), F.array(*[F.lit(v) for v in cq]))
+            for cq in coarse_cqs
+        ]
+    )
+    probes = (
+        qd.select(
+            "query_id",
+            "qq",
+            F.posexplode(
+                F.slice(
+                    F.array_sort(
+                        F.zip_with(
+                            pdists,
+                            F.sequence(
+                                F.lit(0), F.lit(len(coarse_cells) - 1)
+                            ),
+                            lambda d, i: F.struct(
+                                d.alias("d"), i.alias("i")
+                            ),
+                        )
+                    ),
+                    1,
+                    _IVFPQ_NPROBE,
+                )
+            ).alias("prn", "probe"),
+        )
+        .select(
+            "query_id",
+            "qq",
+            F.element_at(cell_lit, F.col("probe.i") + 1).alias("pcell"),
+            F.zip_with(
+                "qq",
+                F.element_at(coarse_arr, F.col("probe.i") + 1),
+                lambda x, c: x - c,
+            ).alias("qres"),
+        )
+    )
+    table_cols = [
+        F.array(
+            *[
+                isq(
+                    F.slice("qres", m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                    F.array(*[F.lit(v) for v in cq]),
+                )
+                for cq in books[m]
+            ]
+        ).alias(f"t{m}")
+        for m in range(_PQ_M)
+    ]
+    qtables = probes.select("query_id", "qq", "pcell", *table_cols)
+
+    adc = sum(
+        F.element_at(F.col(f"t{m}"), F.col(f"c{m}") + 1)
+        for m in range(_PQ_M)
+    )
+    cand = codes.join(
+        F.broadcast(qtables),
+        (F.col("cell") == F.col("pcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (adc.cast("double") / F.lit(_PQT_SCALE2)).alias("adc_dist"),
+        (
+            isq(F.col("qq"), F.col("qemb")).cast("double")
+            / F.lit(_PQT_SCALE2)
+        ).alias("exact_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        cand.withColumn(
+            "abs_err", F.abs(F.col("adc_dist") - F.col("exact_dist"))
+        )
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _PQ_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            "adc_dist",
+            "exact_dist",
+            "abs_err",
+            "rn",
+        )
+    )

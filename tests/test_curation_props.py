@@ -758,3 +758,26 @@ def test_seasonal_naive_matches_python_series(spark, duck):
             (1000 * sum(e7)) // len(e7),
             (1000 * sum(e7) * (n - 1)) // (len(e7) * sum(e1)),
         ), (et, r)
+
+
+def test_ivfpq_residual_beats_plain_pq_error(spark):
+    """The point of residual encoding: ADC error on the returned
+    candidates must be strictly smaller (mean AND max) than the plain
+    trained-PQ variant's on the same queries — residuals are centered,
+    so the same 4x16 codebook geometry spends its precision on
+    within-cell structure. Plus structure: ranks are 1..k dense per
+    query and no candidate repeats across probes."""
+    ivfpq = _Q["emb_ivfpq_residual"].fn(spark, SF).collect()
+    plain = _Q["emb_pq_adc_trained"].fn(spark, SF).collect()
+    assert ivfpq and plain
+    by_q: dict[int, list] = {}
+    for r in ivfpq:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(r.rn for r in rs) == list(range(1, len(rs) + 1)), q
+        ids = [r.neighbor_id for r in rs]
+        assert len(ids) == len(set(ids)), q
+    mean_res = sum(r.abs_err for r in ivfpq) / len(ivfpq)
+    mean_plain = sum(r.abs_err for r in plain) / len(plain)
+    assert mean_res < mean_plain, (mean_res, mean_plain)
+    assert max(r.abs_err for r in ivfpq) < max(r.abs_err for r in plain)

@@ -114,6 +114,8 @@ LOCAL_ONLY_FAMILY = {
     # round 7: multimodal frame-sampling arithmetic, drives the real
     # sample_frames operator (#137)
     "docs_media_framesample",
+    # round 7: FAISS-style IVF-PQ with residual codebooks (#141)
+    "emb_ivfpq_residual",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
