@@ -42,6 +42,7 @@ METHODS = {
     "emb_ivf_ann_trained": "cosine",
     "emb_pq_adc": "l2_adc",
     "emb_pq_adc_trained": "l2_adc",
+    "emb_ivfpq_residual": "l2_adc (nprobe=2, residual codes)",
     "emb_hamming_ann": "hamming_sketch",
 }
 K = 10
