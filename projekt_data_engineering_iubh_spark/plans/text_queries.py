@@ -2196,3 +2196,146 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("postings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join — PPJoin-style (registry #142)
+# ---------------------------------------------------------------------------
+
+_PP_T = 0.5  # Jaccard threshold (matches the dedup family's 0.5 rule)
+
+# prefix length for Jaccard t over a size-n set: n - ceil(t*n) + 1;
+# with t = 1/2 that is n - ceil(n/2) + 1 = n DIV 2 + 1 (exact integers)
+_PP_PREFIX_SQL = "(setsz // 2 + 1)"
+
+_PPJOIN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {tx.shingles_sql('toks')} AS sh FROM toks
+), hset AS (
+  SELECT doc_id, list_distinct({hashing.hashed_shingles_sql('sh')}) AS hset
+  FROM sh
+), sized AS (
+  SELECT doc_id, hset, CAST(len(hset) AS BIGINT) AS setsz
+  FROM hset WHERE len(hset) > 0
+), ex AS (
+  SELECT doc_id, setsz, u.h FROM sized, unnest(hset) AS u(h)
+), df AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1
+), ranked AS (
+  SELECT ex.doc_id, ex.setsz, ex.h,
+         ROW_NUMBER() OVER (PARTITION BY ex.doc_id
+                            ORDER BY df.df, ex.h) AS rnk
+  FROM ex JOIN df USING (h)
+), prefix AS (
+  SELECT doc_id, setsz, h FROM ranked WHERE rnk <= {_PP_PREFIX_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sa.hset, sb.hset)) AS BIGINT) AS n_common,
+       sa.setsz AS n_a, sb.setsz AS n_b,
+       CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+         / (sa.setsz + sb.setsz - len(list_intersect(sa.hset, sb.hset)))
+         AS jaccard
+FROM cand
+JOIN sized sa ON sa.doc_id = doc_a
+JOIN sized sb ON sb.doc_id = doc_b
+WHERE CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+      / (sa.setsz + sb.setsz - len(list_intersect(sa.hset, sb.hset)))
+      >= {_PP_T}
+"""
+
+
+@register("docs_ppjoin_neardup", oracle=_PPJOIN_SQL, driver=False)
+def docs_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (the PPJoin
+    family, Xiao et al. WWW'08) — the provably-lossless alternative to
+    MinHash-LSH candidate generation: two shingle sets with Jaccard >=
+    t MUST share at least one element among each set's first
+    n - ceil(t*n) + 1 elements under ANY fixed global ordering, so
+    joining on rarest-first prefixes finds EVERY qualifying pair (LSH
+    banding, by contrast, misses pairs with probability (1-s^r)^b —
+    recall there is a tuned parameter, here it is a theorem). The price
+    is candidate volume: prefixes are ordered by ascending document
+    frequency precisely so the join keys are each document's RAREST
+    shingles, which is what keeps fan-out near-linear on real corpora
+    (the classic result) — but an adversarial corpus can still make it
+    quadratic where capped LSH stays bounded; that trade IS the
+    comparison this entry exists to make against docs_minhash_lsh_pairs.
+
+    With t = 1/2 the prefix length is exactly setsz DIV 2 + 1 (pure
+    integer on both engines). Verification is the exact intersection
+    Jaccard on the candidate pairs; empty shingle sets (docs with < 3
+    tokens) are excluded like everywhere else in the dedup family.
+
+    Scale shape: df groupBy (map-side combinable), one per-doc rank
+    window, the prefix equi-join on the shingle hash, then two id
+    equi-joins to attach sets for verification — no window or join
+    touches anything wider than (id, hash) until the bounded candidate
+    list."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    hset = t.select(
+        "doc_id",
+        F.array_distinct(
+            hashing.hashed_shingles(tx.shingles(F.col("toks")))
+        ).alias("hset"),
+    )
+    sized = hset.filter(F.size("hset") > 0).select(
+        "doc_id", "hset", F.size("hset").cast("long").alias("setsz")
+    )
+    ex = sized.select(
+        "doc_id", "setsz", F.explode("hset").alias("h")
+    )
+    df = ex.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    prefix = (
+        ex.join(df, "h")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.expr(_PP_PREFIX_SQL.replace("//", "DIV")))
+        .select("doc_id", "h")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sized.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hset").alias("set_a"),
+        F.col("setsz").alias("n_a"),
+    )
+    sb = sized.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hset").alias("set_b"),
+        F.col("setsz").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    jac = inter.cast("double") / (
+        F.col("n_a") + F.col("n_b") - inter
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _PP_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_common"),
+            "n_a",
+            "n_b",
+            jac.alias("jaccard"),
+        )
+    )

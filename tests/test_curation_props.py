@@ -781,3 +781,41 @@ def test_ivfpq_residual_beats_plain_pq_error(spark):
     mean_plain = sum(r.abs_err for r in plain) / len(plain)
     assert mean_res < mean_plain, (mean_res, mean_plain)
     assert max(r.abs_err for r in ivfpq) < max(r.abs_err for r in plain)
+
+
+def test_ppjoin_is_lossless_vs_brute_force(spark, duck):
+    """The theorem the entry exists for: prefix filtering at t = 0.5
+    finds EVERY pair with exact shingle-set Jaccard >= 0.5 — compare
+    against a brute-force all-pairs recompute in pure Python (tokenize,
+    3-gram shingles, the same md5-mod-p hashing) and require exact SET
+    equality plus exact per-pair intersection counts. LSH candidate
+    generation cannot pass this test in general; prefix filtering must."""
+    import hashlib
+    import re
+    from itertools import combinations
+
+    def hset(text: str) -> set[int]:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        out = set()
+        for i in range(len(toks) - 2):
+            s = " ".join(toks[i : i + 3])
+            h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            out.add(h % 2_147_483_647)
+        return out
+
+    docs = dict(duck.execute("SELECT doc_id, text FROM documents").fetchall())
+    sets = {i: hset(t) for i, t in docs.items()}
+    want = {}
+    for a, b in combinations(sorted(k for k, v in sets.items() if v), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a]) + len(sets[b]) - inter
+        if union and inter / union >= 0.5:
+            want[(a, b)] = inter
+    got = {
+        (r.doc_a, r.doc_b): r.n_common
+        for r in _Q["docs_ppjoin_neardup"].fn(spark, SF).collect()
+    }
+    assert want, "fixture corpus must contain qualifying near-dup pairs"
+    assert got == want, (
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
+    )

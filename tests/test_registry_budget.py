@@ -116,6 +116,8 @@ LOCAL_ONLY_FAMILY = {
     "docs_media_framesample",
     # round 7: FAISS-style IVF-PQ with residual codebooks (#141)
     "emb_ivfpq_residual",
+    # round 7: lossless prefix-filtered set-similarity join (#142)
+    "docs_ppjoin_neardup",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
