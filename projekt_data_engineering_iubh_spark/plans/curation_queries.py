@@ -504,11 +504,16 @@ WITH toks AS (
          CASE WHEN len(toks) - s + 1 >= {_SPAN_W}
               THEN {hashing.md5_hash60_sql(
                   f"array_to_string(list_slice(toks, s, s + {_SPAN_W} - 1), ' ')")}
-              ELSE -(doc_id * 1073741824 + (s - 1) // {_SPAN_W} + 1) END AS k
+              ELSE CAST(-1 AS BIGINT) END AS k,
+         CASE WHEN len(toks) - s + 1 >= {_SPAN_W} THEN CAST(-1 AS BIGINT)
+              ELSE doc_id END AS pd,
+         CASE WHEN len(toks) - s + 1 >= {_SPAN_W} THEN -1
+              ELSE CAST((s - 1) // {_SPAN_W} AS INTEGER) END AS ps
   FROM spans
 ), ranked AS (
   SELECT doc_id, span_no, span_text,
-         ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, span_no) = 1
+         ROW_NUMBER() OVER (PARTITION BY k, pd, ps
+                            ORDER BY doc_id, span_no) = 1
            AS keep
   FROM keyed
 )
@@ -528,9 +533,13 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthetic docs carry no sentence boundaries): every full span that
     appeared earlier in the corpus — in ANY document, by (doc_id, span_no)
     order — is cut, and each document is reassembled from its surviving
-    spans. Trailing partial spans never participate in dedup (they get a
-    per-doc unique negative key, disjoint from the non-negative md5 span
-    keys) so short docs are only ever trimmed by genuine full-span repeats.
+    spans. Trailing partial spans never participate in dedup: they get a
+    constant -1 key (disjoint from the non-negative md5 span keys) and the
+    first-occurrence window partitions on (k, pd, ps) where pd/ps carry
+    (doc_id, span_no) for partials only — structural per-span uniqueness
+    with no arithmetic doc_id ceiling (r8; the old packed sentinel wrapped
+    past int64 at doc_id >= 2^33) — so short docs are only ever trimmed by
+    genuine full-span repeats.
 
     Scale shape: spans are reduced to a 60-bit bigint key BEFORE the
     first-occurrence window, so the shuffle carries (key, doc_id, span_no,
@@ -560,19 +569,22 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks") - F.col("s") + 1 >= _SPAN_W,
             hashing.md5_hash60(span_text),
         )
-        .otherwise(
-            # per-doc-unique negative sentinel: doc_id in the high 33 bits,
-            # span_no in the low 30 — unique while span_no < 2^30 (~8.6 B
-            # tokens/doc) and doc_id < 2^33, vs the old 2^20 span ceiling
-            -(
-                F.col("doc_id") * F.lit(1 << 30)
-                + F.expr(f"(s - 1) div {_SPAN_W}")
-                + F.lit(1)
-            ).cast("long")
-        )
+        .otherwise(F.lit(-1).cast("long"))
         .alias("k"),
+        # partial spans stay distinct via (pd, ps) in the partition key;
+        # full spans carry the (-1, -1) constant so their partitioning is
+        # purely the md5 span key
+        F.when(
+            F.size("toks") - F.col("s") + 1 >= _SPAN_W,
+            F.lit(-1).cast("long"),
+        )
+        .otherwise(F.col("doc_id"))
+        .alias("pd"),
+        F.when(F.size("toks") - F.col("s") + 1 >= _SPAN_W, F.lit(-1))
+        .otherwise(F.expr(f"CAST((s - 1) div {_SPAN_W} AS INT)"))
+        .alias("ps"),
     )
-    w = Window.partitionBy("k").orderBy("doc_id", "span_no")
+    w = Window.partitionBy("k", "pd", "ps").orderBy("doc_id", "span_no")
     ranked = keyed.withColumn("keep", F.row_number().over(w) == 1)
     kept_struct = F.when(
         F.col("keep"), F.struct(F.col("span_no"), F.col("span_text"))
@@ -2183,7 +2195,7 @@ WITH toks AS (
          CASE WHEN len(toks) - s + 1 >= {_SPAN_W}
               THEN {hashing.md5_hash60_sql(
                   f"array_to_string(list_slice(toks, s, s + {_SPAN_W} - 1), ' ')")}
-              ELSE -(doc_id * 1073741824 + (s - 1) // {_SPAN_W} + 1) END AS k
+              ELSE CAST(-1 AS BIGINT) END AS k
   FROM spans
 ), freq AS (
   SELECT k FROM keyed WHERE k >= 0
@@ -2212,9 +2224,16 @@ def docs_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     complementary policy: span_dedup KEEPS the first occurrence,
     boilerplate pruning keeps NONE once frequency >= K=3).
 
-    Trailing partial spans get the per-doc-unique negative sentinel key
-    and are excluded from the frequency table, so they can never be
-    flagged — short docs lose only genuinely corpus-frequent spans.
+    Trailing partial spans get a constant -1 sentinel key: they are
+    excluded from the frequency table by the k >= 0 filter and the flag
+    join can never match them against a (non-negative) frequent-span
+    key, so they can never be flagged — short docs lose only genuinely
+    corpus-frequent spans. (r8: the old packed doc_id*2^30 sentinel
+    could wrap past int64 at doc_id >= 2^33 and turn non-negative;
+    per-span uniqueness was never needed here, so the constant is the
+    correct-at-any-scale form. The -1 key is skewed on the probe side,
+    but the flag join is a broadcast of the tiny frequent-span table —
+    plan-pinned — so the skew never reaches a shuffle.)
 
     Scale shape: span keys are 60-bit bigints BEFORE any shuffle; the
     frequency table is one (k)-keyed groupBy COUNT(DISTINCT doc_id)
@@ -2246,13 +2265,7 @@ def docs_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks") - F.col("s") + 1 >= _SPAN_W,
             hashing.md5_hash60(span_text),
         )
-        .otherwise(
-            -(
-                F.col("doc_id") * F.lit(1 << 30)
-                + F.expr(f"(s - 1) div {_SPAN_W}")
-                + F.lit(1)
-            ).cast("long")
-        )
+        .otherwise(F.lit(-1).cast("long"))
         .alias("k"),
     )
     freq = (

@@ -2001,15 +2001,19 @@ SELECT event_type,
          AS sum_abs_err7,
        CAST(SUM(CASE WHEN f1 IS NOT NULL THEN ABS(c - f1) END) AS BIGINT)
          AS sum_abs_err1,
-       CAST((CAST(1000 AS BIGINT)
-             * SUM(CASE WHEN f7 IS NOT NULL THEN ABS(c - f7) END))
-            // COUNT(f7) AS BIGINT) AS mae7_milli,
-       CAST((CAST(1000 AS BIGINT)
-             * SUM(CASE WHEN f7 IS NOT NULL THEN ABS(c - f7) END)
-             * (COUNT(*) - 1))
-            // (COUNT(f7)
-                * SUM(CASE WHEN f1 IS NOT NULL THEN ABS(c - f1) END))
-            AS BIGINT) AS mase_milli
+       CAST(CASE WHEN COUNT(f7) > 0 THEN
+              (CAST(1000 AS BIGINT)
+               * SUM(CASE WHEN f7 IS NOT NULL THEN ABS(c - f7) END))
+              // COUNT(f7) END AS BIGINT) AS mae7_milli,
+       CAST(CASE WHEN COUNT(f7) > 0
+                  AND COALESCE(SUM(CASE WHEN f1 IS NOT NULL
+                                        THEN ABS(c - f1) END), 0) > 0 THEN
+              (CAST(1000 AS BIGINT)
+               * SUM(CASE WHEN f7 IS NOT NULL THEN ABS(c - f7) END)
+               * (COUNT(*) - 1))
+              // (COUNT(f7)
+                  * SUM(CASE WHEN f1 IS NOT NULL THEN ABS(c - f1) END))
+            END AS BIGINT) AS mase_milli
 FROM l
 GROUP BY 1
 """
@@ -2032,6 +2036,12 @@ def events_seasonal_naive_eval(
     accumulation to diverge cross-engine. Lags are over the OBSERVED
     day series per type (calendar gaps compress), the standard
     contiguous-series convention.
+
+    NULL contract (guarded on BOTH engines, r8): a type with fewer than
+    8 observed days has n_eval = 0 → mae7_milli and mase_milli are NULL
+    (never a division error); a constant daily series has
+    sum_abs_err1 = 0 → mase_milli is NULL (the skill score is undefined
+    when the naive-1 baseline is perfect).
 
     Scale shape: same as the CUSUM detector — one (type, day) groupBy
     over raw events, then lag windows and aggregates over the tiny
@@ -2065,12 +2075,15 @@ def events_seasonal_naive_eval(
             "sum_abs_err7",
             "sum_abs_err1",
             F.expr(
-                "CAST((CAST(1000 AS BIGINT) * sum_abs_err7) DIV n_eval"
-                " AS BIGINT)"
+                "CAST(CASE WHEN n_eval > 0 THEN"
+                " (CAST(1000 AS BIGINT) * sum_abs_err7) DIV n_eval"
+                " END AS BIGINT)"
             ).alias("mae7_milli"),
             F.expr(
-                "CAST((CAST(1000 AS BIGINT) * sum_abs_err7 * (n_days - 1))"
-                " DIV (n_eval * sum_abs_err1) AS BIGINT)"
+                "CAST(CASE WHEN n_eval > 0"
+                " AND COALESCE(sum_abs_err1, 0) > 0 THEN"
+                " (CAST(1000 AS BIGINT) * sum_abs_err7 * (n_days - 1))"
+                " DIV (n_eval * sum_abs_err1) END AS BIGINT)"
             ).alias("mase_milli"),
         )
     )

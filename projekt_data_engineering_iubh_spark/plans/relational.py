@@ -1837,9 +1837,10 @@ _BENFORD_CASE = (
 
 _BENFORD_SQL = f"""
 WITH d AS (
-  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+  SELECT CAST(SUBSTRING(CAST(ABS(CAST(FLOOR(o_totalprice) AS BIGINT))
                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
   FROM orders
+  WHERE ABS(CAST(FLOOR(o_totalprice) AS BIGINT)) >= 1
 ),
 c AS (
   SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d,
@@ -1868,17 +1869,27 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi-square-style contribution diff^2 DIV (n * p_milli) are pure
     bigint on both engines (magnitude budget: |diff| <= 1000n, so
     diff^2 <= 1e6 n^2 — safe to ~3e6 rows per digit cell; normalize
-    the scale up at larger corpora).
+    the scale up at larger corpora). Sign/magnitude contract (r8): the
+    digit is taken from ABS(FLOOR(value)) so negative amounts screen by
+    magnitude (standard forensic practice), and |value| < 1 rows are
+    excluded on BOTH engines — they have no first significant integer
+    digit and previously produced a NULL digit bucket (and a
+    cross-engine CAST divergence for negatives).
 
     Scale shape: a map-side digit projection and one 9-group aggregate;
     the corpus total comes from an unpartitioned window over the 9-row
     aggregate, not a second scan."""
-    d = load_table(spark, sf_dir, "orders").select(
-        F.substring(
-            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.abs(F.floor(F.col("o_totalprice")).cast("long")).alias("mag")
         )
-        .cast("int")
-        .alias("digit")
+        .filter(F.col("mag") >= 1)
+        .select(
+            F.substring(F.col("mag").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
     )
     c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_d"))
     w = Window.partitionBy()

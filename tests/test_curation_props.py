@@ -752,11 +752,15 @@ def test_seasonal_naive_matches_python_series(spark, duck):
         e7 = [abs(cs[k] - cs[k - 7]) for k in range(7, n)]
         e1 = [abs(cs[k] - cs[k - 1]) for k in range(1, n)]
         r = rows[et]
+        mae7 = (1000 * sum(e7)) // len(e7) if e7 else None
+        mase = (
+            (1000 * sum(e7) * (n - 1)) // (len(e7) * sum(e1))
+            if e7 and sum(e1) > 0
+            else None
+        )
         assert (r.n_days, r.n_eval, r.sum_abs_err7, r.sum_abs_err1,
                 r.mae7_milli, r.mase_milli) == (
-            n, len(e7), sum(e7), sum(e1),
-            (1000 * sum(e7)) // len(e7),
-            (1000 * sum(e7) * (n - 1)) // (len(e7) * sum(e1)),
+            n, len(e7), sum(e7), sum(e1) if e1 else None, mae7, mase,
         ), (et, r)
 
 
@@ -819,3 +823,56 @@ def test_ppjoin_is_lossless_vs_brute_force(spark, duck):
     assert got == want, (
         f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
     )
+
+
+def test_span_sentinel_safe_at_huge_doc_ids(spark, tmp_path):
+    """Round-7 ADVICE regression: the old packed partial-span sentinel
+    -(doc_id * 2^30 + span_no + 1) wrapped past int64 once
+    doc_id >= 2^33, so a trailing partial span could turn non-negative
+    and (a) collide with a real md5 span key, (b) enter boilerplate's
+    frequency table. The r8 form (constant -1 key; span_dedup keeps
+    partials distinct structurally via (pd, ps) in the window partition
+    key) must treat huge-doc_id corpora exactly like small ones:
+    partials are never deduped away and never flagged as boilerplate."""
+    base = 1 << 34  # > the old 2^33 wrap ceiling
+    full = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 toks
+    rows = [
+        # three docs sharing one full span (corpus-frequent, K=3) plus a
+        # distinct 3-token trailing partial each
+        (base + 1, full + " tail one a", "en", "web", 1),
+        (base + 2, full + " tail two b", "en", "web", 1),
+        (base + 3, full + " tail three c", "en", "web", 1),
+        # a short doc that is ONLY a partial span
+        (base + 4, "just a stub", "en", "web", 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf_dir = str(tmp_path)
+
+    dedup = {
+        r.doc_id: r for r in _Q["docs_span_dedup"].fn(spark, sf_dir).collect()
+    }
+    # every doc's partial tail survives span dedup (n_kept counts it);
+    # the shared full span survives only in the first doc
+    assert dedup[base + 1].n_kept == 2  # full span + its partial
+    for i in (2, 3):
+        assert dedup[base + i].n_kept == 1, dedup[base + i]
+        assert dedup[base + i].text_dedup.startswith("tail"), dedup[base + i]
+    assert dedup[base + 4].n_kept == 1
+    assert dedup[base + 4].text_dedup == "just a stub"
+
+    boiler = {
+        r.doc_id: r
+        for r in _Q["docs_boilerplate_prune"].fn(spark, sf_dir).collect()
+    }
+    # the shared full span is boilerplate (pruned from ALL three docs);
+    # no partial span is ever flagged
+    for i in (1, 2, 3):
+        r = boiler[base + i]
+        assert r.n_boiler == 1 and r.text_clean.startswith("tail"), r
+    r = boiler[base + 4]
+    assert r.n_boiler == 0 and r.text_clean == "just a stub", r
