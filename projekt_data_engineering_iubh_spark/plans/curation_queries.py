@@ -385,7 +385,7 @@ LEFT JOIN near n ON n.doc_id = b.doc_id
 )
 
 
-@register("docs_dedup_incremental", oracle=_INC_SQL)
+@register("docs_dedup_incremental", oracle=_INC_SQL, driver=False)
 def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: a new batch (source != 'src0') checked
     against the existing corpus (source == 'src0') — drop exact copies
@@ -751,7 +751,7 @@ SELECT doc_id, n_bigrams, nll_micro_sum, avg_nll_micro FROM {_LM_FINAL}
 """
 
 
-@register("docs_lm_perplexity", oracle=_LM_SQL)
+@register("docs_lm_perplexity", oracle=_LM_SQL, driver=False)
 def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model quality scoring — the CCNet-style third
     quality signal next to the heuristic (docs_text_stats) and the
@@ -917,7 +917,7 @@ GROUP BY 1
 """
 
 
-@register("docs_vocab_coverage", oracle=_VOCAB_SQL)
+@register("docs_vocab_coverage", oracle=_VOCAB_SQL, driver=False)
 def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage profiling — the tokenizer-design metric a
     training-data pipeline runs before committing to a vocab: derive the
@@ -1016,7 +1016,7 @@ FROM m
 """
 
 
-@register("docs_filter_audit", oracle=_AUDIT_SQL)
+@register("docs_filter_audit", oracle=_AUDIT_SQL, driver=False)
 def docs_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document filter AUDIT — the debugging view every curation
     pipeline needs ("why was this doc dropped?"): one boolean per
@@ -1453,7 +1453,7 @@ FROM ranked
 """
 
 
-@register("docs_train_order", oracle=_TRAIN_ORDER_SQL, driver=False)
+@register("docs_train_order", oracle=_TRAIN_ORDER_SQL)
 def docs_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic global shuffle into training shards.
 
@@ -1640,7 +1640,7 @@ LIMIT {_BM25_TOP}
 """
 
 
-@register("docs_bm25_topk", oracle=_BM25_SQL, driver=False)
+@register("docs_bm25_topk", oracle=_BM25_SQL)
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval over the corpus for a fixed query — the
     classic sparse-retrieval scorer next to the TF-IDF term profile
@@ -1767,7 +1767,7 @@ GROUP BY 1
 """
 
 
-@register("docs_dsir_weights", oracle=_DSIR_SQL, driver=False)
+@register("docs_dsir_weights", oracle=_DSIR_SQL)
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every raw
@@ -2101,7 +2101,7 @@ FROM magg CROSS JOIN dagg CROSS JOIN ex CROSS JOIN pex
 """
 
 
-@register("docs_hll_union", oracle=_HLL_UNION_SQL, driver=False)
+@register("docs_hll_union", oracle=_HLL_UNION_SQL)
 def docs_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog sketch MERGE — the property that makes the sketch a
     distributed-aggregation primitive, proven in the verified output:
@@ -2214,7 +2214,7 @@ FROM flagged GROUP BY 1
 """
 
 
-@register("docs_boilerplate_prune", oracle=_BOILER_SQL, driver=False)
+@register("docs_boilerplate_prune", oracle=_BOILER_SQL)
 def docs_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency boilerplate removal — the C4 rule that a LINE
     occurring in three or more documents is template boilerplate
@@ -2449,7 +2449,7 @@ FROM est
 """
 
 
-@register("events_rolling_wau_hll", oracle=_HLL_WAU_SQL, driver=False)
+@register("events_rolling_wau_hll", oracle=_HLL_WAU_SQL)
 def events_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for rolling actives: trailing-7-day WAU per day
     from MERGED per-day HyperLogLog register tables — the composition

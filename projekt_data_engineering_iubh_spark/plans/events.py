@@ -576,7 +576,7 @@ SELECT 3, 'purchase', CAST(n3 AS BIGINT),
 """
 
 
-@register("events_funnel", oracle=_FUNNEL_SQL)
+@register("events_funnel", oracle=_FUNNEL_SQL, driver=False)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel — the classic product-analytics shape
     (engine breadth; the reference's closest analog is its ordered
@@ -663,7 +663,7 @@ GROUP BY 1, 2, 4
 """
 
 
-@register("events_cohort_retention", oracle=_COHORT_SQL)
+@register("events_cohort_retention", oracle=_COHORT_SQL, driver=False)
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention — the second classic product-analytics
     shape next to the funnel: users grouped by first-seen week, then for
@@ -779,7 +779,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
-@register("events_scd2_state", oracle=_SCD2_SQL, driver=False)
+@register("events_scd2_state", oracle=_SCD2_SQL)
 def events_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension Type 2 derivation from the event
     stream — the warehouse-modeling idiom the reference's daily summary
@@ -1030,7 +1030,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY island_start)
 """
 
 
-@register("events_gaps_islands", oracle=_ISLANDS_SQL, driver=False)
+@register("events_gaps_islands", oracle=_ISLANDS_SQL)
 def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: per user, collapse the set of active DAYS into
     maximal runs of consecutive dates (islands) with the gap length

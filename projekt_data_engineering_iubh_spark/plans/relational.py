@@ -612,7 +612,7 @@ GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
 """
 
 
-@register("agg_multilevel", oracle=_MULTILEVEL_SQL)
+@register("agg_multilevel", oracle=_MULTILEVEL_SQL, driver=False)
 def agg_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (2^k combinations), ROLLUP (hierarchical subtotals) and
     explicit GROUPING SETS (via the SQL surface — same Catalyst Expand
@@ -717,7 +717,7 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-@register("agg_approx_distinct", oracle=_APPROX_DISTINCT_SQL)
+@register("agg_approx_distinct", oracle=_APPROX_DISTINCT_SQL, driver=False)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — the 100 TB substitute for exact
     countDistinct. Driver-checkable contract (VERDICT r1 #6): the sketch
@@ -1163,7 +1163,7 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
 
-@register("q18_large_volume_customers", oracle=_Q18_SQL)
+@register("q18_large_volume_customers", oracle=_Q18_SQL, driver=False)
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING over a fact-table aggregation feeding a
     join chain (the grouped-subquery-as-semi-filter idiom). The
@@ -1380,7 +1380,7 @@ GROUP BY s.s_suppkey, s.s_name
 """
 
 
-@register("q21_waiting_suppliers", oracle=_Q21_SQL)
+@register("q21_waiting_suppliers", oracle=_Q21_SQL, driver=False)
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole-late-supplier-in-a-multi-supplier-order
     pattern (correlated EXISTS + NOT EXISTS over the same derived
@@ -1649,7 +1649,7 @@ GROUP BY sn.n_name, o_year
 """
 
 
-@register("q9_product_profit", oracle=_Q9_SQL)
+@register("q9_product_profit", oracle=_Q9_SQL, driver=False)
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and ship year over a
     part-name pattern — revenue minus cost where cost uses
@@ -1940,7 +1940,7 @@ FROM (SELECT c.{fk}, p.{pk} AS pk
 )
 
 
-@register("referential_integrity_audit", oracle=_RI_SQL, driver=False)
+@register("referential_integrity_audit", oracle=_RI_SQL)
 def referential_integrity_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -1461,7 +1461,7 @@ def _qual_lm_ctes() -> str:
 _CORPUS_LM_SQL = _corpus_sql(_qual_lm_ctes())
 
 
-@register("docs_corpus_curated_lm", oracle=_CORPUS_LM_SQL)
+@register("docs_corpus_curated_lm", oracle=_CORPUS_LM_SQL, driver=False)
 def docs_corpus_curated_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_corpus_curated under the PERPLEXITY quality lane
     (scorer="lm" in pipeline/corpus.py): Laplace-smoothed bigram LM fit
@@ -1710,7 +1710,7 @@ GROUP BY 1
 """
 
 
-@register("docs_cms_heavy_hitters", oracle=_CMS_SQL)
+@register("docs_cms_heavy_hitters", oracle=_CMS_SQL, driver=False)
 def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch token-frequency estimates for the corpus's top
     tokens, next to their exact counts — the mergeable fixed-size sketch
@@ -1891,7 +1891,7 @@ FROM r{_PR_ITERS} LEFT JOIN deg ON deg.s = r{_PR_ITERS}.doc_id
     return "".join(parts)
 
 
-@register("docs_pagerank", oracle=_pagerank_sql(), driver=False)
+@register("docs_pagerank", oracle=_pagerank_sql())
 def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup similarity graph — the second
     iterative graph algorithm next to connected components
@@ -2012,7 +2012,7 @@ LEFT JOIN tc ON tc.doc_id = d0.doc_id
 """
 
 
-@register("docs_neardup_triangles", oracle=_TRIANGLES_SQL, driver=False)
+@register("docs_neardup_triangles", oracle=_TRIANGLES_SQL)
 def docs_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle count and local clustering coefficient over
     the near-dup similarity graph — the third graph primitive beside
@@ -2163,7 +2163,7 @@ GROUP BY 1
 """
 
 
-@register("docs_inverted_index", oracle=_INVERTED_INDEX_SQL, driver=False)
+@register("docs_inverted_index", oracle=_INVERTED_INDEX_SQL)
 def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction — the SERVING export the BM25 scorer
     (docs_bm25_topk) queries online: per term, document frequency,
@@ -2250,7 +2250,7 @@ WHERE CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
 """
 
 
-@register("docs_ppjoin_neardup", oracle=_PPJOIN_SQL, driver=False)
+@register("docs_ppjoin_neardup", oracle=_PPJOIN_SQL)
 def docs_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join by prefix filtering (the PPJoin
     family, Xiao et al. WWW'08) — the provably-lossless alternative to

@@ -1054,7 +1054,7 @@ SELECT query_id, neighbor_id, cell, cos_sim, rn FROM tr WHERE rn <= {_IVF_K}
 """
 
 
-@register("emb_ivf_ann_trained", oracle=_IVFT_SQL)
+@register("emb_ivf_ann_trained", oracle=_IVFT_SQL, driver=False)
 def emb_ivf_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN over TRAINED cells: the coarse quantizer is the
     exact fixed-point Lloyd assignment (emb_kmeans's 3 rounds) instead
@@ -1179,7 +1179,7 @@ FROM r WHERE rn <= {_PQ_K}
 _PQT_SQL = _pqt_sql()
 
 
-@register("emb_pq_adc_trained", oracle=_PQT_SQL)
+@register("emb_pq_adc_trained", oracle=_PQT_SQL, driver=False)
 def emb_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization with TRAINED codebooks (r4 VERDICT #4):
     per-subspace Lloyd k-means (operators/kmeans.py, the exact
@@ -1586,7 +1586,7 @@ JOIN embeddings ne ON ne.vec_id = t.neighbor_id
 """
 
 
-@register("emb_hamming_ann", oracle=_HAMMING_SQL, driver=False)
+@register("emb_hamming_ann", oracle=_HAMMING_SQL)
 def emb_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-sketch ANN (#111): 60-plane sign sketch per vector (one
     BIGINT), Hamming-distance top-k per query via ``bit_count(xor)``,
@@ -2094,7 +2094,7 @@ FROM r WHERE rn <= {_PQ_K}
 _IVFPQ_SQL = _ivfpq_sql()
 
 
-@register("emb_ivfpq_residual", oracle=_IVFPQ_SQL, driver=False)
+@register("emb_ivfpq_residual", oracle=_IVFPQ_SQL)
 def emb_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with RESIDUAL codebooks — the full FAISS-style composition
     the family was missing: a trained coarse quantizer routes the

@@ -80,44 +80,38 @@ LOCAL_ONLY_FAMILY = {
     "docs_bpe_tokenize",
     # round 7: the multimodal family's first oracle-checked entry (#105)
     "docs_binary_payloads",
-    # round 7: seeded deterministic training-order shuffle (#108)
-    "docs_train_order",
     # round 7: multimodal layout arithmetic, second family oracle (#109)
     "docs_media_dims",
     # round 7: char-entropy quality signal (#110)
     "docs_char_entropy",
-    # round 7: binary-sketch Hamming ANN prefilter (#111)
-    "emb_hamming_ann",
-    # round 7: BM25 sparse-retrieval top-k (#112)
-    "docs_bm25_topk",
-    # round 7: DSIR hashed-ngram importance weights (#113)
-    "docs_dsir_weights",
     # round 7: explicit HyperLogLog sketch (#114)
     "docs_hll_distinct",
     # round 7: Efraimidis-Spirakis weighted sample (#115)
     "docs_weighted_sample",
-    # round 7: PageRank over the near-dup graph (#117)
-    "docs_pagerank",
-    # round 7: HLL sketch merge identity (#118)
-    "docs_hll_union",
-    # round 7: corpus-frequency boilerplate pruning, C4 line rule (#122)
-    "docs_boilerplate_prune",
-    # round 7: triangle count / clustering coefficient, third graph
-    # primitive (#124)
-    "docs_neardup_triangles",
     # round 7: power-iteration dominant principal component (#125)
     "emb_top_pc_power",
     # round 7: PC-projection outlier screen (#129)
     "emb_pc_outliers",
-    # round 7: inverted-index export with bounded postings (#134)
-    "docs_inverted_index",
     # round 7: multimodal frame-sampling arithmetic, drives the real
     # sample_frames operator (#137)
     "docs_media_framesample",
-    # round 7: FAISS-style IVF-PQ with residual codebooks (#141)
-    "emb_ivfpq_residual",
-    # round 7: lossless prefix-filtered set-similarity join (#142)
-    "docs_ppjoin_neardup",
+    # round 8 rotation #5: fifteen never-driver-checked entries promoted
+    # (docs_pagerank, docs_neardup_triangles, docs_ppjoin_neardup,
+    # emb_ivfpq_residual, emb_hamming_ann, docs_bm25_topk,
+    # docs_dsir_weights, docs_hll_union, events_scd2_state,
+    # events_rolling_wau_hll, docs_train_order, docs_boilerplate_prune,
+    # events_gaps_islands, referential_integrity_audit,
+    # docs_inverted_index); these two-round-green entries demoted — each
+    # has semantics covered by surviving driver entries or dedicated
+    # tests, and stays oracle-green locally
+    "docs_cms_heavy_hitters",
+    "docs_corpus_curated_lm",
+    "docs_dedup_incremental",
+    "docs_filter_audit",
+    "docs_lm_perplexity",
+    "docs_vocab_coverage",
+    "emb_ivf_ann_trained",
+    "emb_pq_adc_trained",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
