@@ -1,0 +1,97 @@
+"""Persisted trained-ANN indexes: build once, serve many (r7 VERDICT #2).
+
+The ANN method matrix measured the deployment problem directly: every
+trained variant's inline latency is dominated by TRAINING (Lloyd rounds
+plus codebook collection run INSIDE the query — emb_ivfpq_residual
+12.67 s at sf1 where brute force takes a fraction of that), and the
+Hamming-sketch economics measurement proved the stored form flips the
+verdict (0.471 s vs 5.70 s inline). This module generalizes that into
+the build/serve split every ANN docstring already describes as the
+production shape: a BUILD pass trains the quantizers and persists
+centroids/codebooks/codes through the manifest-pointer snapshot store
+(pipeline/store.py — atomic publish, snapshot-isolated readers), and a
+SERVE query reads the artifacts and answers queries without retraining.
+
+``ensure()`` is memoized build-if-stale, keyed exactly like the
+plan-selection probes (plans/vector_queries.py::_max_occupancy): the
+index root's name digests (absolute table path, table dir mtime,
+constants), so a Spark re-write of the corpus — which deletes/creates
+part files and bumps the dir mtime — routes to a FRESH root and
+triggers a rebuild, while repeated plan builds over unchanged data
+(bench min-of-3, dashboards, a serve fleet) reuse the committed
+snapshot. That makes a serve registry entry self-contained: the first
+call on a fresh corpus pays the build, every later call is pure read.
+
+At 100 TB the same layout holds: codes are the stored index (2-4
+bytes/vector plus the key), centroids/codebooks are k×dim-row tables
+(driver-literal sized), training runs on a sample, and the serve join
+codes ⋈ corpus is an equi-join on vec_id — co-locate it by writing
+codes bucketed next to a bucketed corpus (pipeline/corpus_store.py is
+the committed pattern) and it runs exchange-free.
+
+Stale roots from superseded corpus versions accumulate under the index
+base dir (each is a self-contained store); clean with a TTL sweep of
+dirs whose digest no longer resolves — they are never referenced again.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from projekt_data_engineering_iubh_spark.pipeline import store
+
+DEFAULT_BASE = "/tmp/spark_graft_ann_index"
+
+
+def base_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_INDEX_DIR", DEFAULT_BASE)
+
+
+def index_root(sf_dir: str, table: str, kind: str, constants: tuple) -> str:
+    """Deterministic store root for (corpus version, index geometry).
+
+    The digest covers the table's absolute path AND dir mtime, so a
+    corpus re-write yields a different root (build-if-stale without any
+    invalidation protocol), plus every constant that shapes the index.
+    """
+    path = os.path.abspath(os.path.join(sf_dir, table))
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = repr((path, mtime, kind, constants)).encode()
+    digest = hashlib.sha256(key).hexdigest()[:16]
+    return os.path.join(base_dir(), f"{kind}_{digest}")
+
+
+def ensure(
+    sf_dir: str,
+    table: str,
+    kind: str,
+    constants: tuple,
+    build_fn,
+) -> str:
+    """Build-if-missing: return a committed store root for this corpus
+    version, building via ``build_fn(data_dir)`` (which must write every
+    artifact parquet under the given snapshot dir) when absent.
+
+    A lost commit race (another process built the same root first) is
+    success — the winner's snapshot is byte-equivalent because training
+    is deterministic fixed-point arithmetic over the same corpus bytes.
+    """
+    root = index_root(sf_dir, table, kind, constants)
+    if store.is_store(root):
+        return root
+    try:
+        store.commit_snapshot(root, build_fn)
+    except store.CommitConflict:
+        pass  # concurrent builder won with an identical snapshot
+    return root
+
+
+def read_artifact(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """One named artifact (a parquet dir) out of the current snapshot."""
+    return spark.read.parquet(os.path.join(store.resolve(root), name))

@@ -1071,7 +1071,13 @@ def emb_ivf_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = km.kmeans_fixed_point(e, _KM_K, _KM_ITERS, EMB_DIM).select(
         "vec_id", "cell"
     )
-    cells = e.join(asg, "vec_id")
+    return _ivft_search(e.join(asg, "vec_id"))
+
+
+def _ivft_search(cells: DataFrame) -> DataFrame:
+    """nprobe=1 IVF-flat search over (vec_id, embedding, nrm, cell):
+    shared by the inline-trained and the stored-index serve entries, so
+    serve-vs-inline equality pins only the index artifacts."""
     q = cells.filter(F.col("vec_id") < _IVF_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -2121,6 +2127,24 @@ def emb_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Codebooks are k x dim driver literals (8x64 coarse + 4x16x16
     residual — never data-sized)."""
+    qv, _cells, coarse_cells, coarse_cqs, _bcells, books, codes = (
+        _ivfpq_train(spark, sf_dir)
+    )
+    return _ivfpq_search(qv, coarse_cells, coarse_cqs, books, codes)
+
+
+def _isq(a: F.Column, b: F.Column) -> F.Column:
+    sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _ivfpq_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, list, list, list, list, DataFrame]:
+    """IVF-PQ training + corpus encoding, shared by the inline entry and
+    the index BUILD: returns (qv, cell assignment, coarse cell ids,
+    coarse centroids, per-book cell ids, residual codebooks, encoded
+    codes with qemb attached). Codebooks are k×dim driver literals."""
     e = spread(load_table(spark, sf_dir, "embeddings"))
     qv = e.select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
     coarse = (
@@ -2134,15 +2158,11 @@ def emb_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.array(*[F.lit(v) for v in cq]) for cq in coarse_cqs]
     )
 
-    def isq(a: F.Column, b: F.Column) -> F.Column:
-        sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
-        return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, v: acc + v)
-
     # coarse assignment against the collected literals (argmin; cell ids
     # are the trainer's, which may be non-contiguous after empty cells)
     cdists = F.array(
         *[
-            isq(F.col("qemb"), F.array(*[F.lit(v) for v in cq]))
+            _isq(F.col("qemb"), F.array(*[F.lit(v) for v in cq]))
             for cq in coarse_cqs
         ]
     )
@@ -2162,6 +2182,7 @@ def emb_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     # residual codebooks (k x dim literals per subspace)
+    book_cells: list[list[int]] = []
     books: list[list[list[int]]] = []
     for m in range(_PQ_M):
         subv = res.select(
@@ -2173,13 +2194,14 @@ def emb_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cell")
             .collect()
         )
+        book_cells.append([r.cell for r in cents])
         books.append([list(r.cq) for r in cents])
 
     code_cols = []
     for m, cqs in enumerate(books):
         dists = F.array(
             *[
-                isq(
+                _isq(
                     F.slice("remb", m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
                     F.array(*[F.lit(v) for v in cq]),
                 )
@@ -2192,6 +2214,25 @@ def emb_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"c{m}")
         )
     codes = res.select("vec_id", "cell", "qemb", *code_cols)
+    asg = res.select("vec_id", "cell")
+    return qv, asg, coarse_cells, coarse_cqs, book_cells, books, codes
+
+
+def _ivfpq_search(
+    qv: DataFrame,
+    coarse_cells: list,
+    coarse_cqs: list,
+    books: list,
+    codes: DataFrame,
+) -> DataFrame:
+    """nprobe-cell probed residual-ADC search over encoded codes
+    (vec_id, cell, qemb, c0..c{M-1}): shared by the inline entry and
+    the stored-index SERVE entry."""
+    coarse_arr = F.array(
+        *[F.array(*[F.lit(v) for v in cq]) for cq in coarse_cqs]
+    )
+    cell_lit = F.array(*[F.lit(c) for c in coarse_cells])
+    isq = _isq
 
     # queries: nprobe nearest coarse cells, then a per-(query, cell)
     # residual ADC table against the same literal codebooks
@@ -2286,3 +2327,265 @@ def emb_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Build/serve split for the trained indexes (registry queries #143-#146)
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402
+
+from projekt_data_engineering_iubh_spark.pipeline import ann_index  # noqa: E402
+
+_IVFT_CONSTS = (_KM_K, _KM_ITERS, EMB_DIM, km.FIXED_SCALE)
+_IVFPQ_CONSTS = _IVFT_CONSTS + (_PQ_M, _PQ_CODES, _PQT_ITERS, _IVFPQ_NPROBE)
+
+
+def _ensure_ivft_index(spark: SparkSession, sf_dir: str) -> str:
+    """Committed store root holding the trained-IVF index for this
+    corpus version: `centroids` (cell, cq) and `codes` (vec_id, cell).
+    Builds on first call (memoized by (path, mtime, constants) — see
+    pipeline/ann_index.py)."""
+
+    def build(data_dir: str) -> None:
+        e = load_table(spark, sf_dir, "embeddings")
+        qv = e.select(
+            "vec_id", km.quantize(F.col("embedding")).alias("qemb")
+        )
+        # collect the k×dim centroids once and re-literal them so the
+        # assignment pass doesn't replay the Lloyd lineage a second time
+        cents = (
+            km.kmeans_train(qv, _KM_K, _KM_ITERS, EMB_DIM)
+            .orderBy("cell")
+            .collect()
+        )
+        cdf = spark.createDataFrame(
+            [(r.cell, list(r.cq)) for r in cents],
+            "cell int, cq array<bigint>",
+        )
+        cdf.coalesce(1).write.parquet(os.path.join(data_dir, "centroids"))
+        km.assign_cells(qv, cdf).select(
+            "vec_id", F.col("cell").cast("int").alias("cell")
+        ).write.parquet(os.path.join(data_dir, "codes"))
+
+    return ann_index.ensure(
+        sf_dir, "embeddings.parquet", "ivft", _IVFT_CONSTS, build
+    )
+
+
+_IVF_BUILD_SQL = f"""{_KM_CTES},
+bcounts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM {_KM_FINAL} GROUP BY 1)
+SELECT c.cell, CAST(i AS INTEGER) AS pos, c.cq[i] AS cval, b.n_members
+FROM c{_KM_ITERS} c JOIN bcounts b USING (cell),
+     range(1, {EMB_DIM} + 1) t(i)
+"""
+
+
+@register("emb_ivf_build", oracle=_IVF_BUILD_SQL, driver=False)
+def emb_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD half of the trained-IVF split (r7 VERDICT #2): train
+    the coarse quantizer (exact fixed-point Lloyd, 3 rounds — the same
+    trainer emb_kmeans verifies), persist centroids + per-vector cell
+    codes through the manifest snapshot store, and return the persisted
+    centroid table unnested to (cell, pos, cval) with per-cell member
+    counts — so the ORACLE re-derives the whole artifact from raw data
+    and the hash match certifies the stored index bytes, not just a
+    query over them.
+
+    The ANN method matrix measured why this split exists: inline
+    training dominates every trained variant's latency (the serve half
+    reads these artifacts and skips it). Store layout and staleness
+    contract: pipeline/ann_index.py. Scale shape: training is the
+    emb_kmeans plan (nothing sf-proportional collected — the k×dim
+    centroid collect is the documented literal-sized exception); the
+    codes write is one map-side assignment scan."""
+    root = _ensure_ivft_index(spark, sf_dir)
+    cents = ann_index.read_artifact(spark, root, "centroids")
+    counts = (
+        ann_index.read_artifact(spark, root, "codes")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    )
+    return (
+        cents.select("cell", F.posexplode("cq").alias("pos0", "cval"))
+        .select(
+            "cell",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            "cval",
+        )
+        .join(counts, "cell")
+        .select("cell", "pos", "cval", "n_members")
+    )
+
+
+@register("emb_ivf_serve", oracle=_IVFT_SQL, driver=False)
+def emb_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVE half of the trained-IVF split: read the persisted
+    cell codes (vec_id, cell) from the snapshot store — building first
+    only if this corpus version has no committed index — join them to
+    the corpus, and run the identical nprobe=1 search as
+    emb_ivf_ann_trained (shared _ivft_search helper). Output and oracle
+    are the inline variant's, so the hash match proves the stored index
+    serves the same answers as training-in-query; the latency win is
+    the whole point (the matrix prices inline training at ~10× serve).
+
+    Scale shape: serve is ONE vec_id equi-join (codes ⋈ corpus — write
+    codes bucketed next to a bucketed corpus and it is exchange-free,
+    the corpus_store pattern) + the broadcast-query cell probe. No
+    training anywhere on the serve path."""
+    root = _ensure_ivft_index(spark, sf_dir)
+    asg = ann_index.read_artifact(spark, root, "codes")
+    e = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", vx.norm(F.col("embedding"))
+    )
+    return _ivft_search(e.join(asg, "vec_id"))
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Committed store root for the IVF-PQ residual index: `coarse`
+    (cell, cq), `books` (m, code, cell, cq), `codes`
+    (vec_id, cell, c0..c{M-1})."""
+
+    def build(data_dir: str) -> None:
+        _qv, asg, cells, cqs, bcells, books, codes = _ivfpq_train(
+            spark, sf_dir
+        )
+        spark.createDataFrame(
+            list(zip(cells, map(list, cqs))), "cell int, cq array<bigint>"
+        ).coalesce(1).write.parquet(os.path.join(data_dir, "coarse"))
+        spark.createDataFrame(
+            [
+                (m, code, bcells[m][code], list(books[m][code]))
+                for m in range(_PQ_M)
+                for code in range(len(books[m]))
+            ],
+            "m int, code int, cell int, cq array<bigint>",
+        ).coalesce(1).write.parquet(os.path.join(data_dir, "books"))
+        codes.drop("qemb").write.parquet(os.path.join(data_dir, "codes"))
+
+    return ann_index.ensure(
+        sf_dir, "embeddings.parquet", "ivfpq", _IVFPQ_CONSTS, build
+    )
+
+
+def _ivfpq_build_sql() -> str:
+    """Oracle for the persisted IVF-PQ artifacts: re-derive coarse
+    centroids and the four residual codebooks from raw data (the same
+    CTE chains as _ivfpq_sql) and unnest them."""
+    parts = []
+    src = (
+        f"SELECT vec_id, {km.quantize_sql('embedding')} AS qemb"
+        f" FROM embeddings"
+    )
+    cctes, ccent = km.kmeans_train_sql_ctes(
+        src, _KM_K, _KM_ITERS, EMB_DIM, "cv"
+    )
+    parts.append(cctes)
+    parts.append(f"casg AS ({km._assign_sql('cvqv', ccent, EMB_DIM)})")
+    parts.append(
+        f"res AS MATERIALIZED (SELECT a.vec_id, a.cell, a.qemb,"
+        f" list_transform(range(1, {EMB_DIM} + 1),"
+        f" i -> a.qemb[i] - c.cq[i]) AS remb"
+        f" FROM casg a JOIN {ccent} c USING (cell))"
+    )
+    selects = [
+        f"SELECT 'coarse' AS part, cell, -1 AS code,"
+        f" CAST(i AS INTEGER) AS pos, cq[i] AS cval"
+        f" FROM {ccent}, range(1, {EMB_DIM} + 1) t(i)"
+    ]
+    for m in range(_PQ_M):
+        ctes, cent = km.kmeans_train_sql_ctes(
+            f"SELECT vec_id, {_pq_sub_sql('remb', m)} AS qemb FROM res",
+            _PQ_CODES,
+            _PQT_ITERS,
+            _PQ_SUBDIM,
+            f"r{m}",
+        )
+        parts.append(ctes)
+        parts.append(
+            f"r{m}rk AS (SELECT cell, cq,"
+            f" CAST(ROW_NUMBER() OVER (ORDER BY cell) - 1 AS INTEGER)"
+            f" AS code FROM {cent})"
+        )
+        selects.append(
+            f"SELECT 'book{m}' AS part, cell, code,"
+            f" CAST(i AS INTEGER) AS pos, cq[i] AS cval"
+            f" FROM r{m}rk, range(1, {_PQ_SUBDIM} + 1) t(i)"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_IVFPQ_BUILD_SQL = _ivfpq_build_sql()
+
+
+@register("emb_ivfpq_build", oracle=_IVFPQ_BUILD_SQL, driver=False)
+def emb_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD half of the IVF-PQ residual split: train coarse quantizer
+    + four residual codebooks (emb_ivfpq_residual's exact fixed-point
+    trainer), persist coarse/books/codes through the snapshot store,
+    and return the persisted quantizer tables unnested as
+    (part, cell, code, pos, cval) — coarse rows carry code = -1, book
+    rows their 0-based codebook position (the index ADC tables address).
+    The oracle re-derives every value from raw data, certifying the
+    stored artifact bytes end to end. Store layout and staleness:
+    pipeline/ann_index.py; 2-byte-per-subvector codes are the 100 TB
+    stored index, centroids/books are k×dim tables."""
+    root = _ensure_ivfpq_index(spark, sf_dir)
+    coarse = ann_index.read_artifact(spark, root, "coarse")
+    books = ann_index.read_artifact(spark, root, "books")
+    c = coarse.select(
+        F.lit("coarse").alias("part"),
+        "cell",
+        F.lit(-1).cast("int").alias("code"),
+        F.posexplode("cq").alias("pos0", "cval"),
+    )
+    b = books.select(
+        F.concat(F.lit("book"), F.col("m").cast("string")).alias("part"),
+        "cell",
+        "code",
+        F.posexplode("cq").alias("pos0", "cval"),
+    )
+    return c.unionByName(b).select(
+        "part",
+        "cell",
+        "code",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        "cval",
+    )
+
+
+@register("emb_ivfpq_serve", oracle=_IVFPQ_SQL, driver=False)
+def emb_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE half of the IVF-PQ residual split: read coarse centroids +
+    residual codebooks (k×dim literal-sized collects, same budget as
+    the inline variant's training collects) and the persisted 2-byte
+    codes from the snapshot store, attach qemb map-side for the
+    exact-distance verification column, and run the identical
+    nprobe-2 probed residual-ADC search (shared _ivfpq_search helper).
+    Output and oracle are emb_ivfpq_residual's: the hash match proves
+    the stored index answers exactly as training-in-query, at a
+    fraction of the latency (no Lloyd rounds on the serve path).
+
+    Scale shape: one vec_id equi-join (codes ⋈ corpus, bucketable to
+    exchange-free; production serve would also drop the exact_dist
+    column and with it the corpus join entirely — codes alone answer
+    the ADC top-k) + broadcast query tables against the cell equi-key."""
+    root = _ensure_ivfpq_index(spark, sf_dir)
+    coarse = sorted(
+        ann_index.read_artifact(spark, root, "coarse").collect(),
+        key=lambda r: r.cell,
+    )
+    coarse_cells = [r.cell for r in coarse]
+    coarse_cqs = [list(r.cq) for r in coarse]
+    brows = ann_index.read_artifact(spark, root, "books").collect()
+    books: list[list[list[int]]] = [
+        [None] * _PQ_CODES for _ in range(_PQ_M)
+    ]
+    for r in brows:
+        books[r.m][r.code] = list(r.cq)
+    books = [[cq for cq in bk if cq is not None] for bk in books]
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = e.select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
+    codes = ann_index.read_artifact(spark, root, "codes").join(qv, "vec_id")
+    return _ivfpq_search(qv, coarse_cells, coarse_cqs, books, codes)

@@ -1,0 +1,100 @@
+"""Build/serve split of the trained ANN indexes (r7 VERDICT #2).
+
+The oracle hash already certifies each entry against DuckDB; these pins
+state the claims the split itself exists for: (1) serving from the
+stored index returns EXACTLY the inline-trained variant's rows, (2) the
+build is memoized — a second serve call touches the committed snapshot,
+it does not retrain, (3) a corpus re-write routes to a fresh root
+(build-if-stale), and (4) a lost commit race is harmless.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from projekt_data_engineering_iubh_spark.pipeline import ann_index, store
+from projekt_data_engineering_iubh_spark.plans import all_queries
+from projekt_data_engineering_iubh_spark.plans import vector_queries as vq
+
+SF = "/root/testdata/sf0.001"
+_Q = all_queries()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivf_serve_equals_inline_trained(spark):
+    assert _rows(_Q["emb_ivf_serve"].fn(spark, SF)) == _rows(
+        _Q["emb_ivf_ann_trained"].fn(spark, SF)
+    )
+
+
+def test_ivfpq_serve_equals_inline_residual(spark):
+    assert _rows(_Q["emb_ivfpq_serve"].fn(spark, SF)) == _rows(
+        _Q["emb_ivfpq_residual"].fn(spark, SF)
+    )
+
+
+def test_build_is_memoized_and_stale_corpus_rebuilds(spark, tmp_path):
+    # private corpus copy so this test owns the mtime
+    corpus = tmp_path / "sf"
+    corpus.mkdir()
+    src = os.path.join(SF, "embeddings.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, corpus / "embeddings.parquet")
+    else:
+        shutil.copy(src, corpus / "embeddings.parquet")
+    sf_dir = str(corpus)
+
+    root1 = vq._ensure_ivft_index(spark, sf_dir)
+    assert store.is_store(root1)
+    v1 = store.current_version(root1)
+    # second ensure: same root, same committed version — no retrain
+    assert vq._ensure_ivft_index(spark, sf_dir) == root1
+    assert store.current_version(root1) == v1
+
+    # corpus re-write bumps the table dir mtime -> DIFFERENT root
+    os.utime(corpus / "embeddings.parquet")
+    root2 = vq._ensure_ivft_index(spark, sf_dir)
+    assert root2 != root1
+    assert store.is_store(root2)
+
+    # the artifacts themselves are identical (same bytes trained): the
+    # staleness key is conservative, not semantic
+    c1 = sorted(
+        tuple(r)
+        for r in ann_index.read_artifact(spark, root1, "centroids").collect()
+    )
+    c2 = sorted(
+        tuple(r)
+        for r in ann_index.read_artifact(spark, root2, "centroids").collect()
+    )
+    assert c1 == c2
+
+
+def test_commit_race_lost_is_success(spark, tmp_path, monkeypatch):
+    """A builder that loses the commit race must still return a usable
+    root (the winner's snapshot is byte-identical by determinism)."""
+    calls = {"n": 0}
+    real = store.commit_snapshot
+
+    def racing_commit(path, write_fn, **kw):
+        calls["n"] += 1
+        real(path, lambda d: None)  # the "other" builder wins first
+        raise store.CommitConflict("simulated lost race")
+
+    monkeypatch.setattr(ann_index.store, "commit_snapshot", racing_commit)
+    root = ann_index.ensure(
+        str(tmp_path), "nope.parquet", "t", (1,), lambda d: None
+    )
+    assert calls["n"] == 1
+    assert store.is_store(root)
+
+
+def test_serve_entries_registered_with_inline_oracles():
+    assert _Q["emb_ivf_serve"].oracle == _Q["emb_ivf_ann_trained"].oracle
+    assert _Q["emb_ivfpq_serve"].oracle == _Q["emb_ivfpq_residual"].oracle

@@ -112,6 +112,14 @@ LOCAL_ONLY_FAMILY = {
     "docs_vocab_coverage",
     "emb_ivf_ann_trained",
     "emb_pq_adc_trained",
+    # round 8 additions (driver set at budget): the build/serve split of
+    # the trained ANN indexes (#143-#146) — build persists quantizers +
+    # codes via the snapshot store, serve answers from the stored index
+    # (oracle = the inline variant's, so hash match proves equivalence)
+    "emb_ivf_build",
+    "emb_ivf_serve",
+    "emb_ivfpq_build",
+    "emb_ivfpq_serve",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
