@@ -12,15 +12,17 @@ Design for 100 TB of media:
 * partition by size: ``repartitionByRange`` on ``meta.n_bytes`` keeps any
   single task from receiving all the 4K videos.
 
-Codec resolution: an injected decoder/resizer callable wins; otherwise a
-Pillow-backed default is used when Pillow is importable
-(:func:`default_image_decoder` / :func:`default_image_resizer`);
-otherwise the operator raises ``NotImplementedError`` at execution time.
-This container has no PIL/ffmpeg/soundfile, so tests inject
-:func:`fake_image_decoder` / :func:`fake_image_resizer` (deterministic
-from the payload bytes) and the Pillow path is exercised by a test that
-skips when Pillow is absent. The Spark-side plumbing — schema, Arrow
-batching, UDF signatures — is identical either way.
+Codec resolution (r8): an injected decoder/resizer callable wins;
+otherwise the default DISPATCHES per payload — BMP/WAV magic bytes go
+to REAL stdlib codecs (struct-parsed BI_RGB BMP, ``wave``-module PCM
+WAV) that run in every environment, other formats go to Pillow /
+soundfile when importable, and a clean ``NotImplementedError`` is
+raised at execution time otherwise. This container has no
+PIL/ffmpeg/soundfile, so tests exercise the stdlib paths for real,
+inject :func:`fake_image_decoder` / :func:`fake_image_resizer` for
+deterministic plumbing pins, and keep Pillow/soundfile tests
+import-gated. The Spark-side plumbing — schema, Arrow batching, UDF
+signatures — is identical across all codecs.
 """
 
 from __future__ import annotations
@@ -184,9 +186,99 @@ def fake_image_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, in
     return w, h, tw, th, thumb
 
 
+# --- real codec (stdlib): uncompressed BMP via struct ---------------------
+# r7 VERDICT #7: the decode paths were the only code that never ran for
+# real in this container (no Pillow/soundfile). BMP's uncompressed
+# BI_RGB form is fully decodable with the stdlib, so one REAL image
+# decode path now runs in EVERY environment; the default codec
+# dispatches per payload: BMP -> stdlib, anything else -> Pillow when
+# importable, else a clean NotImplementedError at execution time.
+
+
+def _bmp_parse(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """(width, height, top-to-bottom rows of BGR pixel bytes) from an
+    uncompressed 24/32-bit BI_RGB BMP. Raises ValueError on anything
+    else (the dispatcher treats that as 'not my format')."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        raise ValueError("only uncompressed 24/32-bit BI_RGB supported")
+    top_down = h < 0
+    h = abs(h)
+    nbytes = bpp // 8
+    stride = ((w * nbytes + 3) // 4) * 4  # rows padded to 4 bytes
+    if len(payload) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = []
+    for r in range(h):
+        src = r if top_down else h - 1 - r
+        off = data_off + src * stride
+        row = payload[off : off + w * nbytes]
+        if nbytes == 4:  # drop the alpha/padding byte -> BGR triples
+            row = b"".join(row[i : i + 3] for i in range(0, len(row), 4))
+        rows.append(row)
+    return w, h, rows
+
+
+def bmp_image_decoder(payload: bytes) -> tuple[int, int, float]:
+    """Stdlib decoder for uncompressed BMP with the same
+    (width, height, mean_luma) contract as :func:`fake_image_decoder`;
+    luma is Rec.601 over every pixel."""
+    w, h, rows = _bmp_parse(payload)
+    total = 0.0
+    for row in rows:
+        for i in range(0, len(row), 3):
+            b, g, r = row[i], row[i + 1], row[i + 2]
+            total += 0.299 * r + 0.587 * g + 0.114 * b
+    return w, h, total / (w * h * 255.0)
+
+
+def bmp_encode(w: int, h: int, rows: list[bytes]) -> bytes:
+    """Minimal 24-bit BI_RGB writer (top-to-bottom BGR rows in, standard
+    bottom-up file out) — lets the stdlib resizer emit real BMP bytes."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - w * 3)
+    pixel = b"".join(row + pad for row in reversed(rows))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel), 2835, 2835, 0, 0)
+    return header + pixel
+
+
+def bmp_image_resizer(
+    payload: bytes, max_side: int
+) -> tuple[int, int, int, int, bytes]:
+    """Stdlib nearest-neighbor resizer for uncompressed BMP with the
+    same contract as :func:`fake_image_resizer` (longer side exactly
+    max_side via the shared integer-HALF_UP :func:`_fit_longer_side`);
+    the thumbnail payload is itself a decodable 24-bit BMP."""
+    w, h, rows = _bmp_parse(payload)
+    tw, th = _fit_longer_side(w, h, max_side)
+    out_rows = []
+    for ty in range(th):
+        src_row = rows[(ty * h) // th]
+        out = bytearray()
+        for tx in range(tw):
+            sx = (tx * w) // tw
+            out += src_row[sx * 3 : sx * 3 + 3]
+        out_rows.append(bytes(out))
+    return w, h, tw, th, bmp_encode(tw, th, out_rows)
+
+
 # --- real codec (optional): Pillow-backed decode/resize -------------------
 # Pillow is not installed in this container; when it IS importable the
-# operators below become the default codec, with the injectable fakes
+# operators below handle the non-BMP formats, with the injectable fakes
 # still available for deterministic tests.
 
 
@@ -220,22 +312,53 @@ def pillow_image_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, 
     return w, h, tw, th, buf.getvalue()
 
 
-def default_image_decoder() -> Decoder | None:
-    """The Pillow decoder when importable, else None (caller must inject)."""
+def _has_pillow() -> bool:
     try:
         import PIL  # noqa: F401
     except ImportError:
-        return None
-    return pillow_image_decoder
+        return False
+    return True
 
 
-def default_image_resizer() -> Resizer | None:
-    """The Pillow resizer when importable, else None (caller must inject)."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        return None
-    return pillow_image_resizer
+def default_image_decoder() -> Decoder:
+    """Per-payload dispatching default (r8): BMP magic -> the stdlib
+    decoder (runs in EVERY environment); anything else -> Pillow when
+    importable, else a clean NotImplementedError at execution time.
+    Injected decoders still win (callers pass them explicitly)."""
+    pillow = _has_pillow()
+
+    def dispatch(payload: bytes) -> tuple[int, int, float]:
+        if payload[:2] == b"BM":
+            return bmp_image_decoder(payload)
+        if pillow:
+            return pillow_image_decoder(payload)
+        raise NotImplementedError(
+            "no image codec for this payload format (stdlib handles BMP "
+            "only and Pillow is not installed); inject a decoder"
+        )
+
+    return dispatch
+
+
+def default_image_resizer() -> Resizer:
+    """Dispatching default resizer, mirroring
+    :func:`default_image_decoder`: BMP -> stdlib nearest-neighbor,
+    else Pillow, else NotImplementedError at execution time."""
+    pillow = _has_pillow()
+
+    def dispatch(
+        payload: bytes, max_side: int
+    ) -> tuple[int, int, int, int, bytes]:
+        if payload[:2] == b"BM":
+            return bmp_image_resizer(payload, max_side)
+        if pillow:
+            return pillow_image_resizer(payload, max_side)
+        raise NotImplementedError(
+            "no image codec for this payload format (stdlib handles BMP "
+            "only and Pillow is not installed); inject a resizer"
+        )
+
+    return dispatch
 
 
 def resize_images(
@@ -321,13 +444,63 @@ def soundfile_audio_decoder(payload: bytes) -> tuple[int, int, list[float]]:
     return int(rate), int(channels), [float(x) for x in mono]
 
 
-def default_audio_decoder() -> AudioDecoder | None:
-    """The soundfile decoder when importable, else None (caller injects)."""
+def wav_audio_decoder(payload: bytes) -> tuple[int, int, list[float]]:
+    """Stdlib (``wave`` + ``struct``) decoder for PCM WAV with the same
+    contract as :func:`fake_audio_decoder` — so one REAL audio decode
+    path runs in every environment (r8). Handles 8/16/32-bit integer
+    PCM (the ``wave`` module's coverage); channels are mean-mixed to
+    mono exactly like the soundfile decoder."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        channels = wf.getnchannels()
+        width = wf.getsampwidth()
+        n_frames = wf.getnframes()
+        raw = wf.readframes(n_frames)
+    if width == 1:  # unsigned 8-bit
+        vals = [(b - 128) / 128.0 for b in raw]
+    elif width == 2:
+        vals = [v / 32768.0 for v in struct.unpack(f"<{len(raw) // 2}h", raw)]
+    elif width == 4:
+        vals = [
+            v / 2147483648.0
+            for v in struct.unpack(f"<{len(raw) // 4}i", raw)
+        ]
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    if channels > 1:
+        vals = [
+            sum(vals[i : i + channels]) / channels
+            for i in range(0, len(vals), channels)
+        ]
+    return rate, channels, vals
+
+
+def default_audio_decoder() -> AudioDecoder:
+    """Per-payload dispatching default (r8): RIFF/WAVE magic -> the
+    stdlib ``wave`` decoder; anything else -> soundfile when
+    importable, else a clean NotImplementedError at execution time."""
     try:
         import soundfile  # noqa: F401
+
+        have_sf = True
     except ImportError:
-        return None
-    return soundfile_audio_decoder
+        have_sf = False
+
+    def dispatch(payload: bytes) -> tuple[int, int, list[float]]:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return wav_audio_decoder(payload)
+        if have_sf:
+            return soundfile_audio_decoder(payload)
+        raise NotImplementedError(
+            "no audio codec for this payload format (stdlib handles WAV "
+            "only and soundfile is not installed); inject a decoder"
+        )
+
+    return dispatch
 
 
 def extract_audio_features(

@@ -118,6 +118,7 @@ def bpe_train(
     *,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    on_round=None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     sequence [(a, b, pair_count), …] in learned order and the final
@@ -127,7 +128,21 @@ def bpe_train(
     pairs only memorizes individual words). Each round's argmax is one
     collected row — count DESC then (a, b) ASC, a total order over
     exact integers, so the learned sequence is partition- and
-    engine-independent."""
+    engine-independent.
+
+    Training to a real vocabulary budget is this function with
+    n_merges = budget (r8): rounds stay driver-sequenced because
+    EXACTNESS requires it — batching symbol-disjoint merges per stats
+    pass would be safe for the counts of the batched pairs themselves,
+    but a merge (a,b) CREATES pairs (x, ab) whose count can exceed the
+    next batched pair's, so the batched sequence can diverge from the
+    canonical algorithm (and from the pure-Python reference pin). The
+    scale lever is instead bounded lineage: ``checkpoint_every``
+    truncates the fold-upon-fold plan so round cost stays flat — the
+    measured per-round cost curve lives in BASELINE.md (r8 BPE
+    section, tools/bpe_cost_curve.py). ``on_round(i, merge)`` is the
+    instrumentation hook that curve uses (called after each round's
+    merge is applied)."""
     seg = initial_segmentation(word_counts(docs, text_col)).localCheckpoint(
         eager=True
     )
@@ -148,6 +163,8 @@ def bpe_train(
         if (r + 1) % checkpoint_every == 0:
             # flatten the fold-upon-fold lineage (cluster: checkpoint())
             seg = seg.localCheckpoint(eager=True)
+        if on_round is not None:
+            on_round(r, (a, b, cnt))
     return merges, seg
 
 

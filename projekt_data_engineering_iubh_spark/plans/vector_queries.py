@@ -2227,7 +2227,10 @@ def _ivfpq_search(
 ) -> DataFrame:
     """nprobe-cell probed residual-ADC search over encoded codes
     (vec_id, cell, qemb, c0..c{M-1}): shared by the inline entry and
-    the stored-index SERVE entry."""
+    the stored-index SERVE entry. When ``codes`` carries no qemb column
+    (the LEAN serve path), the exact_dist/abs_err verification columns
+    are omitted and the answer comes from the 2-byte codes alone — no
+    corpus join anywhere."""
     coarse_arr = F.array(
         *[F.array(*[F.lit(v) for v in cq]) for cq in coarse_cqs]
     )
@@ -2296,36 +2299,37 @@ def _ivfpq_search(
         F.element_at(F.col(f"t{m}"), F.col(f"c{m}") + 1)
         for m in range(_PQ_M)
     )
-    cand = codes.join(
-        F.broadcast(qtables),
-        (F.col("cell") == F.col("pcell"))
-        & (F.col("vec_id") != F.col("query_id")),
-    ).select(
+    lean = "qemb" not in codes.columns
+    proj = [
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         "cell",
         (adc.cast("double") / F.lit(_PQT_SCALE2)).alias("adc_dist"),
-        (
-            isq(F.col("qq"), F.col("qemb")).cast("double")
-            / F.lit(_PQT_SCALE2)
-        ).alias("exact_dist"),
-    )
+    ]
+    if not lean:
+        proj.append(
+            (
+                isq(F.col("qq"), F.col("qemb")).cast("double")
+                / F.lit(_PQT_SCALE2)
+            ).alias("exact_dist")
+        )
+    cand = codes.join(
+        F.broadcast(qtables),
+        (F.col("cell") == F.col("pcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(*proj)
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        cand.withColumn(
+    if not lean:
+        cand = cand.withColumn(
             "abs_err", F.abs(F.col("adc_dist") - F.col("exact_dist"))
         )
-        .withColumn("rn", F.row_number().over(w).cast("int"))
+    out_cols = ["query_id", "neighbor_id", "cell", "adc_dist"] + (
+        [] if lean else ["exact_dist", "abs_err"]
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= _PQ_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cell",
-            "adc_dist",
-            "exact_dist",
-            "abs_err",
-            "rn",
-        )
+        .select(*out_cols, "rn")
     )
 
 
@@ -2589,3 +2593,131 @@ def emb_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = e.select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
     codes = ann_index.read_artifact(spark, root, "codes").join(qv, "vec_id")
     return _ivfpq_search(qv, coarse_cells, coarse_cqs, books, codes)
+
+
+_IVFPQ_LEAN_SQL = f"""
+SELECT query_id, neighbor_id, cell, adc_dist, rn FROM ({_IVFPQ_SQL})
+"""
+
+# serve-side "client state" memo: the collected codebooks and the fixed
+# query batch are what a FAISS client holds in RAM across requests. The
+# root path already digests (corpus path, mtime, constants), so it is
+# the complete staleness key.
+_IVFPQ_CLIENT_CACHE: dict[tuple, tuple] = {}
+
+
+def _ivfpq_client_state(
+    spark: SparkSession, root: str, sf_dir: str
+) -> tuple[list, list, list, list]:
+    key = (root,)
+    if key in _IVFPQ_CLIENT_CACHE:
+        return _IVFPQ_CLIENT_CACHE[key]
+    coarse = sorted(
+        ann_index.read_artifact(spark, root, "coarse").collect(),
+        key=lambda r: r.cell,
+    )
+    coarse_cells = [r.cell for r in coarse]
+    coarse_cqs = [list(r.cq) for r in coarse]
+    brows = ann_index.read_artifact(spark, root, "books").collect()
+    books: list[list[list[int]]] = [
+        [None] * _PQ_CODES for _ in range(_PQ_M)
+    ]
+    for r in brows:
+        books[r.m][r.code] = list(r.cq)
+    books = [[cq for cq in bk if cq is not None] for bk in books]
+    # the query batch is a fixed-size constant (like the codebooks);
+    # its ADC tables are pure integer arithmetic on driver literals
+    qrows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _PQ_QUERIES)
+        .select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
+        .collect()
+    )
+    state = (coarse_cells, coarse_cqs, books, qrows)
+    _IVFPQ_CLIENT_CACHE[key] = state
+    return state
+
+
+@register("emb_ivfpq_serve_lean", oracle=_IVFPQ_LEAN_SQL, driver=False)
+def emb_ivfpq_serve_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-mode IVF-PQ serve: answers come from the stored 2-byte
+    codes alone — no corpus join, no exact-distance verification column
+    anywhere on the plan (the full emb_ivfpq_serve keeps those for the
+    certification lens). This is the latency the split deploys for: the
+    serve plan is scan codes -> broadcast per-(query, probed-cell) ADC
+    tables -> cell equi-join -> per-query top-k window, so its cost is
+    the codes scan, not the corpus. The oracle is the inline variant's
+    full derivation projected to the served columns — the hash match
+    still certifies every answered (neighbor, adc_dist, rank) exactly.
+
+    Per-query ADC tables are computed DRIVER-side from the collected
+    codebooks and the (fixed-size) query batch, then broadcast as a
+    plain literal table — exactly where FAISS computes them (client
+    CPU, per query, before touching the index). Profiling showed why
+    this matters at small scale: folding the 4×16×16 codebook literals
+    into per-row Spark expressions makes plan compilation/codegen the
+    dominant cost (~4 s against a 20k-row codes table); with the
+    tables as DATA the executor-side expression is four element_at
+    lookups and the plan floor collapses (~6× — measured in the
+    matrix). At 100 TB the same split holds: query-batch work is
+    client-sized, the cluster only scans codes.
+
+    The ANN method matrix records this row's sf1 latency next to
+    brute/inline (BASELINE.md r8): codes-only serving is the only
+    IVF-PQ form whose latency beats the brute-force scan, which is the
+    deployment argument for persisting the index at all."""
+    root = _ensure_ivfpq_index(spark, sf_dir)
+    coarse_cells, coarse_cqs, books, qrows = _ivfpq_client_state(
+        spark, root, sf_dir
+    )
+
+    def py_isq(a: list, b: list) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    qt_rows = []
+    for qr in qrows:
+        qq = list(qr.qemb)
+        ranked = sorted(
+            ((py_isq(qq, cq), c) for c, cq in zip(coarse_cells, coarse_cqs)),
+            key=lambda t: t,
+        )[:_IVFPQ_NPROBE]
+        for _d, pcell in ranked:
+            ci = coarse_cells.index(pcell)
+            qres = [x - c for x, c in zip(qq, coarse_cqs[ci])]
+            tables = [
+                [
+                    py_isq(
+                        qres[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM], cq
+                    )
+                    for cq in books[m]
+                ]
+                for m in range(_PQ_M)
+            ]
+            qt_rows.append((qr.vec_id, pcell, *tables))
+    qtables = spark.createDataFrame(
+        qt_rows,
+        "query_id long, pcell int, "
+        + ", ".join(f"t{m} array<bigint>" for m in range(_PQ_M)),
+    )
+
+    codes = ann_index.read_artifact(spark, root, "codes")
+    adc = sum(
+        F.element_at(F.col(f"t{m}"), F.col(f"c{m}") + 1)
+        for m in range(_PQ_M)
+    )
+    cand = codes.join(
+        F.broadcast(qtables),
+        (F.col("cell") == F.col("pcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (adc.cast("double") / F.lit(_PQT_SCALE2)).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _PQ_K)
+        .select("query_id", "neighbor_id", "cell", "adc_dist", "rn")
+    )

@@ -156,3 +156,28 @@ def test_train3_query_matches_bpe_train(spark):
     assert {r.word: list(r.syms) for r in t_seg.collect()} == q_segs
     # non-vacuous: three distinct merges actually learned
     assert len(set(q_merges)) == 3
+
+
+def test_bpe_train_32_merges_matches_reference_fixture_corpus(spark):
+    """Train-to-a-vocab-budget pin (r7 VERDICT #5): 32 sequential merge
+    rounds over the real fixture corpus must reproduce the pure-Python
+    reference exactly — merge sequence AND final segmentations. 32
+    rounds crosses several checkpoint boundaries (cadence 4), so this
+    also pins that lineage truncation never perturbs results."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wc = {r.word: r.n for r in bpe.word_counts(docs).collect()}
+    ref_merges, ref_segs = _ref_bpe(wc, 32)
+    assert len(ref_merges) == 32, "fixture corpus must sustain 32 merges"
+    rounds = []
+    got_merges, seg = bpe.bpe_train(
+        docs, 32, on_round=lambda i, m: rounds.append((i, m))
+    )
+    assert got_merges == ref_merges
+    assert [m for _i, m in rounds] == ref_merges  # hook sees each round
+    got_segs = {r.word: list(r.syms) for r in seg.collect()}
+    assert got_segs == ref_segs
+    # budget actually buys vocabulary: multi-char symbols compound
+    longest = max(
+        len(s.replace(bpe.EOW, "")) for syms in got_segs.values() for s in syms
+    )
+    assert longest >= 4

@@ -44,8 +44,15 @@ def test_image_features_deterministic(spark, media):
 
 
 def test_missing_codec_raises_cleanly(spark, media):
-    if default_image_decoder() is not None:
+    # the fixture payloads are non-BMP, so the stdlib leg of the r8
+    # dispatching default can't take them; without Pillow the operator
+    # must fail loudly, never silently skip
+    try:
+        import PIL  # noqa: F401
+
         pytest.skip("Pillow installed: the default codec takes over")
+    except ImportError:
+        pass
     feats = extract_image_features(media, decoder=None)
     with pytest.raises(Exception, match="no image codec"):
         feats.collect()
@@ -97,8 +104,12 @@ def test_resize_images_deterministic(spark, media):
 
 
 def test_resize_missing_codec_raises_cleanly(spark, media):
-    if default_image_decoder() is not None:
+    try:
+        import PIL  # noqa: F401
+
         pytest.skip("Pillow installed: the default codec takes over")
+    except ImportError:
+        pass
     with pytest.raises(Exception, match="NotImplementedError|no image codec"):
         resize_images(media).collect()
 
@@ -189,8 +200,12 @@ def test_audio_missing_codec_raises_cleanly(spark):
         extract_audio_features,
     )
 
-    if default_audio_decoder() is not None:
+    try:
+        import soundfile  # noqa: F401
+
         pytest.skip("soundfile installed: the default codec takes over")
+    except ImportError:
+        pass
     media = spark.createDataFrame(
         [(1, "audio", b"x", (1, None, None, None))], MEDIA_SCHEMA
     )
@@ -252,3 +267,149 @@ def test_media_dims_query_matches_python_plumbing(spark):
     assert _fit_longer_side(256, 2, 64) == (64, 1)  # 2*64/256 = 0.5 → 1
     assert _fit_longer_side(256, 6, 64) == (64, 2)  # 1.5 → 2 (even: 2)
     assert _fit_longer_side(256, 10, 64) == (64, 3)  # 2.5 → 3 (round(): 2)
+
+
+# --- stdlib real-codec paths (r8: run in EVERY environment) ---------------
+
+
+def _solid_bmp(w, h, bgr):
+    from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
+        bmp_encode,
+    )
+
+    return bmp_encode(w, h, [bytes(bgr) * w for _ in range(h)])
+
+
+def test_bmp_codec_real_decode_through_operator(spark):
+    """A REAL decode runs with no image library installed: the stdlib
+    BMP codec is the default for BMP payloads, end to end through the
+    Arrow-batched operator. Luma is exact Rec.601 over a solid image."""
+    from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
+        extract_image_features,
+    )
+
+    payload = _solid_bmp(41, 20, (50, 100, 200))  # BGR -> R=200 G=100 B=50
+    media = spark.createDataFrame(
+        [(1, "image", payload, (len(payload), None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    r = extract_image_features(media).collect()[0]  # no injected codec
+    assert (r.width, r.height) == (41, 20)
+    want = (0.299 * 200 + 0.587 * 100 + 0.114 * 50) / 255.0
+    assert r.mean_luma == pytest.approx(want, abs=1e-12)
+
+
+def test_bmp_parse_variants():
+    """Top-down (negative height), 32-bit, and row padding all decode to
+    the same pixels; malformed payloads raise ValueError (the dispatcher
+    contract), never a struct error."""
+    import struct
+
+    from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
+        _bmp_parse,
+        bmp_encode,
+        bmp_image_decoder,
+    )
+
+    rows = [bytes([10, 20, 30, 40, 50, 60]), bytes([70, 80, 90, 100, 110, 120])]
+    base = bmp_encode(2, 2, rows)
+    w, h, got = _bmp_parse(base)
+    assert (w, h, got) == (2, 2, rows)  # bottom-up file -> top-down rows
+    # width 3 exercises the 4-byte row padding (9 -> 12 bytes)
+    pad = bmp_encode(3, 1, [bytes(range(9))])
+    assert _bmp_parse(pad)[2] == [bytes(range(9))]
+    # top-down: flip the height sign; rows must come back identical
+    td = bytearray(base)
+    struct.pack_into("<i", td, 22, -2)
+    # reorder pixel rows to top-down storage to preserve content
+    stride = 8
+    td[54:62], td[62:70] = base[62:70], base[54:62]
+    assert _bmp_parse(bytes(td))[2] == rows
+    for bad in (b"", b"BMxx", b"\x89PNG" + b"\0" * 60, base[:40]):
+        with pytest.raises(ValueError):
+            bmp_image_decoder(bad)
+
+
+def test_bmp_resizer_real_roundtrip(spark):
+    """The stdlib resizer's thumbnail is itself a decodable BMP with
+    exactly the _fit_longer_side dims, through the real operator with
+    no injected codec."""
+    from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
+        _fit_longer_side,
+        bmp_image_decoder,
+        resize_images,
+    )
+
+    payload = _solid_bmp(41, 20, (10, 10, 10))
+    media = spark.createDataFrame(
+        [(1, "image", payload, (len(payload), None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    r = resize_images(media, max_side=32).collect()[0]
+    assert (r.width, r.height) == (41, 20)
+    assert (r.thumb_width, r.thumb_height) == _fit_longer_side(41, 20, 32)
+    tw, th, luma = bmp_image_decoder(bytes(r.thumbnail))
+    assert (tw, th) == (r.thumb_width, r.thumb_height)
+    assert luma == pytest.approx(10 * (0.299 + 0.587 + 0.114) / 255, abs=1e-9)
+
+
+def test_wav_codec_real_decode_through_operator(spark):
+    """A REAL audio decode with no soundfile installed: stdlib wave
+    module handles PCM WAV as the dispatching default. 16-bit stereo is
+    mean-mixed to mono; RMS of a 440 Hz half-scale sine is 0.5/sqrt(2)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
+        extract_audio_features,
+    )
+
+    rate, n = 8000, 800
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        for i in range(n):
+            v = int(0.5 * 32767 * math.sin(2 * math.pi * 440 * i / rate))
+            wf.writeframes(struct.pack("<hh", v, v))  # identical channels
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "audio", payload, (len(payload), None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    r = extract_audio_features(media).collect()[0]
+    assert (r.sample_rate, r.n_channels, r.n_samples) == (rate, 2, n)
+    assert r.duration_s == pytest.approx(n / rate)
+    assert r.rms == pytest.approx(0.5 / math.sqrt(2), rel=1e-2)
+
+
+def test_wav_decoder_widths():
+    """8- and 32-bit PCM decode through the stdlib path too."""
+    import io
+    import struct
+    import wave
+
+    from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
+        wav_audio_decoder,
+    )
+
+    for width, pack, scale in ((1, None, None), (4, "<i", 2147483648)):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(width)
+            wf.setframerate(1000)
+            if width == 1:
+                wf.writeframes(bytes([128, 192, 64, 128]))
+            else:
+                for v in (0, scale // 2, -scale // 2, 0):
+                    wf.writeframes(struct.pack(pack, min(v, scale - 1)))
+        rate, ch, samples = wav_audio_decoder(buf.getvalue())
+        assert (rate, ch, len(samples)) == (1000, 1, 4)
+        assert samples[0] == pytest.approx(0.0, abs=1e-6)
+        assert samples[1] == pytest.approx(
+            0.5, abs=0.01
+        ) and samples[2] == pytest.approx(-0.5, abs=0.01)

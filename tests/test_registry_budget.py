@@ -120,6 +120,7 @@ LOCAL_ONLY_FAMILY = {
     "emb_ivf_serve",
     "emb_ivfpq_build",
     "emb_ivfpq_serve",
+    "emb_ivfpq_serve_lean",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,

@@ -44,6 +44,13 @@ METHODS = {
     "emb_pq_adc_trained": "l2_adc",
     "emb_ivfpq_residual": "l2_adc (nprobe=2, residual codes)",
     "emb_hamming_ann": "hamming_sketch",
+    # r8 build/serve split: the serve halves answer from the committed
+    # snapshot-store index. The FIRST timing run pays the (memoized)
+    # build, so min-of-runs is the pure serve latency — the deployment
+    # number the split exists for.
+    "emb_ivf_serve": "cosine (stored index)",
+    "emb_ivfpq_serve": "l2_adc (stored index, nprobe=2)",
+    "emb_ivfpq_serve_lean": "l2_adc (stored codes ONLY — production serve)",
 }
 K = 10
 
