@@ -466,3 +466,42 @@ def test_new_event_analytics_plan_shapes(spark):
             assert "partial_sum" in plan, plan
         if name != "events_rolling_wau":
             assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_serve_plans_contain_no_training(spark):
+    """The r8 build/serve split's plan contract: a SERVE plan must not
+    replay any Lloyd-round lineage. Training lineage shows up as
+    localCheckpoint scars (`Scan ExistingRDD`) and as the per-round
+    centroid-update aggregates; the serve plans read the committed
+    snapshot instead, so their executed plans carry neither, and the
+    lean IVF-PQ plan collapses to scan-codes -> broadcast-ADC-tables ->
+    one window shuffle."""
+    import re
+
+    lean = plan_of(spark, "emb_ivfpq_serve_lean")
+    # exactly one Scan ExistingRDD is LEGAL: the driver-computed
+    # (fixed-size) ADC-table literal relation that gets broadcast;
+    # a second one would be a localCheckpoint training scar
+    assert lean.count("Scan ExistingRDD") <= 1, lean
+    # the data side must be the stored codes parquet, nothing else
+    assert "v00000001/codes" in lean or "FileScan parquet" in lean, lean
+    shuffles = len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            lean,
+        )
+    )
+    # one window shuffle for the per-query top-k; nothing else
+    assert shuffles <= 1, lean
+    assert lean.count("BroadcastExchange") <= 1, lean
+
+    ivf = plan_of(spark, "emb_ivf_serve")
+    assert "Scan ExistingRDD" not in ivf, ivf
+    # codes join + top-k window; the probe side is broadcast
+    ivf_shuffles = len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            ivf,
+        )
+    )
+    assert ivf_shuffles <= 3, ivf
