@@ -95,3 +95,33 @@ def ensure(
 def read_artifact(spark: SparkSession, root: str, name: str) -> DataFrame:
     """One named artifact (a parquet dir) out of the current snapshot."""
     return spark.read.parquet(os.path.join(store.resolve(root), name))
+
+
+def vacuum_stale(ttl_seconds: float = 7 * 86400) -> list[str]:
+    """Remove index roots not touched for ``ttl_seconds`` (the sweep the
+    staleness design implies: a superseded corpus version's root is
+    never referenced again — its digest can no longer be derived — so
+    age is a safe proxy). A live root removed by a mis-tuned TTL is
+    only a perf hiccup: the next ensure() rebuilds it deterministically.
+    Returns the removed root paths."""
+    import shutil
+    import time
+
+    removed: list[str] = []
+    base = base_dir()
+    if not os.path.isdir(base):
+        return removed
+    now = time.time()
+    for name in sorted(os.listdir(base)):
+        root = os.path.join(base, name)
+        probe = os.path.join(root, store.MANIFEST_FILE)
+        if not os.path.exists(probe):
+            probe = root  # never-committed orphan: age of the dir itself
+        try:
+            age = now - os.path.getmtime(probe)
+        except OSError:
+            continue
+        if age > ttl_seconds:
+            shutil.rmtree(root, ignore_errors=True)
+            removed.append(root)
+    return removed

@@ -2602,8 +2602,11 @@ SELECT query_id, neighbor_id, cell, adc_dist, rn FROM ({_IVFPQ_SQL})
 # serve-side "client state" memo: the collected codebooks and the fixed
 # query batch are what a FAISS client holds in RAM across requests. The
 # root path already digests (corpus path, mtime, constants), so it is
-# the complete staleness key.
+# the complete staleness key. Bounded (r7 dashboard-cache lesson): a
+# long-lived process serving many corpus versions must not grow this
+# without limit — oldest entry evicted past the cap.
 _IVFPQ_CLIENT_CACHE: dict[tuple, tuple] = {}
+_CLIENT_CACHE_CAP = 8
 
 
 def _ivfpq_client_state(
@@ -2634,8 +2637,14 @@ def _ivfpq_client_state(
         .collect()
     )
     state = (coarse_cells, coarse_cqs, books, qrows)
-    _IVFPQ_CLIENT_CACHE[key] = state
+    _client_cache_put(key, state)
     return state
+
+
+def _client_cache_put(key: tuple, state: tuple) -> None:
+    while len(_IVFPQ_CLIENT_CACHE) >= _CLIENT_CACHE_CAP:
+        _IVFPQ_CLIENT_CACHE.pop(next(iter(_IVFPQ_CLIENT_CACHE)))
+    _IVFPQ_CLIENT_CACHE[key] = state
 
 
 @register("emb_ivfpq_serve_lean", oracle=_IVFPQ_LEAN_SQL, driver=False)

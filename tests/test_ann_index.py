@@ -98,3 +98,30 @@ def test_commit_race_lost_is_success(spark, tmp_path, monkeypatch):
 def test_serve_entries_registered_with_inline_oracles():
     assert _Q["emb_ivf_serve"].oracle == _Q["emb_ivf_ann_trained"].oracle
     assert _Q["emb_ivfpq_serve"].oracle == _Q["emb_ivfpq_residual"].oracle
+
+
+def test_vacuum_stale_removes_only_old_roots(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    old = ann_index.ensure(str(tmp_path), "a.parquet", "x", (1,), lambda d: None)
+    new = ann_index.ensure(str(tmp_path), "b.parquet", "y", (2,), lambda d: None)
+    # age the old root's manifest far past the TTL
+    os.utime(os.path.join(old, store.MANIFEST_FILE), (1, 1))
+    removed = ann_index.vacuum_stale(ttl_seconds=3600)
+    assert removed == [old]
+    assert not os.path.exists(old) and store.is_store(new)
+    # a removed root self-heals on the next ensure
+    again = ann_index.ensure(
+        str(tmp_path), "a.parquet", "x", (1,), lambda d: None
+    )
+    assert again == old and store.is_store(again)
+
+
+def test_client_cache_is_bounded():
+    vq._IVFPQ_CLIENT_CACHE.clear()
+    for i in range(vq._CLIENT_CACHE_CAP * 2):
+        vq._client_cache_put((f"root{i}",), (i,))
+    assert len(vq._IVFPQ_CLIENT_CACHE) == vq._CLIENT_CACHE_CAP
+    # newest entries survive, oldest evicted
+    assert (f"root{vq._CLIENT_CACHE_CAP * 2 - 1}",) in vq._IVFPQ_CLIENT_CACHE
+    assert ("root0",) not in vq._IVFPQ_CLIENT_CACHE
+    vq._IVFPQ_CLIENT_CACHE.clear()
