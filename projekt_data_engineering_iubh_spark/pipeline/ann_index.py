@@ -97,6 +97,45 @@ def read_artifact(spark: SparkSession, root: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(store.resolve(root), name))
 
 
+def write_bucketed_serving(
+    spark: SparkSession,
+    corpus: DataFrame,
+    codes: DataFrame,
+    table_prefix: str,
+    *,
+    buckets: int = 16,
+) -> tuple[str, str]:
+    """Materialize the serve join's two sides CO-BUCKETED by vec_id —
+    the deployment layout every serve docstring references: the codes ⋈
+    corpus equi-join then runs with ZERO exchanges (and zero sorts,
+    both sides sortBy the key), proven by
+    tests/test_ann_index.py::test_bucketed_serve_join_is_exchange_free.
+
+    Same design as pipeline/corpus_store.py (shuffle once at write
+    time, never at read; bucket metadata needs the catalog, so these
+    are ``saveAsTable`` tables in the session warehouse). ``corpus``
+    must carry vec_id + the serving columns (embedding, nrm, ...);
+    ``codes`` is the committed index's (vec_id, cell[, c0..]) frame.
+    Returns the two table names."""
+    ct, kt = f"{table_prefix}_corpus", f"{table_prefix}_codes"
+    for df, table in ((corpus, ct), (codes, kt)):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(buckets, "vec_id")
+            .sortBy("vec_id")
+            .saveAsTable(table)
+        )
+    return ct, kt
+
+
+def bucketed_serve_cells(spark: SparkSession, table_prefix: str) -> DataFrame:
+    """The exchange-free serve input: corpus ⋈ codes on vec_id from the
+    co-bucketed tables — feed it to the search helpers
+    (plans/vector_queries._ivft_search)."""
+    ct, kt = f"{table_prefix}_corpus", f"{table_prefix}_codes"
+    return spark.table(ct).join(spark.table(kt), "vec_id")
+
+
 def vacuum_stale(ttl_seconds: float = 7 * 86400) -> list[str]:
     """Remove index roots not touched for ``ttl_seconds`` (the sweep the
     staleness design implies: a superseded corpus version's root is

