@@ -183,3 +183,15 @@ def zorder_write(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def vacuum_ann_indexes(ttl_seconds: float = 7 * 86400) -> list[str]:
+    """Maintenance-pass entry point for the ANN index base dir: remove
+    roots whose corpus version was superseded (see
+    ann_index.vacuum_stale — age is a safe proxy because a superseded
+    root's digest can never be derived again, and a mistakenly removed
+    live root self-heals on the next ensure). Run alongside compact()
+    in the same maintenance window."""
+    from projekt_data_engineering_iubh_spark.pipeline import ann_index
+
+    return ann_index.vacuum_stale(ttl_seconds)

@@ -413,3 +413,52 @@ def test_wav_decoder_widths():
         assert samples[1] == pytest.approx(
             0.5, abs=0.01
         ) and samples[2] == pytest.approx(-0.5, abs=0.01)
+
+
+def test_bmp_codec_roundtrip_property():
+    """Property fuzz (pure Python — no Spark per example): any pixel
+    grid encoded by bmp_encode decodes back exactly (dims + pixel
+    bytes) through _bmp_parse, across odd widths (row padding), 1-pixel
+    edges, and extreme values; and the resizer's output decodes to its
+    declared dims with pixels drawn from the source (nearest-neighbor
+    never invents colors)."""
+    from hypothesis import given, settings, strategies as st
+
+    from projekt_data_engineering_iubh_spark.multimodal.binary_ops import (
+        _bmp_parse,
+        _fit_longer_side,
+        bmp_encode,
+        bmp_image_resizer,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 13),
+        h=st.integers(1, 13),
+        seed=st.integers(0, 2**32 - 1),
+        max_side=st.sampled_from([1, 3, 7, 8]),
+    )
+    def check(w, h, seed, max_side):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            bytes(rng.randrange(256) for _ in range(w * 3)) for _ in range(h)
+        ]
+        payload = bmp_encode(w, h, rows)
+        gw, gh, got = _bmp_parse(payload)
+        assert (gw, gh, got) == (w, h, rows)
+
+        sw, sh, tw, th, thumb = bmp_image_resizer(payload, max_side)
+        assert (sw, sh) == (w, h)
+        assert (tw, th) == _fit_longer_side(w, h, max_side)
+        dw, dh, drows = _bmp_parse(thumb)
+        assert (dw, dh) == (tw, th)
+        src_pixels = {
+            row[i : i + 3] for row in rows for i in range(0, len(row), 3)
+        }
+        for row in drows:
+            for i in range(0, len(row), 3):
+                assert row[i : i + 3] in src_pixels
+
+    check()
