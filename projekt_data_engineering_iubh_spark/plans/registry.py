@@ -61,6 +61,27 @@ def all_queries() -> dict[str, Query]:
     return dict(_REGISTRY)
 
 
+def scalar_schema_violations(schema) -> list[str]:
+    """Columns the external correctness driver cannot canonicalize.
+
+    The driver sorts results through pandas ``sort_values`` before
+    hashing; list/dict-typed cells raise ``TypeError: unhashable type``
+    inside pandas' factorize (observed: CORRECTNESS_r08
+    docs_inverted_index, postings array<long>). Every ``driver=True``
+    entry must therefore ship SCALAR columns only — arrays join to
+    delimited strings, structs flatten to columns. Enforced by
+    tests/test_registry_budget.py (analysis-time, no execution) and by
+    tools/verify_driver.py's pre-flight.
+    """
+    from pyspark.sql import types as T
+
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def driver_queries() -> dict[str, Query]:
     """The curated set the verification driver sees (must fit DRIVER_BUDGET)."""
     return {k: q for k, q in _REGISTRY.items() if q.driver}

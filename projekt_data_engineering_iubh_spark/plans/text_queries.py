@@ -2156,8 +2156,10 @@ r AS (
 SELECT term,
        CAST(COUNT(*) AS BIGINT) AS df,
        CAST(SUM(tf) AS BIGINT) AS cf,
-       list(doc_id ORDER BY doc_id)
-         FILTER (WHERE rn <= {_IDX_POSTINGS_CAP}) AS postings
+       array_to_string(
+         list(doc_id ORDER BY doc_id)
+           FILTER (WHERE rn <= {_IDX_POSTINGS_CAP}),
+         ',') AS postings
 FROM r
 GROUP BY 1
 """
@@ -2177,7 +2179,13 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: postings are array_sort-ed (collect_list order is
     shuffle-order); the rank's (term; doc_id) window gives the same
-    bounded prefix on any partitioning."""
+    bounded prefix on any partitioning.
+
+    Output contract: postings ship as a comma-joined STRING, not
+    array<long> — the external correctness driver canonicalizes
+    results through pandas sort_values, which cannot hash list-typed
+    cells; every driver-eligible entry must emit scalar columns only
+    (enforced at registration, see plans/registry.py)."""
     d = spread(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
@@ -2190,10 +2198,19 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
-        F.array_sort(
-            F.collect_list(
-                F.when(F.col("rn") <= _IDX_POSTINGS_CAP, F.col("doc_id"))
-            )
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= _IDX_POSTINGS_CAP,
+                            F.col("doc_id"),
+                        )
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
         ).alias("postings"),
     )
 

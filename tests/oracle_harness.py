@@ -86,11 +86,40 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def compare(name: str, spark_df, oracle: str, con) -> list[str]:
+def driver_canon_violations(name: str, df: pd.DataFrame) -> list[str]:
+    """Replicate the EXTERNAL driver's canonicalization (raw pandas
+    sort_values over every column, then hash) and report anything it
+    would crash on. The local canon above stringifies lists; the
+    driver's does not (CORRECTNESS_r08: docs_inverted_index red row,
+    ``TypeError: unhashable type: 'list'`` in factorize) — so driver
+    entries must survive THIS path, not just ours."""
+    try:
+        df.sort_values(by=sorted(df.columns))
+    except TypeError as exc:
+        return [f"{name}: driver canon would crash: {exc}"]
+    bad = [
+        c
+        for c in df.columns
+        if df[c].map(lambda v: isinstance(v, (list, dict, set))).any()
+        or df[c].map(lambda v: type(v).__name__ == "ndarray").any()
+    ]
+    if bad:
+        return [f"{name}: non-scalar cells in driver entry columns {bad}"]
+    return []
+
+
+def compare(
+    name: str, spark_df, oracle: str, con, *, driver_contract: bool = False
+) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = pass)."""
     problems: list[str] = []
     sp = spark_df.toPandas()
     du = con.execute(oracle).fetchdf()
+    if driver_contract:
+        problems += driver_canon_violations(name, sp)
+        problems += driver_canon_violations(f"{name} (oracle)", du)
+        if problems:
+            return problems
     if sorted(sp.columns) != sorted(du.columns):
         problems.append(
             f"{name}: columns differ spark={sorted(sp.columns)} duck={sorted(du.columns)}"

@@ -568,7 +568,9 @@ def test_inverted_index_matches_python_tokenizer(spark, duck):
     for term, per_doc in tf.items():
         r = rows[term]
         docs = sorted(per_doc)
-        assert (r.df, r.cf, list(r.postings)) == (
+        # postings ship as a comma-joined string (driver scalar contract)
+        got = [int(x) for x in r.postings.split(",")] if r.postings else []
+        assert (r.df, r.cf, got) == (
             len(docs), sum(per_doc.values()), docs[:20]
         ), (term, r)
 

@@ -146,3 +146,24 @@ def test_driver_entries_have_oracles():
         if q.oracle is None and n not in rows_only
     ]
     assert not missing, f"driver entries without oracle SQL: {missing}"
+
+
+def test_driver_entries_emit_scalar_columns_only(spark, sf_dir):
+    """The external driver canonicalizes results through raw pandas
+    sort_values; list/map/struct cells crash it before any comparison
+    runs (CORRECTNESS_r08: docs_inverted_index, array<long> postings ->
+    TypeError: unhashable type 'list'). Analysis-time schema check —
+    no execution — over every driver=True entry."""
+    from projekt_data_engineering_iubh_spark.plans.registry import (
+        scalar_schema_violations,
+    )
+
+    bad: dict[str, list[str]] = {}
+    for name, q in driver_queries().items():
+        v = scalar_schema_violations(q.fn(spark, sf_dir).schema)
+        if v:
+            bad[name] = v
+    assert not bad, (
+        f"driver entries with non-scalar output columns (the driver's "
+        f"pandas canon cannot hash these): {bad}"
+    )

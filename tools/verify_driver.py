@@ -235,6 +235,7 @@ def main() -> int:
     assert n > 0
 
     qs, osql = e.queries(), e.oracle_sql()
+    driver_names = set(qs)  # entries the external driver actually runs
     if args.include_local:
         from projekt_data_engineering_iubh_spark.plans.registry import (
             all_queries,
@@ -253,7 +254,13 @@ def main() -> int:
             failures.append(f"{name}: not a driver query")
             print(name, "NOT A DRIVER QUERY")
             continue
-        r = compare(name, qs[name](spark, args.sf_dir), osql[name], con)
+        r = compare(
+            name,
+            qs[name](spark, args.sf_dir),
+            osql[name],
+            con,
+            driver_contract=name in driver_names,
+        )
         print(name, r or "MATCH")
         if r:
             failures.append(f"{name}: {r}")
