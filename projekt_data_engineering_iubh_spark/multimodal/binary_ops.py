@@ -198,7 +198,8 @@ def fake_image_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, in
 def _bmp_parse(payload: bytes) -> tuple[int, int, list[bytes]]:
     """(width, height, top-to-bottom rows of BGR pixel bytes) from an
     uncompressed 24/32-bit BI_RGB BMP. Raises ValueError on anything
-    else (the dispatcher treats that as 'not my format')."""
+    else (the dispatcher falls back to Pillow when importable, and
+    re-raises only once no codec is left — r9)."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -329,12 +330,20 @@ def default_image_decoder() -> Decoder:
 
     def dispatch(payload: bytes) -> tuple[int, int, float]:
         if payload[:2] == b"BM":
-            return bmp_image_decoder(payload)
+            try:
+                return bmp_image_decoder(payload)
+            except (ValueError, NotImplementedError):
+                # BMP magic but a variant the stdlib parser rejects
+                # (palette/RLE/16-bit) — Pillow decodes those when
+                # installed; only raise once no codec is left
+                if not pillow:
+                    raise
         if pillow:
             return pillow_image_decoder(payload)
         raise NotImplementedError(
-            "no image codec for this payload format (stdlib handles BMP "
-            "only and Pillow is not installed); inject a decoder"
+            "no image codec for this payload format (stdlib handles "
+            "uncompressed 24/32-bit BMP only and Pillow is not "
+            "installed); inject a decoder"
         )
 
     return dispatch
@@ -350,12 +359,17 @@ def default_image_resizer() -> Resizer:
         payload: bytes, max_side: int
     ) -> tuple[int, int, int, int, bytes]:
         if payload[:2] == b"BM":
-            return bmp_image_resizer(payload, max_side)
+            try:
+                return bmp_image_resizer(payload, max_side)
+            except (ValueError, NotImplementedError):
+                if not pillow:
+                    raise
         if pillow:
             return pillow_image_resizer(payload, max_side)
         raise NotImplementedError(
-            "no image codec for this payload format (stdlib handles BMP "
-            "only and Pillow is not installed); inject a resizer"
+            "no image codec for this payload format (stdlib handles "
+            "uncompressed 24/32-bit BMP only and Pillow is not "
+            "installed); inject a resizer"
         )
 
     return dispatch
@@ -492,12 +506,22 @@ def default_audio_decoder() -> AudioDecoder:
 
     def dispatch(payload: bytes) -> tuple[int, int, list[float]]:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            return wav_audio_decoder(payload)
+            import wave
+
+            try:
+                return wav_audio_decoder(payload)
+            except (ValueError, NotImplementedError, wave.Error, EOFError):
+                # RIFF/WAVE magic but outside the wave module's coverage
+                # (24-bit or float PCM, compressed formats) — soundfile
+                # decodes those when installed
+                if not have_sf:
+                    raise
         if have_sf:
             return soundfile_audio_decoder(payload)
         raise NotImplementedError(
-            "no audio codec for this payload format (stdlib handles WAV "
-            "only and soundfile is not installed); inject a decoder"
+            "no audio codec for this payload format (stdlib handles "
+            "8/16/32-bit integer PCM WAV only and soundfile is not "
+            "installed); inject a decoder"
         )
 
     return dispatch

@@ -50,19 +50,48 @@ def base_dir() -> str:
     return os.environ.get("SPARK_GRAFT_INDEX_DIR", DEFAULT_BASE)
 
 
+def _corpus_fingerprint(path: str) -> tuple:
+    """Stable identity of the corpus bytes under ``path``.
+
+    Folds every data file's (relative name, size, mtime) — not the bare
+    directory mtime, which does NOT change when file CONTENTS are
+    rewritten in place (r8 ADVICE: an in-place rewrite silently served a
+    stale index). A single-file corpus contributes its own (size,
+    mtime); a missing path contributes a sentinel so the digest still
+    resolves (the build then fails loudly on read, not on digest).
+    """
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_size, st.st_mtime),)
+    if os.path.isdir(path):
+        out = []
+        for dirpath, _dirnames, filenames in os.walk(path):
+            for f in filenames:
+                fp = os.path.join(dirpath, f)
+                try:
+                    st = os.stat(fp)
+                except OSError:
+                    continue
+                out.append(
+                    (os.path.relpath(fp, path), st.st_size, st.st_mtime)
+                )
+        return tuple(sorted(out))
+    return (("<missing>", -1, -1.0),)
+
+
 def index_root(sf_dir: str, table: str, kind: str, constants: tuple) -> str:
     """Deterministic store root for (corpus version, index geometry).
 
-    The digest covers the table's absolute path AND dir mtime, so a
-    corpus re-write yields a different root (build-if-stale without any
-    invalidation protocol), plus every constant that shapes the index.
+    The digest covers the table's absolute path AND a full listing of
+    its data files' (name, size, mtime), so any corpus re-write —
+    including an in-place same-name content rewrite — yields a
+    different root (build-if-stale without any invalidation protocol),
+    plus every constant that shapes the index.
     """
     path = os.path.abspath(os.path.join(sf_dir, table))
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = -1.0
-    key = repr((path, mtime, kind, constants)).encode()
+    key = repr(
+        (path, _corpus_fingerprint(path), kind, constants)
+    ).encode()
     digest = hashlib.sha256(key).hexdigest()[:16]
     return os.path.join(base_dir(), f"{kind}_{digest}")
 

@@ -57,11 +57,42 @@ def test_build_is_memoized_and_stale_corpus_rebuilds(spark, tmp_path):
     assert vq._ensure_ivft_index(spark, sf_dir) == root1
     assert store.current_version(root1) == v1
 
-    # corpus re-write bumps the table dir mtime -> DIFFERENT root
+    # corpus re-write (file touched) -> DIFFERENT root
     os.utime(corpus / "embeddings.parquet")
     root2 = vq._ensure_ivft_index(spark, sf_dir)
     assert root2 != root1
     assert store.is_store(root2)
+
+    # in-place CONTENT rewrite inside a part-file directory, with the
+    # directory mtime pinned back — the r8 digest (bare dir mtime) served
+    # a stale index here; the r9 fingerprint folds every file's
+    # (name, size, mtime) so the root must still change
+    tblpath = corpus / "embeddings.parquet"
+    if os.path.isdir(tblpath):
+        dir_stat = os.stat(tblpath)
+        part = next(
+            p for p in sorted(tblpath.iterdir()) if p.suffix == ".parquet"
+        )
+        os.utime(part, (part.stat().st_atime, part.stat().st_mtime + 7))
+        os.utime(tblpath, (dir_stat.st_atime, dir_stat.st_mtime))
+        assert vq._ensure_ivft_index(spark, sf_dir) != root2
+    else:
+        # single-file corpus: a same-mtime SIZE change must still move
+        # the root (content identity, not timestamps alone)
+        before = ann_index.index_root(
+            sf_dir, "embeddings.parquet", "probe", ("k",)
+        )
+        st = os.stat(tblpath)
+        with open(tblpath, "ab") as f:
+            f.write(b"\0")
+        os.utime(tblpath, (st.st_atime, st.st_mtime))
+        after = ann_index.index_root(
+            sf_dir, "embeddings.parquet", "probe", ("k",)
+        )
+        with open(tblpath, "r+b") as f:
+            f.truncate(st.st_size)  # restore valid parquet bytes
+        os.utime(tblpath, (st.st_atime, st.st_mtime))
+        assert after != before
 
     # the artifacts themselves are identical (same bytes trained): the
     # staleness key is conservative, not semantic

@@ -462,3 +462,89 @@ def test_bmp_codec_roundtrip_property():
                 assert row[i : i + 3] in src_pixels
 
     check()
+
+
+def test_dispatch_falls_back_on_unsupported_bmp_variant(monkeypatch):
+    """A payload with BMP magic that the stdlib parser rejects (16-bit,
+    RLE, palette) must fall through to Pillow when importable — r8's
+    dispatch raised unconditionally on BMP magic, silently regressing
+    environments that ship Pillow (ADVICE r8)."""
+    import struct
+
+    from projekt_data_engineering_iubh_spark.multimodal import binary_ops
+
+    # minimal 16-bit BMP header: valid magic, bpp the stdlib rejects
+    hdr = bytearray(binary_ops.bmp_encode(1, 1, [b"\x01\x02\x03"]))
+    struct.pack_into("<H", hdr, 28, 16)
+    bmp16 = bytes(hdr)
+    with pytest.raises(ValueError):
+        binary_ops._bmp_parse(bmp16)
+
+    # no Pillow: the stdlib error propagates (clean, no struct error)
+    monkeypatch.setattr(binary_ops, "_has_pillow", lambda: False)
+    with pytest.raises((ValueError, NotImplementedError)):
+        binary_ops.default_image_decoder()(bmp16)
+    with pytest.raises((ValueError, NotImplementedError)):
+        binary_ops.default_image_resizer()(bmp16, 8)
+
+    # Pillow importable: the dispatcher must route the rejected payload
+    # to the Pillow path instead of raising
+    monkeypatch.setattr(binary_ops, "_has_pillow", lambda: True)
+    monkeypatch.setattr(
+        binary_ops, "pillow_image_decoder", lambda p: (7, 9, 0.5)
+    )
+    monkeypatch.setattr(
+        binary_ops,
+        "pillow_image_resizer",
+        lambda p, m: (7, 9, 3, 4, b"thumb"),
+    )
+    assert binary_ops.default_image_decoder()(bmp16) == (7, 9, 0.5)
+    assert binary_ops.default_image_resizer()(bmp16, 8) == (
+        7, 9, 3, 4, b"thumb",
+    )
+    # supported BMPs still take the stdlib path (sentinels untouched)
+    ok = binary_ops.bmp_encode(1, 1, [b"\x01\x02\x03"])
+    assert binary_ops.default_image_decoder()(ok) != (7, 9, 0.5)
+
+
+def test_dispatch_falls_back_on_unsupported_wav_variant(monkeypatch):
+    """RIFF/WAVE payloads outside the wave module's coverage (24-bit
+    PCM) must fall through to soundfile when importable."""
+    import io
+    import sys
+    import types
+    import wave
+
+    from projekt_data_engineering_iubh_spark.multimodal import binary_ops
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)  # 24-bit: stdlib decoder raises
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x01\x02" * 4)
+    wav24 = buf.getvalue()
+    with pytest.raises(NotImplementedError):
+        binary_ops.wav_audio_decoder(wav24)
+
+    # soundfile absent (this container): the stdlib error propagates
+    if "soundfile" not in sys.modules:
+        with pytest.raises(NotImplementedError):
+            binary_ops.default_audio_decoder()(wav24)
+
+    # fake an importable soundfile and a sentinel decoder: the
+    # dispatcher must route the 24-bit payload there
+    monkeypatch.setitem(sys.modules, "soundfile", types.ModuleType("soundfile"))
+    monkeypatch.setattr(
+        binary_ops, "soundfile_audio_decoder", lambda p: (8000, 1, [0.25])
+    )
+    assert binary_ops.default_audio_decoder()(wav24) == (8000, 1, [0.25])
+    # supported WAVs still take the stdlib path
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x40" * 4)
+    got = binary_ops.default_audio_decoder()(buf2.getvalue())
+    assert got[0] == 8000 and got[2] != [0.25]

@@ -483,8 +483,11 @@ def test_serve_plans_contain_no_training(spark):
     # (fixed-size) ADC-table literal relation that gets broadcast;
     # a second one would be a localCheckpoint training scar
     assert lean.count("Scan ExistingRDD") <= 1, lean
-    # the data side must be the stored codes parquet, nothing else
-    assert "v00000001/codes" in lean or "FileScan parquet" in lean, lean
+    # the data side must be the STORED codes artifact (any snapshot
+    # version), nothing else — a bare FileScan of the raw embeddings
+    # would mean the serve path retrained instead of reading the index
+    assert re.search(r"v\d{8}[/\\]codes", lean), lean
+    assert "embeddings.parquet" not in lean, lean
     shuffles = len(
         re.findall(
             r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",

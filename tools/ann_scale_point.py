@@ -92,16 +92,20 @@ def main() -> int:
     qs = all_queries()
     rows = {}
     for name in METHODS:
+        has_build = "serve" in name  # brute has no index build step
         times = []
-        for r in range(args.runs + 1):  # +1: first run pays index build
+        for r in range(args.runs + (1 if has_build else 0)):
             t0 = time.time()
             qs[name].fn(spark, args.out).count()
             times.append(round(time.time() - t0, 3))
-        rows[name] = {
-            "build_plus_first_run_sec": times[0],
-            "serve_sec_min": min(times[1:]),
-            "runs": times[1:],
-        }
+        if has_build:
+            rows[name] = {
+                "build_plus_first_run_sec": times[0],
+                "serve_sec_min": min(times[1:]),
+                "runs": times[1:],
+            }
+        else:
+            rows[name] = {"serve_sec_min": min(times), "runs": times}
     print(
         json.dumps(
             {"out": args.out, "n_vectors": n, "copies": args.copies,
