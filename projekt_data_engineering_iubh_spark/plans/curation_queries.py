@@ -71,7 +71,7 @@ GROUP BY 1
 """
 
 
-@register("docs_decontaminate", oracle=_DECON_SQL)
+@register("docs_decontaminate", oracle=_DECON_SQL, driver=False)
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing ≥1 distinct word
     5-gram with any eval-set doc, with how many grams / eval docs they hit.
@@ -284,7 +284,7 @@ FROM ordered GROUP BY 1, 2
 """
 
 
-@register("docs_pack_sequences", oracle=_PACK_SQL)
+@register("docs_pack_sequences", oracle=_PACK_SQL, driver=False)
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: deterministically order each
     language shard by doc-id hash, run a token-count prefix sum, and
@@ -526,7 +526,7 @@ FROM ranked GROUP BY 1
 """
 
 
-@register("docs_span_dedup", oracle=_SPAN_SQL)
+@register("docs_span_dedup", oracle=_SPAN_SQL, driver=False)
 def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-span removal (the C4 pipeline's span dedup,
     there over three-sentence spans; here over fixed 8-token spans since
@@ -639,7 +639,7 @@ FROM assigned
 """
 
 
-@register("docs_mixture_epochs", oracle=_MIX_SQL)
+@register("docs_mixture_epochs", oracle=_MIX_SQL, driver=False)
 def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-sampled language mixture (T=2): rebalance the corpus
     toward q_l ∝ p_l^(1/2) — the standard multilingual-training upweight
@@ -719,7 +719,7 @@ from projekt_data_engineering_iubh_spark.operators.quality_model import (  # noq
 )
 
 
-@register("docs_quality_model", oracle=QUALITY_MODEL_SQL)
+@register("docs_quality_model", oracle=QUALITY_MODEL_SQL, driver=False)
 def docs_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-bootstrapped naive-Bayes quality classifier: fit on the
     heuristic score's unambiguous good/bad slices (CCNet-style reference
@@ -822,7 +822,7 @@ FROM hits h2 LEFT JOIN exact e ON e.h = h2.h
 """
 
 
-@register("docs_bloom_membership", oracle=_BLOOM_SQL)
+@register("docs_bloom_membership", oracle=_BLOOM_SQL, driver=False)
 def docs_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter corpus-membership probe: does an arriving document's
     content hash (maybe) already exist in the corpus? The classic
@@ -1935,7 +1935,7 @@ FROM est JOIN ex USING (source)
 """
 
 
-@register("docs_hll_distinct", oracle=_HLL_SQL, driver=False)
+@register("docs_hll_distinct", oracle=_HLL_SQL)
 def docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit HyperLogLog distinct-count sketch per source — completes
     the engine-portable mergeable-sketch trio next to Bloom membership
@@ -2019,7 +2019,7 @@ LIMIT {_WS_K}
 """
 
 
-@register("docs_weighted_sample", oracle=_WS_SQL, driver=False)
+@register("docs_weighted_sample", oracle=_WS_SQL)
 def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement, Efraimidis–Spirakis 2006:
     draw k=50 documents with probability proportional to length

@@ -1125,7 +1125,7 @@ FROM per_cust GROUP BY c_count
 """
 
 
-@register("q13_customer_distribution", oracle=_Q13_SQL)
+@register("q13_customer_distribution", oracle=_Q13_SQL, driver=False)
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: outer join with a join-side predicate (the
     filter must live in the JOIN condition, not a post-filter — a
@@ -1321,7 +1321,7 @@ WHERE rev.rd = (SELECT MAX(rd) FROM rev)
 """
 
 
-@register("q15_top_supplier", oracle=_Q15_SQL)
+@register("q15_top_supplier", oracle=_Q15_SQL, driver=False)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: aggregate-of-aggregate — a revenue "view" per
     supplier over one quarter, filtered to the row(s) equal to the
@@ -1449,7 +1449,7 @@ LIMIT 20
 """
 
 
-@register("q10_returned_items", oracle=_Q10_SQL)
+@register("q10_returned_items", oracle=_Q10_SQL, driver=False)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer over a
     quarter, top 20. The fact-fact join aggregates FIRST (orders x
@@ -1509,7 +1509,7 @@ GROUP BY cn.n_name, sn.n_name, l_year
 """
 
 
-@register("q7_nation_volume", oracle=_Q7_SQL, driver=False)
+@register("q7_nation_volume", oracle=_Q7_SQL)
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
     year — a five-join chain where the SAME dimension (nation) joins
@@ -1775,7 +1775,7 @@ FROM z GROUP BY 1
 """
 
 
-@register("lineitem_zorder_blocks", oracle=_ZORDER_SQL, driver=False)
+@register("lineitem_zorder_blocks", oracle=_ZORDER_SQL)
 def lineitem_zorder_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout blocks over lineitem's two query
     dimensions — the multi-dimensional data-layout lever behind Delta's
@@ -1857,7 +1857,7 @@ FROM c
 """
 
 
-@register("orders_benford", oracle=_BENFORD_SQL, driver=False)
+@register("orders_benford", oracle=_BENFORD_SQL)
 def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit conformance over order totals — the
     forensic data-quality test for fabricated or truncated monetary

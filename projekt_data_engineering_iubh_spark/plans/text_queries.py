@@ -580,7 +580,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAMMING_MAX}
 )
 
 
-@register("docs_simhash_neardup", oracle=_SIMHASH_PAIRS_SQL)
+@register("docs_simhash_neardup", oracle=_SIMHASH_PAIRS_SQL, driver=False)
 def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 4×15-bit band blocking, then Hamming ≤ 3 verify —
     the classic Manku/Jain/Sarma web-dedup scheme, linear via band join."""
@@ -1093,7 +1093,7 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("docs_dedup_clusters_star", oracle=_DEDUP_CLUSTERS_SQL)
+@register("docs_dedup_clusters_star", oracle=_DEDUP_CLUSTERS_SQL, driver=False)
 def docs_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_dedup_clusters computed by the LARGE-STAR/SMALL-STAR
     connected-components operator (operators/connected_components.py::
@@ -1384,7 +1384,7 @@ JOIN comp ON d.doc_id = comp.doc_id AND d.doc_id = comp.cluster_id
 _CORPUS_SQL = _corpus_sql(_QUAL_HEURISTIC_CTES)
 
 
-@register("docs_corpus_curated", oracle=_CORPUS_SQL)
+@register("docs_corpus_curated", oracle=_CORPUS_SQL, driver=False)
 def docs_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLIED corpus pipeline (pipeline/corpus.py::curate) as an
     oracle-verified query: language + quality gates, transitive LSH

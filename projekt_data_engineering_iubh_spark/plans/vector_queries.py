@@ -698,7 +698,7 @@ FROM r WHERE rn <= {_SQ_K}
 """
 
 
-@register("emb_quantize_int8", oracle=_SQ_SQL)
+@register("emb_quantize_int8", oracle=_SQ_SQL, driver=False)
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized (int8) similarity search with asymmetric distance
     computation: unit-normalize every vector, quantize corpus vectors to
@@ -1319,7 +1319,7 @@ FROM j LEFT JOIN drops d ON d.vec_id = j.vec_id
 """
 
 
-@register("emb_semantic_dedup", oracle=_SEM_SQL)
+@register("emb_semantic_dedup", oracle=_SEM_SQL, driver=False)
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication, SemDeDup-style: train k-means (the
     emb_kmeans chain), then WITHIN each cell drop every vector that has a
@@ -1751,7 +1751,7 @@ JOIN v3 ON v3.dim = means.dim
 """
 
 
-@register("emb_top_pc_power", oracle=_pc_sql(), driver=False)
+@register("emb_top_pc_power", oracle=_pc_sql())
 def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal component of the embedding covariance by POWER
     ITERATION — distributed linear algebra as a lazy DataFrame loop (the
@@ -1915,7 +1915,7 @@ GROUP BY 1
 )
 
 
-@register("emb_pc_outliers", oracle=_PC_OUTLIERS_SQL, driver=False)
+@register("emb_pc_outliers", oracle=_PC_OUTLIERS_SQL)
 def emb_pc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The USE of the trained component (emb_top_pc_power): project
     every embedding onto the round-3 iterate and screen for semantic
@@ -1994,17 +1994,19 @@ def emb_pc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_NPROBE = 2
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_sql(normalized: bool = False) -> str:
     """The full IVF-PQ oracle: coarse k-means CTE chain -> residuals ->
     per-subspace k-means on residual slices -> encoded corpus ->
     nprobe-2 probed cells per query -> per-(query, cell) residual ADC
-    -> top-k, with the exact fixed-point distance alongside."""
+    -> top-k, with the exact fixed-point distance alongside.
+    ``normalized=True`` mirrors _ivfpq_train's cosine-faithful variant
+    (unit-normalize before quantization)."""
     parts = []
     # coarse quantizer (same geometry as the trained IVF)
-    src = (
-        f"SELECT vec_id, {km.quantize_sql('embedding')} AS qemb"
-        f" FROM embeddings"
+    qsql = (
+        km.quantize_normalized_sql if normalized else km.quantize_sql
     )
+    src = f"SELECT vec_id, {qsql('embedding')} AS qemb FROM embeddings"
     cctes, ccent = km.kmeans_train_sql_ctes(
         src, _KM_K, _KM_ITERS, EMB_DIM, "cv"
     )
@@ -2139,14 +2141,19 @@ def _isq(a: F.Column, b: F.Column) -> F.Column:
 
 
 def _ivfpq_train(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, normalized: bool = False
 ) -> tuple[DataFrame, DataFrame, list, list, list, list, DataFrame]:
     """IVF-PQ training + corpus encoding, shared by the inline entry and
     the index BUILD: returns (qv, cell assignment, coarse cell ids,
     coarse centroids, per-book cell ids, residual codebooks, encoded
-    codes with qemb attached). Codebooks are k×dim driver literals."""
+    codes with qemb attached). Codebooks are k×dim driver literals.
+
+    ``normalized=True`` unit-normalizes every vector BEFORE fixed-point
+    quantization (km.quantize_normalized) so L2/ADC order == cosine
+    order — the cosine-faithful index variant (r9)."""
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    qv = e.select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
+    q = km.quantize_normalized if normalized else km.quantize
+    qv = e.select("vec_id", q(F.col("embedding")).alias("qemb"))
     coarse = (
         km.kmeans_train(qv, _KM_K, _KM_ITERS, EMB_DIM)
         .orderBy("cell")
@@ -2423,7 +2430,7 @@ def emb_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_ivf_serve", oracle=_IVFT_SQL, driver=False)
+@register("emb_ivf_serve", oracle=_IVFT_SQL)
 def emb_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVE half of the trained-IVF split: read the persisted
     cell codes (vec_id, cell) from the snapshot store — building first
@@ -2446,14 +2453,17 @@ def emb_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivft_search(e.join(asg, "vec_id"))
 
 
-def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+def _ensure_ivfpq_index(
+    spark: SparkSession, sf_dir: str, normalized: bool = False
+) -> str:
     """Committed store root for the IVF-PQ residual index: `coarse`
     (cell, cq), `books` (m, code, cell, cq), `codes`
-    (vec_id, cell, c0..c{M-1})."""
+    (vec_id, cell, c0..c{M-1}). ``normalized=True`` builds the
+    cosine-faithful index (separate kind -> separate root)."""
 
     def build(data_dir: str) -> None:
         _qv, asg, cells, cqs, bcells, books, codes = _ivfpq_train(
-            spark, sf_dir
+            spark, sf_dir, normalized
         )
         spark.createDataFrame(
             list(zip(cells, map(list, cqs))), "cell int, cq array<bigint>"
@@ -2469,7 +2479,11 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
         codes.drop("qemb").write.parquet(os.path.join(data_dir, "codes"))
 
     return ann_index.ensure(
-        sf_dir, "embeddings.parquet", "ivfpq", _IVFPQ_CONSTS, build
+        sf_dir,
+        "embeddings.parquet",
+        "ivfpq_cos" if normalized else "ivfpq",
+        _IVFPQ_CONSTS + (("norm",) if normalized else ()),
+        build,
     )
 
 
@@ -2610,9 +2624,9 @@ _CLIENT_CACHE_CAP = 8
 
 
 def _ivfpq_client_state(
-    spark: SparkSession, root: str, sf_dir: str
+    spark: SparkSession, root: str, sf_dir: str, normalized: bool = False
 ) -> tuple[list, list, list, list]:
-    key = (root,)
+    key = (root,)  # root already encodes the kind (ivfpq vs ivfpq_cos)
     if key in _IVFPQ_CLIENT_CACHE:
         return _IVFPQ_CLIENT_CACHE[key]
     coarse = sorted(
@@ -2630,10 +2644,11 @@ def _ivfpq_client_state(
     books = [[cq for cq in bk if cq is not None] for bk in books]
     # the query batch is a fixed-size constant (like the codebooks);
     # its ADC tables are pure integer arithmetic on driver literals
+    q = km.quantize_normalized if normalized else km.quantize
     qrows = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < _PQ_QUERIES)
-        .select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
+        .select("vec_id", q(F.col("embedding")).alias("qemb"))
         .collect()
     )
     state = (coarse_cells, coarse_cqs, books, qrows)
@@ -2647,7 +2662,7 @@ def _client_cache_put(key: tuple, state: tuple) -> None:
     _IVFPQ_CLIENT_CACHE[key] = state
 
 
-@register("emb_ivfpq_serve_lean", oracle=_IVFPQ_LEAN_SQL, driver=False)
+@register("emb_ivfpq_serve_lean", oracle=_IVFPQ_LEAN_SQL)
 def emb_ivfpq_serve_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION-mode IVF-PQ serve: answers come from the stored 2-byte
     codes alone — no corpus join, no exact-distance verification column
@@ -2675,9 +2690,17 @@ def emb_ivfpq_serve_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute/inline (BASELINE.md r8): codes-only serving is the only
     IVF-PQ form whose latency beats the brute-force scan, which is the
     deployment argument for persisting the index at all."""
-    root = _ensure_ivfpq_index(spark, sf_dir)
+    return _ivfpq_serve_lean_impl(spark, sf_dir, normalized=False)
+
+
+def _ivfpq_serve_lean_impl(
+    spark: SparkSession, sf_dir: str, normalized: bool
+) -> DataFrame:
+    """Shared codes-only serve plan (see emb_ivfpq_serve_lean);
+    ``normalized=True`` serves the cosine-faithful index."""
+    root = _ensure_ivfpq_index(spark, sf_dir, normalized)
     coarse_cells, coarse_cqs, books, qrows = _ivfpq_client_state(
-        spark, root, sf_dir
+        spark, root, sf_dir, normalized
     )
 
     def py_isq(a: list, b: list) -> int:
@@ -2730,3 +2753,31 @@ def emb_ivfpq_serve_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PQ_K)
         .select("query_id", "neighbor_id", "cell", "adc_dist", "rn")
     )
+
+
+_IVFPQ_NORM_SQL = _ivfpq_sql(normalized=True)
+_IVFPQ_LEAN_COS_SQL = f"""
+SELECT query_id, neighbor_id, cell, adc_dist, rn FROM ({_IVFPQ_NORM_SQL})
+"""
+
+
+@register("emb_ivfpq_serve_lean_cos", oracle=_IVFPQ_LEAN_COS_SQL, driver=False)
+def emb_ivfpq_serve_lean_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COSINE-FAITHFUL codes-only IVF-PQ serve (r9): identical plan to
+    emb_ivfpq_serve_lean, but the index is built over UNIT-NORMALIZED
+    vectors (km.quantize_normalized) — on the unit sphere
+    L2²(a,b) = 2 − 2·cos(a,b), so the integer L2-ADC ranking this plan
+    ships IS the cosine ranking production retrieval wants. The r8
+    method matrix priced the raw-vector lean serve at cosine-recall
+    0.14 ("a metric statement, not a defect"); this variant is the
+    standard FAISS-style fix (normalize at build + query encode, rank
+    by L2) and lifts recall@10 to IVF-flat territory at the same
+    nprobe=2 budget (measured: tools/ann_method_matrix.py, BASELINE.md
+    r9).
+
+    Same scale shape as the raw variant: scan stored codes → broadcast
+    driver-computed ADC tables → cell equi-join → top-k window; the
+    normalization cost lives entirely at BUILD time (one extra
+    map-side transform on the training scan) and in the client's
+    fixed-size query encode."""
+    return _ivfpq_serve_lean_impl(spark, sf_dir, normalized=True)

@@ -215,3 +215,56 @@ def test_bucketed_serve_join_is_exchange_free(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for t in ("ann_bsrv_corpus", "ann_bsrv_codes"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lifecycle_under_corpus_churn(spark, tmp_path, monkeypatch):
+    """Composed lifecycle (r8 VERDICT #7): a corpus rewrite mid-serve
+    must (1) leave an in-flight reader of the OLD index unaffected
+    (snapshot isolation: its root directory is immutable once
+    committed), (2) route the next ensure() to a FRESH root and build
+    it, and (3) let vacuum_stale reclaim the abandoned root afterwards
+    without touching the live one."""
+    import time
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    vq._IVFPQ_CLIENT_CACHE.clear()
+
+    corpus = tmp_path / "sf"
+    corpus.mkdir()
+    src = os.path.join(SF, "embeddings.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, corpus / "embeddings.parquet")
+    else:
+        shutil.copy(src, corpus / "embeddings.parquet")
+    sf_dir = str(corpus)
+
+    # serve v1 and keep the OLD reader's lineage alive
+    old_root = vq._ensure_ivft_index(spark, sf_dir)
+    old_reader = ann_index.read_artifact(spark, old_root, "codes")
+    before = sorted(tuple(r) for r in old_reader.collect())
+
+    # corpus rewrite mid-serve (touch = new content identity)
+    os.utime(corpus / "embeddings.parquet")
+    new_root = vq._ensure_ivft_index(spark, sf_dir)
+    assert new_root != old_root
+    assert store.is_store(new_root)
+
+    # the old reader still answers, identically — nothing mutated its root
+    assert sorted(tuple(r) for r in old_reader.collect()) == before
+    assert store.is_store(old_root)
+
+    # age out ONLY the abandoned root: backdate it, vacuum, live survives
+    manifest = os.path.join(old_root, store.MANIFEST_FILE)
+    past = time.time() - 10 * 86400
+    os.utime(manifest, (past, past))
+    removed = ann_index.vacuum_stale(ttl_seconds=86400)
+    assert old_root in removed
+    assert not os.path.exists(old_root)
+    assert store.is_store(new_root)
+
+    # the fresh root serves the same logical answers (same corpus bytes)
+    new_rows = sorted(
+        tuple(r)
+        for r in ann_index.read_artifact(spark, new_root, "codes").collect()
+    )
+    assert new_rows == before

@@ -85,13 +85,9 @@ LOCAL_ONLY_FAMILY = {
     # round 7: char-entropy quality signal (#110)
     "docs_char_entropy",
     # round 7: explicit HyperLogLog sketch (#114)
-    "docs_hll_distinct",
     # round 7: Efraimidis-Spirakis weighted sample (#115)
-    "docs_weighted_sample",
     # round 7: power-iteration dominant principal component (#125)
-    "emb_top_pc_power",
     # round 7: PC-projection outlier screen (#129)
-    "emb_pc_outliers",
     # round 7: multimodal frame-sampling arithmetic, drives the real
     # sample_frames operator (#137)
     "docs_media_framesample",
@@ -117,10 +113,30 @@ LOCAL_ONLY_FAMILY = {
     # codes via the snapshot store, serve answers from the stored index
     # (oracle = the inline variant's, so hash match proves equivalence)
     "emb_ivf_build",
-    "emb_ivf_serve",
     "emb_ivfpq_build",
     "emb_ivfpq_serve",
-    "emb_ivfpq_serve_lean",
+    # round 9 rotation #6: fifteen never-driver-checked entries promoted
+    # (emb_ivf_serve, emb_ivfpq_serve_lean, emb_top_pc_power,
+    # emb_pc_outliers, events_value_hist_quantiles, events_top_paths,
+    # events_user_features, events_markov_transitions,
+    # events_bootstrap_ci, events_seasonal_naive_eval, docs_hll_distinct,
+    # docs_weighted_sample, orders_benford, lineitem_zorder_blocks,
+    # q7_nation_volume); these two-round-green (r7+r8) entries demoted —
+    # semantics covered by surviving driver entries or dedicated tests,
+    # oracle-green on every local run
+    "docs_bloom_membership",
+    "docs_decontaminate",
+    "docs_mixture_epochs",
+    "docs_pack_sequences",
+    "docs_dedup_clusters_star",
+    "docs_quality_model",
+    "docs_span_dedup",
+    "docs_corpus_curated",
+    "docs_simhash_neardup",
+    "emb_quantize_int8",
+    "emb_semantic_dedup",
+    # round 9: cosine-faithful lean serve (normalized index variant)
+    "emb_ivfpq_serve_lean_cos",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,

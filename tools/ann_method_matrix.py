@@ -51,6 +51,10 @@ METHODS = {
     "emb_ivf_serve": "cosine (stored index)",
     "emb_ivfpq_serve": "l2_adc (stored index, nprobe=2)",
     "emb_ivfpq_serve_lean": "l2_adc (stored codes ONLY — production serve)",
+    # r9: the cosine-faithful lean serve — unit-normalized index, so
+    # L2-ADC order == cosine order; this row is graded as a RANKER
+    # (recall@10 target: within 0.1 of IVF-flat at the same nprobe)
+    "emb_ivfpq_serve_lean_cos": "cosine-as-l2_adc (normalized stored codes)",
 }
 K = 10
 
