@@ -136,7 +136,9 @@ LOCAL_ONLY_FAMILY = {
     "emb_quantize_int8",
     "emb_semantic_dedup",
     # round 9: cosine-faithful lean serve (normalized index variant)
+    # + its exact-refine production rerank stage
     "emb_ivfpq_serve_lean_cos",
+    "emb_ivfpq_serve_rerank",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,

@@ -55,6 +55,9 @@ METHODS = {
     # L2-ADC order == cosine order; this row is graded as a RANKER
     # (recall@10 target: within 0.1 of IVF-flat at the same nprobe)
     "emb_ivfpq_serve_lean_cos": "cosine-as-l2_adc (normalized stored codes)",
+    # r9: lean cos serve + exact refine over the ADC top-100 shortlist —
+    # the production deployment shape (recall == shortlist coverage)
+    "emb_ivfpq_serve_rerank": "exact cosine over ADC shortlist (refine)",
 }
 K = 10
 
