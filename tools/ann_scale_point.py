@@ -33,7 +33,16 @@ sys.path.insert(0, os.path.join(_REPO, "tools"))
 
 from scale_sweep import OFFSET  # noqa: E402
 
-METHODS = ["emb_knn_brute", "emb_ivf_serve", "emb_ivfpq_serve_lean"]
+METHODS = [
+    "emb_knn_brute",
+    "emb_ivf_serve",
+    "emb_ivfpq_serve_lean",
+    # r9: the cosine-faithful + exact-refine serve pair — the refine's
+    # corpus join is |queries| x L point lookups, so its cost should
+    # stay near the lean floor as the corpus grows
+    "emb_ivfpq_serve_lean_cos",
+    "emb_ivfpq_serve_rerank",
+]
 
 
 def build_embeddings_replicas(spark, src_dir: str, out_dir: str, k: int) -> int:
