@@ -2000,6 +2000,7 @@ def _ivfpq_sql(
     pq_m: int = _PQ_M,
     pq_codes: int = _PQ_CODES,
     topk: int = _PQ_K,
+    train_max: int | None = None,
 ) -> str:
     """The full IVF-PQ oracle: coarse k-means CTE chain -> residuals ->
     per-subspace k-means on residual slices -> encoded corpus ->
@@ -2011,16 +2012,36 @@ def _ivfpq_sql(
     bounded by bits/dim, not by the metric: r9 matrix)."""
     subdim = EMB_DIM // pq_m
     parts = []
-    # coarse quantizer (same geometry as the trained IVF)
+    # coarse quantizer (same geometry as the trained IVF). With
+    # train_max set, TRAINING sees only vec_id < train_max (the frozen
+    # "v1 corpus") while encoding/search cover the full table — the
+    # append-without-retrain contract (FAISS add): codebooks never move,
+    # late vectors are encoded against them.
     qsql = (
         km.quantize_normalized_sql if normalized else km.quantize_sql
     )
-    src = f"SELECT vec_id, {qsql('embedding')} AS qemb FROM embeddings"
+    train_where = (
+        f" WHERE vec_id < {train_max}" if train_max is not None else ""
+    )
+    src = (
+        f"SELECT vec_id, {qsql('embedding')} AS qemb FROM embeddings"
+        f"{train_where}"
+    )
     cctes, ccent = km.kmeans_train_sql_ctes(
         src, _KM_K, _KM_ITERS, EMB_DIM, "cv"
     )
     parts.append(cctes)
-    parts.append(f"casg AS ({km._assign_sql('cvqv', ccent, EMB_DIM)})")
+    if train_max is not None:
+        parts.append(
+            f"encv AS (SELECT vec_id, {qsql('embedding')} AS qemb"
+            f" FROM embeddings)"
+        )
+        enc_view = "encv"
+    else:
+        enc_view = "cvqv"
+    parts.append(
+        f"casg AS ({km._assign_sql(enc_view, ccent, EMB_DIM)})"
+    )
     # residuals (vec_id, cell, qemb, remb). MATERIALIZED: DuckDB inlines
     # a plain CTE at every reference site, and res feeds the four
     # subspace chains plus the candidate join — five re-executions of
@@ -2036,15 +2057,27 @@ def _ivfpq_sql(
     for m in range(pq_m):
         sub_src = (
             f"SELECT vec_id, {_pq_sub_sql('remb', m, subdim)} AS qemb"
-            f" FROM res"
+            f" FROM res{train_where}"
         )
         ctes, cent = km.kmeans_train_sql_ctes(
             sub_src, pq_codes, _PQT_ITERS, subdim, f"r{m}"
         )
         parts.append(ctes)
+        # encode the FULL corpus against the trained books: with
+        # train_max, r{m}qv is the training subset only — a separate
+        # full-residual view keeps late vectors encodable (the silent
+        # inner-join drop this split exists to avoid)
+        if train_max is not None:
+            parts.append(
+                f"r{m}ev AS (SELECT vec_id,"
+                f" {_pq_sub_sql('remb', m, subdim)} AS qemb FROM res)"
+            )
+            enc_src = f"r{m}ev"
+        else:
+            enc_src = f"r{m}qv"
         parts.append(
             f"r{m}enc AS (SELECT a.vec_id, a.cell, c.cq FROM "
-            f"({km._assign_sql(f'r{m}qv', cent, subdim)}) a "
+            f"({km._assign_sql(enc_src, cent, subdim)}) a "
             f"JOIN {cent} c USING (cell))"
         )
         encs.append(f"r{m}enc")
@@ -2059,7 +2092,7 @@ def _ivfpq_sql(
         f"  SELECT q.vec_id AS query_id, q.qemb AS qq, c.cell, c.cq,"
         f"         ROW_NUMBER() OVER (PARTITION BY q.vec_id"
         f"             ORDER BY {cdist}, c.cell) AS prn"
-        f"  FROM cvqv q CROSS JOIN {ccent} c"
+        f"  FROM {enc_view} q CROSS JOIN {ccent} c"
         f"  WHERE q.vec_id < {_PQ_QUERIES}"
         f") WHERE prn <= {_IVFPQ_NPROBE})"
     )
@@ -2175,32 +2208,10 @@ def _ivfpq_train(
     )
     coarse_cells = [r.cell for r in coarse]
     coarse_cqs = [list(r.cq) for r in coarse]
-    coarse_arr = F.array(
-        *[F.array(*[F.lit(v) for v in cq]) for cq in coarse_cqs]
-    )
 
-    # coarse assignment against the collected literals (argmin; cell ids
-    # are the trainer's, which may be non-contiguous after empty cells)
-    cdists = F.array(
-        *[
-            _isq(F.col("qemb"), F.array(*[F.lit(v) for v in cq]))
-            for cq in coarse_cqs
-        ]
+    res = _ivfpq_residuals(qv, coarse_cells, coarse_cqs).localCheckpoint(
+        eager=True
     )
-    cidx = F.array_position(cdists, F.array_min(cdists)).cast("int")
-    cell_lit = F.array(*[F.lit(c) for c in coarse_cells])
-    withcell = qv.select(
-        "vec_id",
-        "qemb",
-        F.element_at(cell_lit, cidx).alias("cell"),
-        F.element_at(coarse_arr, cidx).alias("cvec"),
-    )
-    res = withcell.select(
-        "vec_id",
-        "cell",
-        "qemb",
-        F.zip_with("qemb", "cvec", lambda x, c: x - c).alias("remb"),
-    ).localCheckpoint(eager=True)
 
     # residual codebooks (k x dim literals per subspace)
     subdim = EMB_DIM // pq_m
@@ -2219,6 +2230,51 @@ def _ivfpq_train(
         book_cells.append([r.cell for r in cents])
         books.append([list(r.cq) for r in cents])
 
+    codes = _ivfpq_encode_residuals(res, books, subdim)
+    asg = res.select("vec_id", "cell")
+    return qv, asg, coarse_cells, coarse_cqs, book_cells, books, codes
+
+
+def _ivfpq_residuals(
+    qv: DataFrame, coarse_cells: list, coarse_cqs: list
+) -> DataFrame:
+    """(vec_id, qemb) -> (vec_id, cell, qemb, remb): coarse argmin
+    assignment against the collected centroid literals plus the
+    residual. Tiebreak (first index of the min over cells sorted
+    ascending == lowest cell id) replicates km._assign_sql exactly —
+    shared by training-time encoding AND the append path, so appended
+    vectors get byte-identical codes to a from-scratch encode."""
+    cdists = F.array(
+        *[
+            _isq(F.col("qemb"), F.array(*[F.lit(v) for v in cq]))
+            for cq in coarse_cqs
+        ]
+    )
+    cidx = F.array_position(cdists, F.array_min(cdists)).cast("int")
+    cell_lit = F.array(*[F.lit(c) for c in coarse_cells])
+    coarse_arr = F.array(
+        *[F.array(*[F.lit(v) for v in cq]) for cq in coarse_cqs]
+    )
+    withcell = qv.select(
+        "vec_id",
+        "qemb",
+        F.element_at(cell_lit, cidx).alias("cell"),
+        F.element_at(coarse_arr, cidx).alias("cvec"),
+    )
+    return withcell.select(
+        "vec_id",
+        "cell",
+        "qemb",
+        F.zip_with("qemb", "cvec", lambda x, c: x - c).alias("remb"),
+    )
+
+
+def _ivfpq_encode_residuals(
+    res: DataFrame, books: list, subdim: int
+) -> DataFrame:
+    """(vec_id, cell, qemb, remb) -> encoded codes (vec_id, cell, qemb,
+    c0..c{M-1}): per-subspace argmin against the trained codebooks
+    (positional 0-based code ids over books sorted by cell)."""
     code_cols = []
     for m, cqs in enumerate(books):
         dists = F.array(
@@ -2235,9 +2291,7 @@ def _ivfpq_train(
             .cast("int")
             .alias(f"c{m}")
         )
-    codes = res.select("vec_id", "cell", "qemb", *code_cols)
-    asg = res.select("vec_id", "cell")
-    return qv, asg, coarse_cells, coarse_cqs, book_cells, books, codes
+    return res.select("vec_id", "cell", "qemb", *code_cols)
 
 
 def _ivfpq_search(
@@ -2737,6 +2791,28 @@ def _ivfpq_serve_lean_impl(
     coarse_cells, coarse_cqs, books, qrows = _ivfpq_client_state(
         spark, root, sf_dir, normalized, pq_m, pq_codes
     )
+    codes = ann_index.read_artifact(spark, root, "codes")
+    return _ivfpq_adc_topk(
+        spark, coarse_cells, coarse_cqs, books, qrows, codes, subdim,
+        pq_m, topk,
+    )
+
+
+def _ivfpq_adc_topk(
+    spark: SparkSession,
+    coarse_cells: list,
+    coarse_cqs: list,
+    books: list,
+    qrows: list,
+    codes: DataFrame,
+    subdim: int,
+    pq_m: int,
+    topk: int = _PQ_K,
+) -> DataFrame:
+    """Codes-only ADC top-k over an arbitrary stored codes frame —
+    the executable tail of the lean serve, shared with the
+    append-without-retrain entry: driver-side per-(query, probed-cell)
+    ADC tables broadcast as data, cell equi-join, top-k window."""
 
     def py_isq(a: list, b: list) -> int:
         return sum((x - y) * (x - y) for x, y in zip(a, b))
@@ -2767,7 +2843,6 @@ def _ivfpq_serve_lean_impl(
         + ", ".join(f"t{m} array<bigint>" for m in range(pq_m)),
     )
 
-    codes = ann_index.read_artifact(spark, root, "codes")
     adc = sum(
         F.element_at(F.col(f"t{m}"), F.col(f"c{m}") + 1)
         for m in range(pq_m)
@@ -2898,4 +2973,176 @@ def emb_ivfpq_serve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= _PQ_K)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index growth WITHOUT retrain (registry #150): FAISS-style `add`
+# ---------------------------------------------------------------------------
+
+_APPEND_CUT = 100  # vec_id < cut trains the codebooks; >= cut is "late"
+
+_IVFPQ_APPEND_SQL = f"""
+SELECT query_id, neighbor_id, cell, adc_dist, rn FROM (
+{_ivfpq_sql(normalized=True, pq_m=_PQ_COS_M, train_max=_APPEND_CUT)}
+)
+"""
+
+
+def _ensure_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
+    """Two-version store root proving the append-without-retrain
+    lifecycle: v1 = codebooks trained AND codes encoded on the frozen
+    vec_id < {_APPEND_CUT} corpus; v2 = v1's codebooks (bytes untouched)
+    plus codes for EVERY vector — late arrivals encoded against the
+    frozen books via the same argmin kernel training used
+    (_ivfpq_residuals/_ivfpq_encode_residuals), exactly FAISS ``add``.
+
+    Each snapshot is full (store contract: readers of v1 never see v2's
+    files); at 100 TB the codes union is the compaction write a real
+    deployment amortizes — 4 B/vector, map-side, no shuffle."""
+    kind = "ivfpq_app"
+    consts = _IVFPQ_CONSTS + ("norm", _PQ_COS_M, _APPEND_CUT)
+
+    def build(data_dir: str) -> None:
+        e = spread(load_table(spark, sf_dir, "embeddings"))
+        qv = e.select(
+            "vec_id", km.quantize_normalized(F.col("embedding")).alias("qemb")
+        )
+        train_qv = qv.filter(F.col("vec_id") < _APPEND_CUT)
+        subdim = EMB_DIM // _PQ_COS_M
+        coarse = (
+            km.kmeans_train(train_qv, _KM_K, _KM_ITERS, EMB_DIM)
+            .orderBy("cell")
+            .collect()
+        )
+        cells = [r.cell for r in coarse]
+        cqs = [list(r.cq) for r in coarse]
+        res_train = _ivfpq_residuals(train_qv, cells, cqs).localCheckpoint(
+            eager=True
+        )
+        bcells, books = [], []
+        for m in range(_PQ_COS_M):
+            subv = res_train.select(
+                "vec_id",
+                F.slice("remb", m * subdim + 1, subdim).alias("qemb"),
+            )
+            cents = (
+                km.kmeans_train(subv, _PQ_CODES, _PQT_ITERS, subdim)
+                .orderBy("cell")
+                .collect()
+            )
+            bcells.append([r.cell for r in cents])
+            books.append([list(r.cq) for r in cents])
+        spark.createDataFrame(
+            list(zip(cells, map(list, cqs))), "cell int, cq array<bigint>"
+        ).coalesce(1).write.parquet(os.path.join(data_dir, "coarse"))
+        spark.createDataFrame(
+            [
+                (m, code, bcells[m][code], list(books[m][code]))
+                for m in range(_PQ_COS_M)
+                for code in range(len(books[m]))
+            ],
+            "m int, code int, cell int, cq array<bigint>",
+        ).coalesce(1).write.parquet(os.path.join(data_dir, "books"))
+        _ivfpq_encode_residuals(res_train, books, subdim).drop(
+            "qemb"
+        ).write.parquet(os.path.join(data_dir, "codes"))
+
+    root = ann_index.ensure(sf_dir, "embeddings.parquet", kind, consts, build)
+
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    if store.current_version(root) >= 2:
+        return root  # append already committed for this corpus version
+
+    def append(data_dir: str) -> None:
+        # frozen client state from v1 — NOT retrained
+        cur = store.resolve(root)
+        coarse = sorted(
+            spark.read.parquet(os.path.join(cur, "coarse")).collect(),
+            key=lambda r: r.cell,
+        )
+        cells = [r.cell for r in coarse]
+        cqs = [list(r.cq) for r in coarse]
+        brows = spark.read.parquet(os.path.join(cur, "books")).collect()
+        books = [[None] * _PQ_CODES for _ in range(_PQ_COS_M)]
+        for r in brows:
+            books[r.m][r.code] = list(r.cq)
+        books = [[cq for cq in bk if cq is not None] for bk in books]
+        subdim = EMB_DIM // _PQ_COS_M
+
+        e = spread(load_table(spark, sf_dir, "embeddings"))
+        late = e.filter(F.col("vec_id") >= _APPEND_CUT).select(
+            "vec_id", km.quantize_normalized(F.col("embedding")).alias("qemb")
+        )
+        new_codes = _ivfpq_encode_residuals(
+            _ivfpq_residuals(late, cells, cqs), books, subdim
+        ).drop("qemb")
+        old_codes = spark.read.parquet(os.path.join(cur, "codes"))
+        # books/coarse copied BY REFERENCE semantics are not available in
+        # a snapshot store (each version is self-contained): rewrite the
+        # driver-literal-sized tables, union the codes
+        spark.createDataFrame(
+            list(zip(cells, map(list, cqs))), "cell int, cq array<bigint>"
+        ).coalesce(1).write.parquet(os.path.join(data_dir, "coarse"))
+        spark.read.parquet(os.path.join(cur, "books")).coalesce(
+            1
+        ).write.parquet(os.path.join(data_dir, "books"))
+        old_codes.unionByName(new_codes).write.parquet(
+            os.path.join(data_dir, "codes")
+        )
+
+    try:
+        store.commit_snapshot(root, append)
+    except store.CommitConflict:
+        pass  # a concurrent appender won with the identical snapshot
+    return root
+
+
+@register("emb_ivfpq_append_serve", oracle=_IVFPQ_APPEND_SQL, driver=False)
+def emb_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve from an index GROWN WITHOUT RETRAIN (r9): codebooks were
+    trained once on the frozen vec_id < {_APPEND_CUT} corpus (index v1);
+    every later vector was encoded against those frozen books and
+    appended as a new snapshot version (v2) — the FAISS ``add``
+    lifecycle the streaming ingest tier implies but the stored-index
+    family never exercised. The serve plan is the identical lean
+    codes-only shape (scan codes -> broadcast ADC tables -> cell
+    equi-join -> top-k window).
+
+    The ORACLE re-derives the whole construction from raw data — trains
+    on the subset, encodes the full table, searches — so the hash match
+    certifies (1) the frozen-codebook append produced byte-identical
+    codes to a from-scratch encode, and (2) the two-version store serves
+    the union correctly. At 100 TB this is the only affordable index
+    maintenance: training is a one-off sample-sized job, growth is a
+    map-side encode of the delta (no shuffle, no retrain)."""
+    root = _ensure_ivfpq_appended_index(spark, sf_dir)
+
+    from projekt_data_engineering_iubh_spark.pipeline import store as _st
+
+    cur = _st.resolve(root)
+    coarse = sorted(
+        spark.read.parquet(os.path.join(cur, "coarse")).collect(),
+        key=lambda r: r.cell,
+    )
+    coarse_cells = [r.cell for r in coarse]
+    coarse_cqs = [list(r.cq) for r in coarse]
+    brows = spark.read.parquet(os.path.join(cur, "books")).collect()
+    books = [[None] * _PQ_CODES for _ in range(_PQ_COS_M)]
+    for r in brows:
+        books[r.m][r.code] = list(r.cq)
+    books = [[cq for cq in bk if cq is not None] for bk in books]
+    qrows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _PQ_QUERIES)
+        .select(
+            "vec_id", km.quantize_normalized(F.col("embedding")).alias("qemb")
+        )
+        .collect()
+    )
+    codes = spark.read.parquet(os.path.join(cur, "codes"))
+    return _ivfpq_adc_topk(
+        spark, coarse_cells, coarse_cqs, books, qrows, codes,
+        EMB_DIM // _PQ_COS_M, _PQ_COS_M,
     )

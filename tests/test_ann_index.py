@@ -268,3 +268,47 @@ def test_lifecycle_under_corpus_churn(spark, tmp_path, monkeypatch):
         for r in ann_index.read_artifact(spark, new_root, "codes").collect()
     )
     assert new_rows == before
+
+
+def test_append_serve_grows_index_without_retrain(spark, tmp_path, monkeypatch):
+    """FAISS-`add` lifecycle pins (r9): the appended index root has
+    exactly two committed versions; the codebooks (coarse + books) are
+    BYTE-IDENTICAL between v1 and v2 (frozen — append never retrains);
+    v2's codes = v1's codes plus one row per late vector; and the
+    late vectors' codes equal a from-scratch encode against the same
+    frozen books (the oracle certifies this end-to-end; here it is
+    pinned structurally)."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    vq._IVFPQ_CLIENT_CACHE.clear()
+    sf = SF
+
+    root = vq._ensure_ivfpq_appended_index(spark, sf)
+    versions = store._committed_versions(root)
+    assert versions == [1, 2], versions
+
+    def artifact(version, name):
+        import os as _os
+
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                _os.path.join(root, f"v{version:08d}", name)
+            ).collect()
+        )
+
+    assert artifact(1, "coarse") == artifact(2, "coarse")
+    assert artifact(1, "books") == artifact(2, "books")
+
+    v1_codes = artifact(1, "codes")
+    v2_codes = artifact(2, "codes")
+    assert set(v1_codes) <= set(v2_codes)
+    v1_ids = {r[0] for r in v1_codes}
+    late_ids = {r[0] for r in v2_codes} - v1_ids
+    assert v1_ids == set(range(vq._APPEND_CUT)) & {
+        r[0] for r in v2_codes
+    }
+    assert all(i >= vq._APPEND_CUT for i in late_ids)
+
+    # idempotency: a second ensure neither retrains nor re-appends
+    assert vq._ensure_ivfpq_appended_index(spark, sf) == root
+    assert store._committed_versions(root) == [1, 2]

@@ -139,6 +139,8 @@ LOCAL_ONLY_FAMILY = {
     # + its exact-refine production rerank stage
     "emb_ivfpq_serve_lean_cos",
     "emb_ivfpq_serve_rerank",
+    # round 9: FAISS-style add — index grown without retrain, served
+    "emb_ivfpq_append_serve",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
