@@ -3054,9 +3054,29 @@ def _ensure_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
 
     if store.current_version(root) >= 2:
         return root  # append already committed for this corpus version
+    ivfpq_append_generation(spark, sf_dir, root, lo=_APPEND_CUT)
+    return root
+
+
+def ivfpq_append_generation(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    *,
+    lo: int,
+    hi: int | None = None,
+) -> None:
+    """Commit ONE append generation to an IVF-PQ index root: encode
+    corpus vectors with ``lo <= vec_id < hi`` against the root's FROZEN
+    codebooks (read from the CURRENT snapshot — never retrained) and
+    publish current-codes ∪ new-codes as the next snapshot version.
+    The entry's two-version lifecycle calls this once; a production
+    ingest calls it per delta batch (chain tested in
+    tests/test_ann_index.py::test_multi_generation_append_chain)."""
+    from projekt_data_engineering_iubh_spark.pipeline import store
 
     def append(data_dir: str) -> None:
-        # frozen client state from v1 — NOT retrained
+        # frozen client state from the current version — NOT retrained
         cur = store.resolve(root)
         coarse = sorted(
             spark.read.parquet(os.path.join(cur, "coarse")).collect(),
@@ -3072,7 +3092,10 @@ def _ensure_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
         subdim = EMB_DIM // _PQ_COS_M
 
         e = spread(load_table(spark, sf_dir, "embeddings"))
-        late = e.filter(F.col("vec_id") >= _APPEND_CUT).select(
+        late = e.filter(F.col("vec_id") >= lo)
+        if hi is not None:
+            late = late.filter(F.col("vec_id") < hi)
+        late = late.select(
             "vec_id", km.quantize_normalized(F.col("embedding")).alias("qemb")
         )
         new_codes = _ivfpq_encode_residuals(
@@ -3096,7 +3119,6 @@ def _ensure_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
         store.commit_snapshot(root, append)
     except store.CommitConflict:
         pass  # a concurrent appender won with the identical snapshot
-    return root
 
 
 @register("emb_ivfpq_append_serve", oracle=_IVFPQ_APPEND_SQL, driver=False)

@@ -312,3 +312,127 @@ def test_append_serve_grows_index_without_retrain(spark, tmp_path, monkeypatch):
     # idempotency: a second ensure neither retrains nor re-appends
     assert vq._ensure_ivfpq_appended_index(spark, sf) == root
     assert store._committed_versions(root) == [1, 2]
+
+
+def test_bucketed_refine_join_shuffles_only_the_shortlist(spark):
+    """The refine stage's deployment claim, proven on the physical plan
+    (r9, NEXT headroom #1): against a vec_id-bucketed corpus, the
+    exact-refine join's CORPUS side reads its buckets in place — the
+    joined plan adds exactly ONE Exchange over the shortlist plan's own
+    (re-keying the tiny shortlist to vec_id), never a corpus shuffle.
+    Unbucketed local parquet made the 400k refine scan-bound (1.69 s,
+    BASELINE.md r9); this is the layout that removes that term."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+
+    load_table(spark, SF, "embeddings").write.mode("overwrite").bucketBy(
+        16, "vec_id"
+    ).sortBy("vec_id").saveAsTable("ann_refine_corpus")
+
+    short = vq._ivfpq_serve_lean_impl(
+        spark, SF, True, vq._PQ_COS_M, topk=vq._RR_SHORTLIST
+    ).select("query_id", F.col("neighbor_id").alias("vec_id"))
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        return len(_re.findall(r"\bExchange hashpartitioning", plan)), plan
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_short, _ = n_exchanges(short)
+        joined = spark.table("ann_refine_corpus").join(short, "vec_id")
+        n_joined, plan = n_exchanges(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert n_joined == n_short + 1, (n_short, n_joined, plan)
+        assert "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        )
+
+
+def test_multi_generation_append_chain(spark, tmp_path, monkeypatch):
+    """Production ingest calls the append per delta batch: chain THREE
+    generations on one root (train on [0,100), append [100,300), then
+    [300,...)), and pin that (1) versions accumulate [1,2,3], (2) the
+    codebooks never move across the whole chain, (3) the final codes
+    equal the entry's single-append v2 codes exactly (two appends of a
+    partition == one append of their union — the union is associative
+    because encode is per-row against frozen literals), and (4)
+    store.vacuum with retention keeps the chain serveable while
+    reclaiming the oldest generation."""
+    import os as _os
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    vq._IVFPQ_CLIENT_CACHE.clear()
+
+    # reference: the entry's own two-version lifecycle (v2 = all codes)
+    ref_root = vq._ensure_ivfpq_appended_index(spark, SF)
+    ref_codes = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            _os.path.join(store.resolve(ref_root), "codes")
+        ).collect()
+    )
+
+    # chained: same v1, two partial append generations
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx2"))
+    chain_root = None
+    # build v1 only: run ensure but stop it appending by pre-claiming —
+    # simpler: call ensure on a FRESH base dir, then vacuum v2 away is
+    # not possible (manifest points at v2); instead build v1 via the
+    # same ensure and chain on TOP of its v2 with a disjoint split:
+    # v3 = re-encode of [100,300) ∪ [300,..) is idempotent against v2,
+    # so instead chain from scratch with partial generations.
+    from projekt_data_engineering_iubh_spark.pipeline import ann_index as ai
+
+    # v1: train+encode [0,100) — reuse the entry's build via ensure()
+    # with the append suppressed by monkeypatching the generation call
+    called = {}
+    real_gen = vq.ivfpq_append_generation
+    monkeypatch.setattr(
+        vq, "ivfpq_append_generation",
+        lambda *a, **kw: called.setdefault("skip", True),
+    )
+    chain_root = vq._ensure_ivfpq_appended_index(spark, SF)
+    monkeypatch.setattr(vq, "ivfpq_append_generation", real_gen)
+    assert store._committed_versions(chain_root) == [1]
+
+    real_gen(spark, SF, chain_root, lo=100, hi=300)
+    assert store._committed_versions(chain_root) == [1, 2]
+    real_gen(spark, SF, chain_root, lo=300)
+    assert store._committed_versions(chain_root) == [1, 2, 3]
+
+    def artifact(name):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                _os.path.join(store.resolve(chain_root), name)
+            ).collect()
+        )
+
+    chain_codes = artifact("codes")
+    assert chain_codes == ref_codes  # two partial appends == one full
+
+    # codebooks frozen across every generation
+    for v in (1, 2, 3):
+        books_v = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                _os.path.join(chain_root, f"v{v:08d}", "books")
+            ).collect()
+        )
+        if v == 1:
+            books1 = books_v
+        else:
+            assert books_v == books1
+
+    # vacuum with retention: v1 reclaimed, current chain serveable
+    removed = store.vacuum(chain_root, keep=2)
+    assert any("v00000001" in r for r in removed), removed
+    assert artifact("codes") == ref_codes
+    assert not _os.path.isdir(_os.path.join(chain_root, "v00000001"))
