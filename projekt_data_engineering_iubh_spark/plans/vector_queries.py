@@ -3060,48 +3060,68 @@ def _ensure_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
 
 def ivfpq_append_generation(
     spark: SparkSession,
-    sf_dir: str,
+    sf_dir: str | None,
     root: str,
     *,
-    lo: int,
+    lo: int = 0,
     hi: int | None = None,
-) -> None:
-    """Commit ONE append generation to an IVF-PQ index root: encode
-    corpus vectors with ``lo <= vec_id < hi`` against the root's FROZEN
-    codebooks (read from the CURRENT snapshot — never retrained) and
-    publish current-codes ∪ new-codes as the next snapshot version.
-    The entry's two-version lifecycle calls this once; a production
-    ingest calls it per delta batch (chain tested in
+    vectors: DataFrame | None = None,
+) -> bool:
+    """Commit ONE append generation to an IVF-PQ index root: encode new
+    corpus vectors against the root's FROZEN codebooks (read from the
+    CURRENT snapshot — never retrained) and publish current-codes ∪
+    new-codes as the next snapshot version. Returns True iff a new
+    version was committed.
+
+    New vectors come either from the corpus table (``lo <= vec_id <
+    hi`` — the registry entry's two-version lifecycle) or from an
+    explicit ``vectors`` frame with (vec_id, embedding) — the streaming
+    ingest's micro-batch. Vectors whose vec_id is already encoded are
+    anti-joined away and an empty delta commits NOTHING, which is what
+    makes a replayed foreachBatch trigger (checkpoint recovery) land
+    exactly once (streaming/ann_ingest_stream.py; chain tested in
     tests/test_ann_index.py::test_multi_generation_append_chain)."""
     from projekt_data_engineering_iubh_spark.pipeline import store
 
-    def append(data_dir: str) -> None:
-        # frozen client state from the current version — NOT retrained
-        cur = store.resolve(root)
-        coarse = sorted(
-            spark.read.parquet(os.path.join(cur, "coarse")).collect(),
-            key=lambda r: r.cell,
-        )
-        cells = [r.cell for r in coarse]
-        cqs = [list(r.cq) for r in coarse]
-        brows = spark.read.parquet(os.path.join(cur, "books")).collect()
-        books = [[None] * _PQ_CODES for _ in range(_PQ_COS_M)]
-        for r in brows:
-            books[r.m][r.code] = list(r.cq)
-        books = [[cq for cq in bk if cq is not None] for bk in books]
-        subdim = EMB_DIM // _PQ_COS_M
+    # frozen client state from the current version — NOT retrained
+    cur = store.resolve(root)
+    coarse = sorted(
+        spark.read.parquet(os.path.join(cur, "coarse")).collect(),
+        key=lambda r: r.cell,
+    )
+    cells = [r.cell for r in coarse]
+    cqs = [list(r.cq) for r in coarse]
+    brows = spark.read.parquet(os.path.join(cur, "books")).collect()
+    books = [[None] * _PQ_CODES for _ in range(_PQ_COS_M)]
+    for r in brows:
+        books[r.m][r.code] = list(r.cq)
+    books = [[cq for cq in bk if cq is not None] for bk in books]
+    subdim = EMB_DIM // _PQ_COS_M
 
-        e = spread(load_table(spark, sf_dir, "embeddings"))
-        late = e.filter(F.col("vec_id") >= lo)
+    if vectors is not None:
+        late = vectors
+    else:
+        late = spread(load_table(spark, sf_dir, "embeddings")).filter(
+            F.col("vec_id") >= lo
+        )
         if hi is not None:
             late = late.filter(F.col("vec_id") < hi)
-        late = late.select(
-            "vec_id", km.quantize_normalized(F.col("embedding")).alias("qemb")
-        )
-        new_codes = _ivfpq_encode_residuals(
+    late = late.select(
+        "vec_id", km.quantize_normalized(F.col("embedding")).alias("qemb")
+    )
+    old_codes = spark.read.parquet(os.path.join(cur, "codes"))
+    new_codes = (
+        _ivfpq_encode_residuals(
             _ivfpq_residuals(late, cells, cqs), books, subdim
-        ).drop("qemb")
-        old_codes = spark.read.parquet(os.path.join(cur, "codes"))
+        )
+        .drop("qemb")
+        .join(old_codes.select("vec_id"), "vec_id", "left_anti")
+        .localCheckpoint(eager=True)  # pin the delta BEFORE the commit
+    )
+    if new_codes.isEmpty():
+        return False  # replayed batch / nothing new: exactly-once no-op
+
+    def append(data_dir: str) -> None:
         # books/coarse copied BY REFERENCE semantics are not available in
         # a snapshot store (each version is self-contained): rewrite the
         # driver-literal-sized tables, union the codes
@@ -3118,7 +3138,8 @@ def ivfpq_append_generation(
     try:
         store.commit_snapshot(root, append)
     except store.CommitConflict:
-        pass  # a concurrent appender won with the identical snapshot
+        return False  # a concurrent appender won; retry next trigger
+    return True
 
 
 @register("emb_ivfpq_append_serve", oracle=_IVFPQ_APPEND_SQL, driver=False)

@@ -1,0 +1,126 @@
+"""Streaming ANN CODES ingest: grow the IVF-PQ serving index from a
+vector stream without ever retraining — the streaming face of the batch
+append lifecycle (plans/vector_queries.ivfpq_append_generation, registry
+#150) and the codes-index twin of streaming/vector_stream.py's
+LSH-bucket tier.
+
+Per micro-batch (foreachBatch):
+
+    batch vectors → unit-normalized fixed-point quantize (the same
+    km.quantize_normalized every cosine-faithful index uses)
+      → coarse argmin + per-subspace residual argmin against the
+        CURRENT snapshot's FROZEN codebooks (shared kernels
+        _ivfpq_residuals / _ivfpq_encode_residuals — byte-identical
+        codes to a from-scratch encode, certified by the #150 oracle)
+      → anti-join against already-encoded vec_ids
+      → non-empty delta: commit current-codes ∪ delta as the next
+        snapshot version; empty delta: NO commit.
+
+Exactly-once: Structured Streaming replays a trigger after a crash
+between the commit and the checkpoint write; the anti-join + empty-skip
+makes the replay a no-op (no duplicate codes, no empty version), and the
+snapshot-store CAS makes a concurrent appender lose cleanly
+(CommitConflict → retry next trigger). Readers mid-scan keep their
+resolved version under their feet (snapshot isolation); store.vacuum
+with retention reclaims old generations.
+
+Scale shape: per trigger the cluster work is ONE map-side encode of the
+batch (argmin over driver-literal codebooks — no shuffle) plus the codes
+union write; the serving path stays the lean codes-only plan throughout.
+Training remains a one-off sample-sized job at bootstrap.
+
+Reference scope note: the reference engine has no streaming or vector
+tier (SURVEY.md §2.9 is engine breadth); north-star training-data
+surface alongside the batch ANN family.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from projekt_data_engineering_iubh_spark.operators import kmeans as km
+from projekt_data_engineering_iubh_spark.pipeline import store
+from projekt_data_engineering_iubh_spark.plans import vector_queries as vq
+
+
+def bootstrap_codes_index(
+    spark: SparkSession, base: DataFrame, root: str
+) -> str:
+    """Train codebooks on the BASE corpus and commit snapshot v1
+    (coarse + books + base codes) — the one-off training job; every
+    later vector arrives through the stream and is encoded against
+    these frozen books."""
+    qv = base.select(
+        "vec_id", km.quantize_normalized(F.col("embedding")).alias("qemb")
+    )
+    subdim = vq.EMB_DIM // vq._PQ_COS_M
+    coarse = (
+        km.kmeans_train(qv, vq._KM_K, vq._KM_ITERS, vq.EMB_DIM)
+        .orderBy("cell")
+        .collect()
+    )
+    cells = [r.cell for r in coarse]
+    cqs = [list(r.cq) for r in coarse]
+    res = vq._ivfpq_residuals(qv, cells, cqs).localCheckpoint(eager=True)
+    bcells, books = [], []
+    for m in range(vq._PQ_COS_M):
+        subv = res.select(
+            "vec_id",
+            F.slice("remb", m * subdim + 1, subdim).alias("qemb"),
+        )
+        cents = (
+            km.kmeans_train(subv, vq._PQ_CODES, vq._PQT_ITERS, subdim)
+            .orderBy("cell")
+            .collect()
+        )
+        bcells.append([r.cell for r in cents])
+        books.append([list(r.cq) for r in cents])
+
+    def build(data_dir: str) -> None:
+        spark.createDataFrame(
+            list(zip(cells, map(list, cqs))), "cell int, cq array<bigint>"
+        ).coalesce(1).write.parquet(os.path.join(data_dir, "coarse"))
+        spark.createDataFrame(
+            [
+                (m, code, bcells[m][code], list(books[m][code]))
+                for m in range(vq._PQ_COS_M)
+                for code in range(len(books[m]))
+            ],
+            "m int, code int, cell int, cq array<bigint>",
+        ).coalesce(1).write.parquet(os.path.join(data_dir, "books"))
+        vq._ivfpq_encode_residuals(res, books, subdim).drop(
+            "qemb"
+        ).write.parquet(os.path.join(data_dir, "codes"))
+
+    try:
+        store.commit_snapshot(root, build)
+    except store.CommitConflict:
+        pass  # concurrent bootstrap won with the identical snapshot
+    return root
+
+
+def make_codes_batch_processor(root: str):
+    """foreachBatch hook: one append generation per non-empty trigger."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vq.ivfpq_append_generation(
+            batch_df.sparkSession, None, root, vectors=batch_df
+        )
+
+    return _process
+
+
+def start_codes_ingest_stream(
+    embs: DataFrame, checkpoint: str, root: str
+):
+    """Wire the streaming codes ingest and return the StreamingQuery."""
+    return (
+        embs.writeStream.outputMode("append")
+        .foreachBatch(make_codes_batch_processor(root))
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,141 @@
+"""Streaming ANN codes ingest: multi-drop live run growing the IVF-PQ
+serving index without retrain — per-trigger append generations over the
+snapshot store, codes pinned byte-identical to a from-scratch batch
+encode against the bootstrap codebooks, replayed triggers land once."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.operators import kmeans as km
+from projekt_data_engineering_iubh_spark.pipeline import store
+from projekt_data_engineering_iubh_spark.plans import vector_queries as vq
+from projekt_data_engineering_iubh_spark.streaming import (
+    ann_ingest_stream as ais,
+)
+
+SF = "/root/testdata/sf0.001"
+SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def _drop(spark, src_dir, tmp_path, name, df):
+    staging = tmp_path / f"stage_{name}"
+    df.coalesce(1).write.parquet(str(staging))
+    part = glob.glob(str(staging / "part-*.parquet"))[0]
+    shutil.move(part, str(src_dir / f"{name}.parquet"))
+
+
+def test_codes_ingest_stream_matches_batch_encode(spark, tmp_path):
+    root = str(tmp_path / "codes_index")
+    src = tmp_path / "src"
+    src.mkdir()
+
+    embs = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    base = embs.filter(F.col("vec_id") < 100)
+    ais.bootstrap_codes_index(spark, base, root)
+    assert store._committed_versions(root) == [1]
+
+    q = ais.start_codes_ingest_stream(
+        spark.readStream.schema(SCHEMA).parquet(str(src)),
+        str(tmp_path / "ckpt"),
+        root,
+    )
+    try:
+        _drop(
+            spark, src, tmp_path, "b1",
+            embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300)),
+        )
+        q.processAllAvailable()
+        _drop(spark, src, tmp_path, "b2",
+              embs.filter(F.col("vec_id") >= 300))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert store._committed_versions(root) == [1, 2, 3]
+
+    # ground truth: from-scratch batch encode of the FULL corpus against
+    # the BOOTSTRAP (v1) codebooks — the frozen-books contract
+    v1 = os.path.join(root, "v00000001")
+    coarse = sorted(
+        spark.read.parquet(os.path.join(v1, "coarse")).collect(),
+        key=lambda r: r.cell,
+    )
+    cells = [r.cell for r in coarse]
+    cqs = [list(r.cq) for r in coarse]
+    brows = spark.read.parquet(os.path.join(v1, "books")).collect()
+    books = [[None] * vq._PQ_CODES for _ in range(vq._PQ_COS_M)]
+    for r in brows:
+        books[r.m][r.code] = list(r.cq)
+    books = [[cq for cq in bk if cq is not None] for bk in books]
+    qv = embs.select(
+        "vec_id", km.quantize_normalized(F.col("embedding")).alias("qemb")
+    )
+    want = sorted(
+        tuple(r)
+        for r in vq._ivfpq_encode_residuals(
+            vq._ivfpq_residuals(qv, cells, cqs),
+            books,
+            vq.EMB_DIM // vq._PQ_COS_M,
+        )
+        .drop("qemb")
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(store.resolve(root), "codes")
+        ).collect()
+    )
+    assert got == want
+
+    # codebooks frozen across the whole streamed chain
+    for v in (2, 3):
+        bv = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(root, f"v{v:08d}", "books")
+            ).collect()
+        )
+        assert bv == sorted(tuple(r) for r in brows)
+
+
+def test_codes_ingest_replayed_trigger_lands_once(spark, tmp_path):
+    """Structured Streaming replays a trigger when the process dies
+    between the snapshot commit and the checkpoint write; the anti-join
+    + empty-delta skip must make the replay a no-op (no duplicate
+    codes, no empty snapshot version)."""
+    root = str(tmp_path / "codes_index")
+    embs = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    ais.bootstrap_codes_index(
+        spark, embs.filter(F.col("vec_id") < 100), root
+    )
+    proc = ais.make_codes_batch_processor(root)
+    batch = embs.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 200)
+    )
+    proc(batch, 0)
+    assert store._committed_versions(root) == [1, 2]
+    n = spark.read.parquet(
+        os.path.join(store.resolve(root), "codes")
+    ).count()
+    proc(batch, 0)  # the replay
+    assert store._committed_versions(root) == [1, 2]
+    assert (
+        spark.read.parquet(
+            os.path.join(store.resolve(root), "codes")
+        ).count()
+        == n
+    )
+    # an empty trigger commits nothing either
+    proc(batch.filter(F.lit(False)), 1)
+    assert store._committed_versions(root) == [1, 2]
