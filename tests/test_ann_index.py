@@ -328,6 +328,16 @@ def test_bucketed_refine_join_shuffles_only_the_shortlist(spark):
 
     from projekt_data_engineering_iubh_spark.catalog import load_table
 
+    # a previous session's warehouse dir survives while the catalog
+    # entry does not (fresh metastore) — overwrite then hits
+    # LOCATION_ALREADY_EXISTS; clear both sides first
+    spark.sql("DROP TABLE IF EXISTS ann_refine_corpus")
+    wh = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        "ann_refine_corpus",
+    )
+    if os.path.isdir(wh):
+        shutil.rmtree(wh, ignore_errors=True)
     load_table(spark, SF, "embeddings").write.mode("overwrite").bucketBy(
         16, "vec_id"
     ).sortBy("vec_id").saveAsTable("ann_refine_corpus")
