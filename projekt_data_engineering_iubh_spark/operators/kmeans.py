@@ -64,10 +64,17 @@ def quantize_normalized(emb: F.Column) -> F.Column:
     is the same double fold both engines use for cosine (proven
     hash-exact by the brute entries), and the expression shape is
     ``floor((x / norm) * scale)`` with identical association on both
-    sides."""
+    sides.
+
+    Zero-norm guard: an all-zero embedding would divide by zero — NULL
+    in Spark, engine-version-dependent (NULL or inf) in DuckDB — so the
+    vector would silently drop out of the index on one engine and not
+    the other. ``greatest(norm, 1e-30)`` pins both engines to the same
+    finite divisor; since every element of a zero-norm vector is zero,
+    the quantized result is the exact all-zeros code on both sides."""
     from projekt_data_engineering_iubh_spark.functions import vectors as vx
 
-    n = vx.norm(emb)
+    n = F.greatest(vx.norm(emb), F.lit(1e-30))
     return F.transform(
         emb,
         lambda x: F.floor(
@@ -79,7 +86,7 @@ def quantize_normalized(emb: F.Column) -> F.Column:
 def quantize_normalized_sql(expr: str) -> str:
     from projekt_data_engineering_iubh_spark.functions import vectors as vx
 
-    n = vx.norm_sql(expr)
+    n = f"greatest({vx.norm_sql(expr)}, 1e-30)"
     return (
         f"list_transform({expr}, x -> CAST(floor(CAST(x AS DOUBLE)"
         f" / ({n}) * {float(FIXED_SCALE)}) AS BIGINT))"

@@ -2551,8 +2551,11 @@ def _ensure_ivfpq_index(
             "m int, code int, cell int, cq array<bigint>",
         ).coalesce(1).write.parquet(os.path.join(data_dir, "books"))
         codes.drop("qemb").write.parquet(os.path.join(data_dir, "codes"))
+        write_index_meta(spark, data_dir, pq_m, pq_codes, normalized)
 
-    extra = (("norm",) if normalized else ()) + (
+    # "norm1": normalized roots rebuilt once in r10 — zero-norm-guarded
+    # quantize (operators/kmeans.py) + the meta artifact append requires
+    extra = (("norm1",) if normalized else ()) + (
         (pq_m, pq_codes) if (pq_m, pq_codes) != (_PQ_M, _PQ_CODES) else ()
     )
     return ann_index.ensure(
@@ -2981,6 +2984,7 @@ def emb_ivfpq_serve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _APPEND_CUT = 100  # vec_id < cut trains the codebooks; >= cut is "late"
+_APPEND_RETRIES = 8  # CAS retry bound for concurrent append generations
 
 _IVFPQ_APPEND_SQL = f"""
 SELECT query_id, neighbor_id, cell, adc_dist, rn FROM (
@@ -3001,7 +3005,7 @@ def _ensure_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
     files); at 100 TB the codes union is the compaction write a real
     deployment amortizes — 4 B/vector, map-side, no shuffle."""
     kind = "ivfpq_app"
-    consts = _IVFPQ_CONSTS + ("norm", _PQ_COS_M, _APPEND_CUT)
+    consts = _IVFPQ_CONSTS + ("norm1", _PQ_COS_M, _APPEND_CUT)
 
     def build(data_dir: str) -> None:
         e = spread(load_table(spark, sf_dir, "embeddings"))
@@ -3047,6 +3051,7 @@ def _ensure_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
         _ivfpq_encode_residuals(res_train, books, subdim).drop(
             "qemb"
         ).write.parquet(os.path.join(data_dir, "codes"))
+        write_index_meta(spark, data_dir, _PQ_COS_M, _PQ_CODES, True)
 
     root = ann_index.ensure(sf_dir, "embeddings.parquet", kind, consts, build)
 
@@ -3056,6 +3061,33 @@ def _ensure_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
         return root  # append already committed for this corpus version
     ivfpq_append_generation(spark, sf_dir, root, lo=_APPEND_CUT)
     return root
+
+
+def write_index_meta(
+    spark: SparkSession,
+    data_dir: str,
+    pq_m: int,
+    pq_codes: int,
+    normalized: bool,
+) -> None:
+    """One-row `meta` artifact stamped into every APPENDABLE snapshot:
+    the PQ geometry and (crucially) whether the codes were built over
+    unit-normalized vectors. Append encodes with quantize_normalized —
+    growing a raw-quantized root would silently mix metrics — so append
+    refuses roots without a meta row asserting normalized=True."""
+    spark.createDataFrame(
+        [(pq_m, pq_codes, normalized, EMB_DIM)],
+        "pq_m int, pq_codes int, normalized boolean, emb_dim int",
+    ).coalesce(1).write.parquet(os.path.join(data_dir, "meta"))
+
+
+def read_index_meta(spark: SparkSession, snapshot_dir: str):
+    """Return the meta row of a snapshot, or None for legacy roots."""
+    path = os.path.join(snapshot_dir, "meta")
+    if not os.path.isdir(path):
+        return None
+    rows = spark.read.parquet(path).collect()
+    return rows[0] if rows else None
 
 
 def ivfpq_append_generation(
@@ -3077,69 +3109,108 @@ def ivfpq_append_generation(
     hi`` — the registry entry's two-version lifecycle) or from an
     explicit ``vectors`` frame with (vec_id, embedding) — the streaming
     ingest's micro-batch. Vectors whose vec_id is already encoded are
-    anti-joined away and an empty delta commits NOTHING, which is what
-    makes a replayed foreachBatch trigger (checkpoint recovery) land
-    exactly once (streaming/ann_ingest_stream.py; chain tested in
-    tests/test_ann_index.py::test_multi_generation_append_chain)."""
+    anti-joined away (duplicates WITHIN the delta are also collapsed —
+    two overlapping files landing in one trigger must not commit the
+    same vec_id twice), and an empty delta commits NOTHING, which is
+    what makes a replayed foreachBatch trigger (checkpoint recovery)
+    land exactly once (streaming/ann_ingest_stream.py; chain tested in
+    tests/test_ann_index.py::test_multi_generation_append_chain).
+
+    On ``store.CommitConflict`` (a concurrent appender won the CAS) the
+    function honors the store contract — re-resolve, re-derive, retry —
+    by looping: the delta is re-anti-joined against the WINNER's codes,
+    so vectors the winner already committed drop out and only genuinely
+    new ones retry. Without this, a foreachBatch caller would checkpoint
+    the trigger as done and the batch's vectors would be silently lost.
+    The PQ geometry (M, codes-per-book, subdim) is derived from the
+    stored books artifact, not assumed: roots built with any geometry
+    append correctly."""
     from projekt_data_engineering_iubh_spark.pipeline import store
 
-    # frozen client state from the current version — NOT retrained
-    cur = store.resolve(root)
-    coarse = sorted(
-        spark.read.parquet(os.path.join(cur, "coarse")).collect(),
-        key=lambda r: r.cell,
-    )
-    cells = [r.cell for r in coarse]
-    cqs = [list(r.cq) for r in coarse]
-    brows = spark.read.parquet(os.path.join(cur, "books")).collect()
-    books = [[None] * _PQ_CODES for _ in range(_PQ_COS_M)]
-    for r in brows:
-        books[r.m][r.code] = list(r.cq)
-    books = [[cq for cq in bk if cq is not None] for bk in books]
-    subdim = EMB_DIM // _PQ_COS_M
-
-    if vectors is not None:
-        late = vectors
-    else:
-        late = spread(load_table(spark, sf_dir, "embeddings")).filter(
-            F.col("vec_id") >= lo
+    for _ in range(_APPEND_RETRIES):
+        # frozen client state from the current version — NOT retrained.
+        # Re-resolved each attempt: after a lost CAS the winner's codes
+        # are the new anti-join base (books/coarse are frozen forever,
+        # but re-reading them is k x dim — free).
+        cur = store.resolve(root)
+        coarse = sorted(
+            spark.read.parquet(os.path.join(cur, "coarse")).collect(),
+            key=lambda r: r.cell,
         )
-        if hi is not None:
-            late = late.filter(F.col("vec_id") < hi)
-    late = late.select(
-        "vec_id", km.quantize_normalized(F.col("embedding")).alias("qemb")
-    )
-    old_codes = spark.read.parquet(os.path.join(cur, "codes"))
-    new_codes = (
-        _ivfpq_encode_residuals(
-            _ivfpq_residuals(late, cells, cqs), books, subdim
-        )
-        .drop("qemb")
-        .join(old_codes.select("vec_id"), "vec_id", "left_anti")
-        .localCheckpoint(eager=True)  # pin the delta BEFORE the commit
-    )
-    if new_codes.isEmpty():
-        return False  # replayed batch / nothing new: exactly-once no-op
+        cells = [r.cell for r in coarse]
+        cqs = [list(r.cq) for r in coarse]
+        # geometry + metric from the snapshot's meta artifact, NOT the
+        # module constants: roots built with any (pq_m, pq_codes) append
+        # correctly, and roots built over RAW (unnormalized) vectors are
+        # refused loudly — this encoder normalizes, so growing a raw
+        # root would silently mix metrics and corrupt the codes.
+        meta = read_index_meta(spark, cur)
+        if meta is None or not meta.normalized:
+            raise ValueError(
+                f"root {root} is not an appendable index: missing meta "
+                "artifact or built over unnormalized vectors (append "
+                "encodes with quantize_normalized)"
+            )
+        pq_m, pq_codes = meta.pq_m, meta.pq_codes
+        brows = spark.read.parquet(os.path.join(cur, "books")).collect()
+        books = [[None] * pq_codes for _ in range(pq_m)]
+        for r in brows:
+            books[r.m][r.code] = list(r.cq)
+        books = [[cq for cq in bk if cq is not None] for bk in books]
+        subdim = len(books[0][0])
+        if subdim * pq_m != EMB_DIM or meta.emb_dim != EMB_DIM:
+            raise ValueError(
+                f"books geometry (m={pq_m}, subdim={subdim}) does not "
+                f"tile EMB_DIM={EMB_DIM} for root {root}"
+            )
 
-    def append(data_dir: str) -> None:
-        # books/coarse copied BY REFERENCE semantics are not available in
-        # a snapshot store (each version is self-contained): rewrite the
-        # driver-literal-sized tables, union the codes
-        spark.createDataFrame(
-            list(zip(cells, map(list, cqs))), "cell int, cq array<bigint>"
-        ).coalesce(1).write.parquet(os.path.join(data_dir, "coarse"))
-        spark.read.parquet(os.path.join(cur, "books")).coalesce(
-            1
-        ).write.parquet(os.path.join(data_dir, "books"))
-        old_codes.unionByName(new_codes).write.parquet(
-            os.path.join(data_dir, "codes")
+        if vectors is not None:
+            late = vectors
+        else:
+            late = spread(load_table(spark, sf_dir, "embeddings")).filter(
+                F.col("vec_id") >= lo
+            )
+            if hi is not None:
+                late = late.filter(F.col("vec_id") < hi)
+        late = late.select(
+            "vec_id",
+            km.quantize_normalized(F.col("embedding")).alias("qemb"),
+        ).dropDuplicates(["vec_id"])
+        old_codes = spark.read.parquet(os.path.join(cur, "codes"))
+        new_codes = (
+            _ivfpq_encode_residuals(
+                _ivfpq_residuals(late, cells, cqs), books, subdim
+            )
+            .drop("qemb")
+            .join(old_codes.select("vec_id"), "vec_id", "left_anti")
+            .localCheckpoint(eager=True)  # pin the delta BEFORE the commit
         )
+        if new_codes.isEmpty():
+            return False  # replayed batch / nothing new: exactly-once no-op
 
-    try:
-        store.commit_snapshot(root, append)
-    except store.CommitConflict:
-        return False  # a concurrent appender won; retry next trigger
-    return True
+        def append(data_dir: str) -> None:
+            # books/coarse copied BY REFERENCE semantics are not available
+            # in a snapshot store (each version is self-contained): rewrite
+            # the driver-literal-sized tables, union the codes
+            spark.createDataFrame(
+                list(zip(cells, map(list, cqs))), "cell int, cq array<bigint>"
+            ).coalesce(1).write.parquet(os.path.join(data_dir, "coarse"))
+            spark.read.parquet(os.path.join(cur, "books")).coalesce(
+                1
+            ).write.parquet(os.path.join(data_dir, "books"))
+            write_index_meta(spark, data_dir, pq_m, pq_codes, True)
+            old_codes.unionByName(new_codes).write.parquet(
+                os.path.join(data_dir, "codes")
+            )
+
+        try:
+            store.commit_snapshot(root, append)
+            return True
+        except store.CommitConflict:
+            continue  # lost the CAS: re-resolve and re-derive the delta
+    raise store.CommitConflict(
+        f"append to {root} lost the snapshot CAS {_APPEND_RETRIES} times"
+    )
 
 
 @register("emb_ivfpq_append_serve", oracle=_IVFPQ_APPEND_SQL, driver=False)

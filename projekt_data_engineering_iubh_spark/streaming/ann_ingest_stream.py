@@ -18,11 +18,14 @@ Per micro-batch (foreachBatch):
 
 Exactly-once: Structured Streaming replays a trigger after a crash
 between the commit and the checkpoint write; the anti-join + empty-skip
-makes the replay a no-op (no duplicate codes, no empty version), and the
-snapshot-store CAS makes a concurrent appender lose cleanly
-(CommitConflict → retry next trigger). Readers mid-scan keep their
-resolved version under their feet (snapshot isolation); store.vacuum
-with retention reclaims old generations.
+makes the replay a no-op (no duplicate codes, no empty version). A
+concurrent appender losing the snapshot CAS is handled INSIDE
+ivfpq_append_generation — it re-resolves the winner's snapshot,
+re-anti-joins the delta, and retries until it commits or the delta is
+empty — so a trigger never checkpoints with its vectors uncommitted
+(the store contract: the caller re-derives and retries on conflict).
+Readers mid-scan keep their resolved version under their feet (snapshot
+isolation); store.vacuum with retention reclaims old generations.
 
 Scale shape: per trigger the cluster work is ONE map-side encode of the
 batch (argmin over driver-literal codebooks — no shuffle) plus the codes
@@ -93,6 +96,7 @@ def bootstrap_codes_index(
         vq._ivfpq_encode_residuals(res, books, subdim).drop(
             "qemb"
         ).write.parquet(os.path.join(data_dir, "codes"))
+        vq.write_index_meta(spark, data_dir, vq._PQ_COS_M, vq._PQ_CODES, True)
 
     try:
         store.commit_snapshot(root, build)

@@ -446,3 +446,180 @@ def test_multi_generation_append_chain(spark, tmp_path, monkeypatch):
     assert any("v00000001" in r for r in removed), removed
     assert artifact("codes") == ref_codes
     assert not _os.path.isdir(_os.path.join(chain_root, "v00000001"))
+
+
+def test_quantize_zero_norm_vector_is_all_zero_codes_both_engines(spark):
+    """ADVICE r9: x/0 is NULL in Spark but engine-version-dependent in
+    DuckDB (NULL or inf) — a zero embedding silently dropped out of the
+    index on one engine only. greatest(norm, 1e-30) pins BOTH engines to
+    the exact all-zeros code (every element of a zero-norm vector is 0,
+    so 0/eps quantizes to 0 bit-identically)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.operators import kmeans as km
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * vq.EMB_DIM), (1, [0.5] * vq.EMB_DIM)],
+        "vec_id int, embedding array<float>",
+    ).select(
+        "vec_id", km.quantize_normalized(F.col("embedding")).alias("q")
+    )
+    rows = {r.vec_id: list(r.q) for r in df.collect()}
+    assert rows[0] == [0] * vq.EMB_DIM  # no NULLs, no silent drop
+    assert all(v is not None for v in rows[1])
+
+    con = duckdb.connect()
+    try:
+        expr = km.quantize_normalized_sql("embedding")
+        zeros = ", ".join(["0.0"] * vq.EMB_DIM)
+        (dq,) = con.execute(
+            f"SELECT {expr} FROM (SELECT [{zeros}]::FLOAT[] AS embedding)"
+        ).fetchone()
+        assert list(dq) == [0] * vq.EMB_DIM
+    finally:
+        con.close()
+
+
+def test_append_retries_through_commit_conflict(spark, tmp_path, monkeypatch):
+    """ADVICE r9 (high): losing the snapshot CAS must NOT lose the
+    batch's vectors — foreachBatch checkpoints the trigger as done, so a
+    swallowed CommitConflict is permanent data loss. Simulate a
+    concurrent appender winning mid-commit: the first commit attempt
+    sees a competing generation land and raises CommitConflict; the
+    append must re-resolve the WINNER's snapshot, anti-join away what
+    the winner already encoded, and commit the remainder — final codes
+    equal the full single-append reference, nothing lost, nothing
+    duplicated."""
+    import os as _os
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    vq._IVFPQ_CLIENT_CACHE.clear()
+    ref_root = vq._ensure_ivfpq_appended_index(spark, SF)
+    ref_codes = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            _os.path.join(store.resolve(ref_root), "codes")
+        ).collect()
+    )
+
+    # fresh root at v1 only (suppress the entry's own append)
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx2"))
+    real_gen = vq.ivfpq_append_generation
+    monkeypatch.setattr(vq, "ivfpq_append_generation", lambda *a, **k: None)
+    root = vq._ensure_ivfpq_appended_index(spark, SF)
+    monkeypatch.setattr(vq, "ivfpq_append_generation", real_gen)
+    assert store._committed_versions(root) == [1]
+
+    real_commit = store.commit_snapshot
+    state = {"conflicted": False}
+
+    def racing_commit(r, build):
+        if not state["conflicted"]:
+            state["conflicted"] = True
+            # the concurrent winner lands [100, 200) first (its own
+            # commit passes through — the flag is already set) ...
+            real_gen(spark, SF, r, lo=100, hi=200)
+            # ... and our CAS loses
+            raise store.CommitConflict("simulated lost CAS")
+        return real_commit(r, build)
+
+    monkeypatch.setattr(store, "commit_snapshot", racing_commit)
+    try:
+        assert real_gen(spark, SF, root, lo=100) is True
+    finally:
+        monkeypatch.setattr(store, "commit_snapshot", real_commit)
+
+    # winner's v2 + our retried v3; union == the one-shot reference
+    assert store._committed_versions(root) == [1, 2, 3]
+    codes = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            _os.path.join(store.resolve(root), "codes")
+        ).collect()
+    )
+    assert codes == ref_codes
+    ids = [c[0] for c in codes]
+    assert len(ids) == len(set(ids))
+
+
+def test_append_delta_dedups_within_one_batch(spark, tmp_path, monkeypatch):
+    """ADVICE r9: two dropped files overlapping in ONE trigger deliver
+    the same vec_id twice inside a single delta; the anti-join only
+    guards against already-COMMITTED ids, so both rows used to survive
+    and commit duplicate code rows. The delta is deduped on vec_id
+    before the anti-join."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    vq._IVFPQ_CLIENT_CACHE.clear()
+    real_gen = vq.ivfpq_append_generation
+    monkeypatch.setattr(vq, "ivfpq_append_generation", lambda *a, **k: None)
+    root = vq._ensure_ivfpq_appended_index(spark, SF)
+    monkeypatch.setattr(vq, "ivfpq_append_generation", real_gen)
+
+    late = (
+        load_table(spark, SF, "embeddings")
+        .filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+        .select("vec_id", "embedding")
+    )
+    doubled = late.unionByName(late)  # overlapping files, one trigger
+    assert real_gen(spark, SF, root, vectors=doubled) is True
+    ids = [
+        r.vec_id
+        for r in spark.read.parquet(
+            _os.path.join(store.resolve(root), "codes")
+        )
+        .select("vec_id")
+        .collect()
+    ]
+    assert len(ids) == len(set(ids))
+    assert sorted(i for i in ids if i >= 100) == list(range(100, 150))
+
+
+def test_append_refuses_raw_metric_roots(spark, tmp_path, monkeypatch):
+    """ADVICE r9: appending to a root built with another geometry or
+    metric used to corrupt codes SILENTLY (books rows only fill m<4,
+    argmin over empty codebooks). The meta artifact makes it loud: the
+    raw (unnormalized) M=4 root is refused with a clear error, as is any
+    legacy root without a meta artifact."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    vq._IVFPQ_CLIENT_CACHE.clear()
+    raw_root = vq._ensure_ivfpq_index(spark, SF, normalized=False)
+    with pytest.raises(ValueError, match="not an appendable"):
+        vq.ivfpq_append_generation(spark, SF, raw_root, lo=100)
+
+
+def test_append_derives_geometry_from_meta(spark, tmp_path, monkeypatch):
+    """A normalized root built with a DIFFERENT geometry than the
+    module's cosine default (M=4 vs _PQ_COS_M=16) appends correctly:
+    the encoder reads (pq_m, pq_codes) from the snapshot's meta, not
+    from the hard-coded constants — fresh vectors land as 4-subspace
+    codes with no empty-codebook argmin."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    vq._IVFPQ_CLIENT_CACHE.clear()
+    root = vq._ensure_ivfpq_index(spark, SF, normalized=True, pq_m=4)
+    fresh = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    )
+    assert vq.ivfpq_append_generation(spark, SF, root, vectors=fresh) is True
+    codes = spark.read.parquet(_os.path.join(store.resolve(root), "codes"))
+    assert "c3" in codes.columns and "c4" not in codes.columns
+    new = codes.filter(codes.vec_id >= 10_000_000).collect()
+    assert len(new) == 20
+    for r in new:
+        assert all(
+            getattr(r, f"c{m}") is not None for m in range(4)
+        ), r

@@ -168,16 +168,23 @@ def test_driver_entries_have_oracles():
     assert not missing, f"driver entries without oracle SQL: {missing}"
 
 
-def test_driver_entries_emit_scalar_columns_only(spark, sf_dir):
+def test_driver_entries_emit_scalar_columns_only(
+    spark, sf_dir, tmp_path, monkeypatch
+):
     """The external driver canonicalizes results through raw pandas
     sort_values; list/map/struct cells crash it before any comparison
     runs (CORRECTNESS_r08: docs_inverted_index, array<long> postings ->
-    TypeError: unhashable type 'list'). Analysis-time schema check —
-    no execution — over every driver=True entry."""
+    TypeError: unhashable type 'list'). The CHECK is schema-level (no
+    .collect() on any result), but plan CONSTRUCTION for the stored-index
+    serve entries builds their index if absent (k-means training + an
+    index write), so the index root is pointed at a throwaway tmp dir —
+    no writes under the shared SPARK_GRAFT_INDEX_DIR, no cross-test
+    state leakage."""
     from projekt_data_engineering_iubh_spark.plans.registry import (
         scalar_schema_violations,
     )
 
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
     bad: dict[str, list[str]] = {}
     for name, q in driver_queries().items():
         v = scalar_schema_violations(q.fn(spark, sf_dir).schema)
