@@ -1381,7 +1381,7 @@ FROM documents
 """
 
 
-@register("docs_binary_payloads", oracle=_BINARY_SQL, driver=False)
+@register("docs_binary_payloads", oracle=_BINARY_SQL)
 def docs_binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing, oracle-verified (round 7): the multimodal
     tier treats media as opaque `binary` columns
@@ -1453,7 +1453,7 @@ FROM ranked
 """
 
 
-@register("docs_train_order", oracle=_TRAIN_ORDER_SQL)
+@register("docs_train_order", oracle=_TRAIN_ORDER_SQL, driver=False)
 def docs_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic global shuffle into training shards.
 
@@ -1540,7 +1540,7 @@ FROM dims
 """
 
 
-@register("docs_media_dims", oracle=_MEDIA_DIMS_SQL, driver=False)
+@register("docs_media_dims", oracle=_MEDIA_DIMS_SQL)
 def docs_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal plumbing's layout arithmetic as engine-side columns,
     oracle-checked cross-engine (#109; second oracle row of the family
@@ -1640,7 +1640,7 @@ LIMIT {_BM25_TOP}
 """
 
 
-@register("docs_bm25_topk", oracle=_BM25_SQL)
+@register("docs_bm25_topk", oracle=_BM25_SQL, driver=False)
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval over the corpus for a fixed query — the
     classic sparse-retrieval scorer next to the TF-IDF term profile
@@ -1767,7 +1767,7 @@ GROUP BY 1
 """
 
 
-@register("docs_dsir_weights", oracle=_DSIR_SQL)
+@register("docs_dsir_weights", oracle=_DSIR_SQL, driver=False)
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every raw
@@ -2101,7 +2101,7 @@ FROM magg CROSS JOIN dagg CROSS JOIN ex CROSS JOIN pex
 """
 
 
-@register("docs_hll_union", oracle=_HLL_UNION_SQL)
+@register("docs_hll_union", oracle=_HLL_UNION_SQL, driver=False)
 def docs_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog sketch MERGE — the property that makes the sketch a
     distributed-aggregation primitive, proven in the verified output:
@@ -2214,7 +2214,7 @@ FROM flagged GROUP BY 1
 """
 
 
-@register("docs_boilerplate_prune", oracle=_BOILER_SQL)
+@register("docs_boilerplate_prune", oracle=_BOILER_SQL, driver=False)
 def docs_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency boilerplate removal — the C4 rule that a LINE
     occurring in three or more documents is template boilerplate
@@ -2332,7 +2332,7 @@ FROM meta, unnest(range(0, duration_ms + 1, {_FS_EVERY_MS}))
 """
 
 
-@register("docs_media_framesample", oracle=_FRAMESAMPLE_SQL, driver=False)
+@register("docs_media_framesample", oracle=_FRAMESAMPLE_SQL)
 def docs_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing, oracle-checked end to end (#137;
     third oracle row of the multimodal family): synthesizes per-asset
@@ -2449,7 +2449,7 @@ FROM est
 """
 
 
-@register("events_rolling_wau_hll", oracle=_HLL_WAU_SQL)
+@register("events_rolling_wau_hll", oracle=_HLL_WAU_SQL, driver=False)
 def events_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for rolling actives: trailing-7-day WAU per day
     from MERGED per-day HyperLogLog register tables — the composition

@@ -731,7 +731,7 @@ FROM v JOIN p ON v.user_id = p.user_id
 """
 
 
-@register("events_attribution_join", oracle=_ATTRIBUTION_SQL, driver=False)
+@register("events_attribution_join", oracle=_ATTRIBUTION_SQL)
 def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion attribution as a batch interval join: every purchase
     matched to the same user's views within the preceding 30 minutes —
@@ -779,7 +779,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
-@register("events_scd2_state", oracle=_SCD2_SQL)
+@register("events_scd2_state", oracle=_SCD2_SQL, driver=False)
 def events_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension Type 2 derivation from the event
     stream — the warehouse-modeling idiom the reference's daily summary
@@ -1030,7 +1030,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY island_start)
 """
 
 
-@register("events_gaps_islands", oracle=_ISLANDS_SQL)
+@register("events_gaps_islands", oracle=_ISLANDS_SQL, driver=False)
 def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: per user, collapse the set of active DAYS into
     maximal runs of consecutive dates (islands) with the gap length
@@ -1357,7 +1357,7 @@ GROUP BY 1
 """
 
 
-@register("events_anomaly_mad", oracle=_MAD_SQL, driver=False)
+@register("events_anomaly_mad", oracle=_MAD_SQL)
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier detection: median + MAD (median absolute
     deviation) in EXACT integer cents, flagging |x - median| > 3*MAD —
@@ -1569,7 +1569,7 @@ FROM r WHERE rn = 1
 """
 
 
-@register("events_cusum_shift", oracle=_CUSUM_SQL, driver=False)
+@register("events_cusum_shift", oracle=_CUSUM_SQL)
 def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection over each type's daily count series:
     the day where the cumulative deviation from the series mean peaks —
@@ -1907,7 +1907,7 @@ GROUP BY 1
 """
 
 
-@register("events_linear_attribution", oracle=_LINEAR_ATTR_SQL, driver=False)
+@register("events_linear_attribution", oracle=_LINEAR_ATTR_SQL)
 def events_linear_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -1209,7 +1209,7 @@ WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
 """
 
 
-@register("q19_disjunctive_revenue", oracle=_Q19_SQL, driver=False)
+@register("q19_disjunctive_revenue", oracle=_Q19_SQL)
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunctive mixed-table predicate over an
     equi-join. Catalyst extracts the common p_partkey equi-condition so
@@ -1271,7 +1271,7 @@ FROM dormant GROUP BY c_nationkey
 """
 
 
-@register("q22_dormant_customers", oracle=_Q22_SQL, driver=False)
+@register("q22_dormant_customers", oracle=_Q22_SQL)
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar aggregate subquery (above-average account
     balance, computed with exact decimal sums so the boundary comparison
@@ -1714,7 +1714,7 @@ SELECT 'referential:o_custkey->c_custkey', v_ref, v_ref = 0 FROM ref
 """
 
 
-@register("orders_expectations", oracle=_EXPECTATIONS_SQL, driver=False)
+@register("orders_expectations", oracle=_EXPECTATIONS_SQL)
 def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate over `orders`
     (operators/expectations.py; registry #107): five row-level /
@@ -1940,7 +1940,7 @@ FROM (SELECT c.{fk}, p.{pk} AS pk
 )
 
 
-@register("referential_integrity_audit", oracle=_RI_SQL)
+@register("referential_integrity_audit", oracle=_RI_SQL, driver=False)
 def referential_integrity_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -1796,7 +1796,7 @@ FROM per_doc
 """
 
 
-@register("docs_char_entropy", oracle=_ENTROPY_SQL, driver=False)
+@register("docs_char_entropy", oracle=_ENTROPY_SQL)
 def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon character entropy per document (#110) — the fourth quality
     signal next to the heuristic (docs_text_stats), the trained NB
@@ -1891,7 +1891,7 @@ FROM r{_PR_ITERS} LEFT JOIN deg ON deg.s = r{_PR_ITERS}.doc_id
     return "".join(parts)
 
 
-@register("docs_pagerank", oracle=_pagerank_sql())
+@register("docs_pagerank", oracle=_pagerank_sql(), driver=False)
 def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup similarity graph — the second
     iterative graph algorithm next to connected components
@@ -2012,7 +2012,7 @@ LEFT JOIN tc ON tc.doc_id = d0.doc_id
 """
 
 
-@register("docs_neardup_triangles", oracle=_TRIANGLES_SQL)
+@register("docs_neardup_triangles", oracle=_TRIANGLES_SQL, driver=False)
 def docs_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle count and local clustering coefficient over
     the near-dup similarity graph — the third graph primitive beside
@@ -2267,7 +2267,7 @@ WHERE CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
 """
 
 
-@register("docs_ppjoin_neardup", oracle=_PPJOIN_SQL)
+@register("docs_ppjoin_neardup", oracle=_PPJOIN_SQL, driver=False)
 def docs_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join by prefix filtering (the PPJoin
     family, Xiao et al. WWW'08) — the provably-lossless alternative to

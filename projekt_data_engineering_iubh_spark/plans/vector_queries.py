@@ -1593,7 +1593,7 @@ JOIN embeddings ne ON ne.vec_id = t.neighbor_id
 """
 
 
-@register("emb_hamming_ann", oracle=_HAMMING_SQL)
+@register("emb_hamming_ann", oracle=_HAMMING_SQL, driver=False)
 def emb_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-sketch ANN (#111): 60-plane sign sketch per vector (one
     BIGINT), Hamming-distance top-k per query via ``bit_count(xor)``,
@@ -2145,7 +2145,7 @@ FROM r WHERE rn <= {topk}
 _IVFPQ_SQL = _ivfpq_sql()
 
 
-@register("emb_ivfpq_residual", oracle=_IVFPQ_SQL)
+@register("emb_ivfpq_residual", oracle=_IVFPQ_SQL, driver=False)
 def emb_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with RESIDUAL codebooks — the full FAISS-style composition
     the family was missing: a trained coarse quantizer routes the
@@ -2875,7 +2875,7 @@ SELECT query_id, neighbor_id, cell, adc_dist, rn FROM ({_IVFPQ_NORM_SQL})
 """
 
 
-@register("emb_ivfpq_serve_lean_cos", oracle=_IVFPQ_LEAN_COS_SQL, driver=False)
+@register("emb_ivfpq_serve_lean_cos", oracle=_IVFPQ_LEAN_COS_SQL)
 def emb_ivfpq_serve_lean_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COSINE-FAITHFUL codes-only IVF-PQ serve (r9): identical plan to
     emb_ivfpq_serve_lean, but the index is built over UNIT-NORMALIZED
@@ -2927,7 +2927,7 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM (
 """
 
 
-@register("emb_ivfpq_serve_rerank", oracle=_IVFPQ_RERANK_SQL, driver=False)
+@register("emb_ivfpq_serve_rerank", oracle=_IVFPQ_RERANK_SQL)
 def emb_ivfpq_serve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lean IVF-PQ serve + EXACT re-rank (the FAISS refine stage): the
     codes-only cosine-faithful plan produces an ADC top-{_RR_SHORTLIST}
@@ -3213,7 +3213,7 @@ def ivfpq_append_generation(
     )
 
 
-@register("emb_ivfpq_append_serve", oracle=_IVFPQ_APPEND_SQL, driver=False)
+@register("emb_ivfpq_append_serve", oracle=_IVFPQ_APPEND_SQL)
 def emb_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve from an index GROWN WITHOUT RETRAIN (r9): codebooks were
     trained once on the frozen vec_id < {_APPEND_CUT} corpus (index v1);

@@ -78,19 +78,10 @@ LOCAL_ONLY_FAMILY = {
     # (#103) and the trained-vocabulary corpus tokenizer (#104)
     "docs_bpe_train3",
     "docs_bpe_tokenize",
-    # round 7: the multimodal family's first oracle-checked entry (#105)
-    "docs_binary_payloads",
-    # round 7: multimodal layout arithmetic, second family oracle (#109)
-    "docs_media_dims",
-    # round 7: char-entropy quality signal (#110)
-    "docs_char_entropy",
     # round 7: explicit HyperLogLog sketch (#114)
     # round 7: Efraimidis-Spirakis weighted sample (#115)
     # round 7: power-iteration dominant principal component (#125)
     # round 7: PC-projection outlier screen (#129)
-    # round 7: multimodal frame-sampling arithmetic, drives the real
-    # sample_frames operator (#137)
-    "docs_media_framesample",
     # round 8 rotation #5: fifteen never-driver-checked entries promoted
     # (docs_pagerank, docs_neardup_triangles, docs_ppjoin_neardup,
     # emb_ivfpq_residual, emb_hamming_ann, docs_bm25_topk,
@@ -135,12 +126,27 @@ LOCAL_ONLY_FAMILY = {
     "docs_simhash_neardup",
     "emb_quantize_int8",
     "emb_semantic_dedup",
-    # round 9: cosine-faithful lean serve (normalized index variant)
-    # + its exact-refine production rerank stage
-    "emb_ivfpq_serve_lean_cos",
-    "emb_ivfpq_serve_rerank",
-    # round 9: FAISS-style add — index grown without retrain, served
-    "emb_ivfpq_append_serve",
+    # round 10 rotation #7: fourteen never-driver-checked entries
+    # promoted (the r9 ANN family emb_ivfpq_serve_lean_cos /
+    # emb_ivfpq_serve_rerank / emb_ivfpq_append_serve, plus
+    # events_anomaly_mad, events_cusum_shift, events_linear_attribution,
+    # events_attribution_join, orders_expectations, docs_char_entropy,
+    # docs_media_dims, docs_media_framesample, docs_binary_payloads,
+    # q19, q22); these two-round-green (r8+r9) entries demoted —
+    # semantics covered by surviving driver entries or dedicated tests,
+    # oracle-green on every local run (docs_inverted_index stays in the
+    # driver set: its r8 row was RED, r9 is its first green — it needs a
+    # second external round before demotion)
+    "docs_pagerank",
+    "docs_neardup_triangles",
+    "docs_ppjoin_neardup",
+    "docs_train_order",
+    "docs_bm25_topk",
+    "docs_dsir_weights",
+    "docs_hll_union",
+    "docs_boilerplate_prune",
+    "emb_hamming_ann",
+    "emb_ivfpq_residual",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
