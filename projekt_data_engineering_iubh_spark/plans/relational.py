@@ -1581,7 +1581,7 @@ FROM trade GROUP BY o_year
 """
 
 
-@register("q8_market_share", oracle=_Q8_SQL)
+@register("q8_market_share", oracle=_Q8_SQL, driver=False)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's PROMO-part trade
     by order year — an eight-relation join where region and part type

@@ -2001,6 +2001,7 @@ def _ivfpq_sql(
     pq_codes: int = _PQ_CODES,
     topk: int = _PQ_K,
     train_max: int | None = None,
+    delete_where: str | None = None,
 ) -> str:
     """The full IVF-PQ oracle: coarse k-means CTE chain -> residuals ->
     per-subspace k-means on residual slices -> encoded corpus ->
@@ -2009,7 +2010,12 @@ def _ivfpq_sql(
     ``normalized=True`` mirrors _ivfpq_train's cosine-faithful variant
     (unit-normalize before quantization); ``pq_m``/``pq_codes`` pick the
     codebook geometry (the cos variant uses a finer one — recall is
-    bounded by bits/dim, not by the metric: r9 matrix)."""
+    bounded by bits/dim, not by the metric: r9 matrix).
+    ``delete_where`` (a predicate over ``x.vec_id``) restricts the
+    CANDIDATE corpus only — queries, training, and encoding are
+    untouched — mirroring a tombstoned serving index: per-row encode is
+    independent, so searching encode-all-minus-deleted equals searching
+    a from-scratch encode of the surviving corpus."""
     subdim = EMB_DIM // pq_m
     parts = []
     # coarse quantizer (same geometry as the trained IVF). With
@@ -2123,7 +2129,9 @@ def _ivfpq_sql(
         f" CAST({adc} AS DOUBLE) / {_PQT_SCALE2!r} AS adc_dist,"
         f" CAST({exact} AS DOUBLE) / {_PQT_SCALE2!r} AS exact_dist"
         f" FROM qr q JOIN res x"
-        f" ON x.cell = q.pcell AND x.vec_id != q.query_id {enc_joins})"
+        f" ON x.cell = q.pcell AND x.vec_id != q.query_id {enc_joins}"
+        + (f" WHERE {delete_where}" if delete_where else "")
+        + ")"
     )
     return (
         "WITH "
@@ -3006,6 +3014,27 @@ def _ensure_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
     deployment amortizes — 4 B/vector, map-side, no shuffle."""
     kind = "ivfpq_app"
     consts = _IVFPQ_CONSTS + ("norm1", _PQ_COS_M, _APPEND_CUT)
+    root = ann_index.ensure(
+        sf_dir,
+        "embeddings.parquet",
+        kind,
+        consts,
+        _ivfpq_subset_train_build(spark, sf_dir),
+    )
+
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    if store.current_version(root) >= 2:
+        return root  # append already committed for this corpus version
+    ivfpq_append_generation(spark, sf_dir, root, lo=_APPEND_CUT)
+    return root
+
+
+def _ivfpq_subset_train_build(spark: SparkSession, sf_dir: str):
+    """Build closure for snapshot v1 of the append/delete lifecycles:
+    train coarse + residual codebooks on the frozen vec_id <
+    {_APPEND_CUT} subset and encode ONLY that subset (later vectors
+    arrive through append generations, never through retraining)."""
 
     def build(data_dir: str) -> None:
         e = spread(load_table(spark, sf_dir, "embeddings"))
@@ -3053,14 +3082,7 @@ def _ensure_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
         ).write.parquet(os.path.join(data_dir, "codes"))
         write_index_meta(spark, data_dir, _PQ_COS_M, _PQ_CODES, True)
 
-    root = ann_index.ensure(sf_dir, "embeddings.parquet", kind, consts, build)
-
-    from projekt_data_engineering_iubh_spark.pipeline import store
-
-    if store.current_version(root) >= 2:
-        return root  # append already committed for this corpus version
-    ivfpq_append_generation(spark, sf_dir, root, lo=_APPEND_CUT)
-    return root
+    return build
 
 
 def write_index_meta(
@@ -3088,6 +3110,29 @@ def read_index_meta(spark: SparkSession, snapshot_dir: str):
         return None
     rows = spark.read.parquet(path).collect()
     return rows[0] if rows else None
+
+
+def _read_tombstones(spark: SparkSession, snapshot_dir: str):
+    """The snapshot's live tombstone key set (vec_id), or None if the
+    version carries no deletes (absent artifact == empty set)."""
+    path = os.path.join(snapshot_dir, "tombstones")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select("vec_id")
+
+
+def read_live_codes(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """The snapshot's SERVING view of its codes: every committed code
+    row minus the live tombstones (FAISS ``remove_ids`` semantics
+    without rewriting the codes at delete time). With no tombstones the
+    plan is the bare codes scan — zero cost on the undeleted path; with
+    tombstones it is one anti-join against a key set that is tiny
+    relative to the corpus (and broadcast by AQE when it fits)."""
+    codes = spark.read.parquet(os.path.join(snapshot_dir, "codes"))
+    tomb = _read_tombstones(spark, snapshot_dir)
+    if tomb is None:
+        return codes
+    return codes.join(tomb, "vec_id", "left_anti")
 
 
 def ivfpq_append_generation(
@@ -3177,12 +3222,19 @@ def ivfpq_append_generation(
             km.quantize_normalized(F.col("embedding")).alias("qemb"),
         ).dropDuplicates(["vec_id"])
         old_codes = spark.read.parquet(os.path.join(cur, "codes"))
+        tomb = _read_tombstones(spark, cur)
+        # anti-join against LIVE ids: a tombstoned vec_id that arrives
+        # again is a RE-ADD (FAISS remove_ids then add) — it survives the
+        # anti-join, its stale code row and tombstone are dropped below
+        live_ids = old_codes.select("vec_id")
+        if tomb is not None:
+            live_ids = live_ids.join(tomb, "vec_id", "left_anti")
         new_codes = (
             _ivfpq_encode_residuals(
                 _ivfpq_residuals(late, cells, cqs), books, subdim
             )
             .drop("qemb")
-            .join(old_codes.select("vec_id"), "vec_id", "left_anti")
+            .join(live_ids, "vec_id", "left_anti")
             .localCheckpoint(eager=True)  # pin the delta BEFORE the commit
         )
         if new_codes.isEmpty():
@@ -3199,9 +3251,20 @@ def ivfpq_append_generation(
                 1
             ).write.parquet(os.path.join(data_dir, "books"))
             write_index_meta(spark, data_dir, pq_m, pq_codes, True)
-            old_codes.unionByName(new_codes).write.parquet(
-                os.path.join(data_dir, "codes")
-            )
+            if tomb is None:
+                codes_out = old_codes.unionByName(new_codes)
+            else:
+                # resurrected ids: replace the dead row, drop the tombstone
+                delta_ids = new_codes.select("vec_id")
+                codes_out = old_codes.join(
+                    delta_ids, "vec_id", "left_anti"
+                ).unionByName(new_codes)
+                live_tomb = tomb.join(delta_ids, "vec_id", "left_anti")
+                if not live_tomb.isEmpty():
+                    live_tomb.coalesce(1).write.parquet(
+                        os.path.join(data_dir, "tombstones")
+                    )
+            codes_out.write.parquet(os.path.join(data_dir, "codes"))
 
         try:
             store.commit_snapshot(root, append)
@@ -3211,6 +3274,180 @@ def ivfpq_append_generation(
     raise store.CommitConflict(
         f"append to {root} lost the snapshot CAS {_APPEND_RETRIES} times"
     )
+
+
+def ivfpq_delete_generation(
+    spark: SparkSession, root: str, keys: DataFrame
+) -> bool:
+    """Commit ONE delete generation: tombstone the given vec_ids (FAISS
+    ``remove_ids``) WITHOUT rewriting or re-encoding any code row at
+    delete time. The next snapshot version carries the same codebooks
+    and codes plus a ``tombstones`` key-set artifact; every serve path
+    reads codes through read_live_codes (codes anti-join tombstones), so
+    deleted vectors stop appearing in results the moment the version
+    commits while in-flight readers of the prior version are untouched
+    (snapshot isolation). Returns True iff a new version was committed
+    (keys that are unknown or already dead commit NOTHING — idempotent
+    under replay, same as the append's empty-delta skip).
+
+    This is the takedown/GDPR/dedup-rerun shape a 100 TB corpus needs:
+    the delete itself is an O(|keys|) key-set write (no shuffle of the
+    corpus, no retrain); the codes copy into the new self-contained
+    snapshot is the same compaction write every generation already pays.
+    ivfpq_compact folds accumulated tombstones back into a clean full
+    snapshot when the dead fraction warrants it.
+
+    Reference scope: the reference engine (648 LoC,
+    /root/reference/src/daily_aggregator.py) has no vector tier; this is
+    north-star training-data-pipeline surface alongside the append
+    lifecycle (#150)."""
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    dedup_keys = keys.select("vec_id").dropDuplicates(["vec_id"])
+    for _ in range(_APPEND_RETRIES):
+        cur = store.resolve(root)
+        codes = spark.read.parquet(os.path.join(cur, "codes"))
+        tomb = _read_tombstones(spark, cur)
+        # only ids that are currently LIVE become new tombstones
+        new_dead = dedup_keys.join(
+            codes.select("vec_id"), "vec_id", "left_semi"
+        )
+        if tomb is not None:
+            new_dead = new_dead.join(tomb, "vec_id", "left_anti")
+        new_dead = new_dead.localCheckpoint(eager=True)
+        if new_dead.isEmpty():
+            return False  # nothing live to delete: idempotent no-op
+
+        def build(data_dir: str) -> None:
+            for name in ("coarse", "books", "meta"):
+                src = os.path.join(cur, name)
+                if os.path.isdir(src):
+                    spark.read.parquet(src).coalesce(1).write.parquet(
+                        os.path.join(data_dir, name)
+                    )
+            codes.write.parquet(os.path.join(data_dir, "codes"))
+            all_tomb = (
+                new_dead if tomb is None else tomb.unionByName(new_dead)
+            )
+            all_tomb.coalesce(1).write.parquet(
+                os.path.join(data_dir, "tombstones")
+            )
+
+        try:
+            store.commit_snapshot(root, build)
+            return True
+        except store.CommitConflict:
+            continue
+    raise store.CommitConflict(
+        f"delete on {root} lost the snapshot CAS {_APPEND_RETRIES} times"
+    )
+
+
+def ivfpq_compact(spark: SparkSession, root: str) -> bool:
+    """Fold accumulated tombstones into a clean full snapshot: commit a
+    version whose codes are exactly the LIVE rows and which carries no
+    tombstones artifact — the maintenance compaction that bounds the
+    serve path's anti-join key set (run it when the dead fraction
+    justifies one full codes rewrite; until then deletes stay O(|keys|)).
+    Returns False (no commit) when the current version has no
+    tombstones. Readers of prior versions keep their snapshot;
+    store.vacuum reclaims superseded generations afterwards."""
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    for _ in range(_APPEND_RETRIES):
+        cur = store.resolve(root)
+        if _read_tombstones(spark, cur) is None:
+            return False  # already compact
+        live = read_live_codes(spark, cur)
+
+        def build(data_dir: str) -> None:
+            for name in ("coarse", "books", "meta"):
+                src = os.path.join(cur, name)
+                if os.path.isdir(src):
+                    spark.read.parquet(src).coalesce(1).write.parquet(
+                        os.path.join(data_dir, name)
+                    )
+            live.write.parquet(os.path.join(data_dir, "codes"))
+
+        try:
+            store.commit_snapshot(root, build)
+            return True
+        except store.CommitConflict:
+            continue
+    raise store.CommitConflict(
+        f"compact on {root} lost the snapshot CAS {_APPEND_RETRIES} times"
+    )
+
+
+# tombstone predicate for the registry entry's lifecycle: deterministic,
+# SQL-expressible, and hitting BOTH generations (train subset + appended)
+_DELETE_MOD, _DELETE_RES = 10, 3
+
+_IVFPQ_DELETE_SQL = f"""
+SELECT query_id, neighbor_id, cell, adc_dist, rn FROM (
+{_ivfpq_sql(
+    normalized=True,
+    pq_m=_PQ_COS_M,
+    train_max=_APPEND_CUT,
+    delete_where=f"x.vec_id % {_DELETE_MOD} != {_DELETE_RES}",
+)}
+)
+"""
+
+
+def _ensure_ivfpq_deleted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Three-version store root proving the full grow-then-shrink
+    lifecycle: v1 = codebooks trained + codes encoded on the frozen
+    vec_id < {_APPEND_CUT} subset; v2 = append of every later vector
+    against the frozen books (FAISS ``add``); v3 = tombstones for
+    vec_id % {_DELETE_MOD} == {_DELETE_RES} (FAISS ``remove_ids``) —
+    deletes spanning BOTH the trained and the appended generations, no
+    code row rewritten or re-encoded."""
+    kind = "ivfpq_del"
+    consts = _IVFPQ_CONSTS + (
+        "norm1", _PQ_COS_M, _APPEND_CUT, _DELETE_MOD, _DELETE_RES,
+    )
+    root = ann_index.ensure(
+        sf_dir,
+        "embeddings.parquet",
+        kind,
+        consts,
+        _ivfpq_subset_train_build(spark, sf_dir),
+    )
+
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    if store.current_version(root) < 2:
+        ivfpq_append_generation(spark, sf_dir, root, lo=_APPEND_CUT)
+    if store.current_version(root) < 3:
+        keys = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % _DELETE_MOD == _DELETE_RES
+        )
+        ivfpq_delete_generation(spark, root, keys)
+    return root
+
+
+@register("emb_ivfpq_delete_serve", oracle=_IVFPQ_DELETE_SQL)
+def emb_ivfpq_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve from an index that GREW and then SHRANK without retrain
+    (r10): after the #150 append lifecycle, every vec_id %
+    {_DELETE_MOD} == {_DELETE_RES} was tombstoned as a delete
+    generation (FAISS ``remove_ids`` — takedowns, GDPR erasure, dedup
+    re-runs: real corpora shrink too). No code row was rewritten at
+    delete time; the serve plan is the identical lean codes-only shape
+    plus ONE anti-join against the tombstone key set (broadcast-sized
+    relative to any real corpus).
+
+    The ORACLE re-derives everything from raw data — trains on the
+    subset, encodes the full table, searches with the deleted ids
+    EXCLUDED from the candidate corpus — so the hash match certifies
+    serve-after-delete equals a from-scratch encode of the surviving
+    corpus (per-row encode is independent, so exclude-after-encode ==
+    encode-survivors-only). Lifecycle pins (delete -> re-add
+    resurrection -> compact, snapshot isolation for in-flight readers)
+    live in tests/test_ann_index.py."""
+    root = _ensure_ivfpq_deleted_index(spark, sf_dir)
+    return _serve_adc_from_snapshot(spark, sf_dir, root)
 
 
 @register("emb_ivfpq_append_serve", oracle=_IVFPQ_APPEND_SQL)
@@ -3232,10 +3469,25 @@ def emb_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance: training is a one-off sample-sized job, growth is a
     map-side encode of the delta (no shuffle, no retrain)."""
     root = _ensure_ivfpq_appended_index(spark, sf_dir)
+    return _serve_adc_from_snapshot(spark, sf_dir, root)
 
+
+def _serve_adc_from_snapshot(
+    spark: SparkSession, sf_dir: str, root: str
+) -> DataFrame:
+    """The shared serve tail for every snapshot-store IVF-PQ root:
+    collect the k×dim client state (coarse centroids + codebooks —
+    never data-sized), take the fixed query set from the raw corpus,
+    and run the lean codes-only ADC plan over the snapshot's LIVE codes
+    (read_live_codes: tombstones anti-joined when present, a bare codes
+    scan otherwise). Geometry comes from the snapshot's meta artifact
+    (falls back to the cosine constants for legacy roots)."""
     from projekt_data_engineering_iubh_spark.pipeline import store as _st
 
     cur = _st.resolve(root)
+    meta = read_index_meta(spark, cur)
+    pq_m = meta.pq_m if meta is not None else _PQ_COS_M
+    pq_codes = meta.pq_codes if meta is not None else _PQ_CODES
     coarse = sorted(
         spark.read.parquet(os.path.join(cur, "coarse")).collect(),
         key=lambda r: r.cell,
@@ -3243,7 +3495,7 @@ def emb_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse_cells = [r.cell for r in coarse]
     coarse_cqs = [list(r.cq) for r in coarse]
     brows = spark.read.parquet(os.path.join(cur, "books")).collect()
-    books = [[None] * _PQ_CODES for _ in range(_PQ_COS_M)]
+    books = [[None] * pq_codes for _ in range(pq_m)]
     for r in brows:
         books[r.m][r.code] = list(r.cq)
     books = [[cq for cq in bk if cq is not None] for bk in books]
@@ -3255,8 +3507,8 @@ def emb_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    codes = spark.read.parquet(os.path.join(cur, "codes"))
+    codes = read_live_codes(spark, cur)
     return _ivfpq_adc_topk(
         spark, coarse_cells, coarse_cqs, books, qrows, codes,
-        EMB_DIM // _PQ_COS_M, _PQ_COS_M,
+        EMB_DIM // pq_m, pq_m,
     )

@@ -623,3 +623,85 @@ def test_append_derives_geometry_from_meta(spark, tmp_path, monkeypatch):
         assert all(
             getattr(r, f"c{m}") is not None for m in range(4)
         ), r
+
+
+def test_delete_readd_compact_lifecycle(spark, tmp_path, monkeypatch):
+    """The full FAISS remove_ids lifecycle over the snapshot store
+    (r10): (1) a delete generation tombstones keys WITHOUT touching any
+    code row (codes byte-identical across the delete commit, tombstones
+    artifact appears); (2) serve excludes tombstoned ids the moment the
+    version commits while a reader holding the PRIOR version still sees
+    them (snapshot isolation); (3) re-appending a tombstoned id
+    RESURRECTS it (tombstone dropped, code row refreshed — FAISS
+    remove_ids then add); (4) compaction folds tombstones into a clean
+    full snapshot whose serving view is unchanged; (5) deleting unknown
+    or already-dead keys commits NOTHING (idempotent under replay)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    vq._IVFPQ_CLIENT_CACHE.clear()
+    root = vq._ensure_ivfpq_appended_index(spark, SF)  # v1 + v2 (all codes)
+    v2 = store.resolve(root)
+
+    def codes_rows(snap):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(_os.path.join(snap, "codes")).collect()
+        )
+
+    def live_ids(snap):
+        return {r.vec_id for r in vq.read_live_codes(spark, snap).collect()}
+
+    all_rows = codes_rows(v2)
+    all_ids = {r[0] for r in all_rows}
+    dead = sorted(all_ids)[50:150:2]  # spans train + appended generations
+
+    # (1) delete generation: codes untouched, tombstones appear
+    keys = spark.createDataFrame([(i,) for i in dead], "vec_id long")
+    assert vq.ivfpq_delete_generation(spark, root, keys) is True
+    v3 = store.resolve(root)
+    assert v3 != v2
+    assert codes_rows(v3) == all_rows  # no code row rewritten
+    assert live_ids(v3) == all_ids - set(dead)
+    # (2) snapshot isolation: the in-flight v2 reader still sees them
+    assert live_ids(v2) == all_ids
+
+    # (5) idempotency: unknown + already-dead keys commit nothing
+    again = spark.createDataFrame(
+        [(dead[0],), (10_000_000,)], "vec_id long"
+    )
+    assert vq.ivfpq_delete_generation(spark, root, again) is False
+    assert store.resolve(root) == v3
+
+    # (3) re-add resurrects: append the first 5 dead ids again
+    readd = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id").isin([int(i) for i in dead[:5]]))
+        .select("vec_id", "embedding")
+    )
+    assert vq.ivfpq_append_generation(spark, None, root, vectors=readd) is True
+    v4 = store.resolve(root)
+    assert live_ids(v4) == all_ids - set(dead[5:])
+    # resurrected codes equal their original encode (frozen books)
+    orig = {r[0]: r for r in all_rows}
+    for r in codes_rows(v4):
+        if r[0] in set(dead[:5]):
+            assert r == orig[r[0]]
+    # no duplicate rows
+    v4_ids = [r[0] for r in codes_rows(v4)]
+    assert len(v4_ids) == len(set(v4_ids))
+
+    # (4) compact: tombstones folded away, serving view unchanged
+    before = live_ids(v4)
+    assert vq.ivfpq_compact(spark, root) is True
+    v5 = store.resolve(root)
+    assert not _os.path.isdir(_os.path.join(v5, "tombstones"))
+    assert {r[0] for r in codes_rows(v5)} == before
+    assert live_ids(v5) == before
+    # compacting a compact index is a no-op
+    assert vq.ivfpq_compact(spark, root) is False
+    assert store.resolve(root) == v5
