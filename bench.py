@@ -57,6 +57,19 @@ def _canary(spark, sf_dir: str) -> list[float]:
     return out
 
 
+# The production ANN deployment path (r9 VERDICT #6): a second recorded
+# lane so BENCH_r{N} tracks the stored-index serve queries round-over-
+# round, not just the r3-era headline set. Index builds happen in the
+# warm-up pass (ensure() memoizes into $SPARK_GRAFT_INDEX_DIR — later
+# runs reuse the committed snapshots); timings below are pure serve.
+SERVE_LANE = (
+    "emb_ivf_serve",
+    "emb_ivfpq_serve_lean_cos",
+    "emb_ivfpq_serve_rerank",
+    "emb_ivfpq_delete_serve",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -87,6 +100,24 @@ def main() -> None:
 
     canary_post = _canary(spark, sf_dir)
 
+    # serve lane: pre-build the stored indexes at THIS sf (one untimed
+    # pass — ensure() + plan warm), then min-of-3 pure-serve timings
+    aq = all_queries()
+    serve_timings: dict[str, float] = {}
+    serve_runs: dict[str, list[float]] = {}
+    for name in SERVE_LANE:
+        _force(aq[name].fn(spark, sf_dir))
+    serve_canary_pre = _canary(spark, sf_dir)
+    for name in SERVE_LANE:
+        rs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(aq[name].fn(spark, sf_dir))
+            rs.append(round(time.perf_counter() - t0, 4))
+        serve_runs[name] = rs
+        serve_timings[name] = round(min(rs), 3)
+    serve_canary_post = _canary(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -107,6 +138,20 @@ def main() -> None:
                     "pre": canary_pre,
                     "post": canary_post,
                     "best": round(min(canary_pre + canary_post), 4),
+                },
+                # production stored-index serve path (indexes pre-built
+                # in the untimed warm pass; see SERVE_LANE note above)
+                "serve_lane": {
+                    "total": round(sum(serve_timings.values()), 3),
+                    "queries": serve_timings,
+                    "runs": serve_runs,
+                    "canary": {
+                        "pre": serve_canary_pre,
+                        "post": serve_canary_post,
+                        "best": round(
+                            min(serve_canary_pre + serve_canary_post), 4
+                        ),
+                    },
                 },
             }
         )
