@@ -2959,12 +2959,23 @@ def emb_ivfpq_serve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_m=_PQ_COS_M,
         topk=_RR_SHORTLIST,
     ).select("query_id", "neighbor_id")
-    e = spread(load_table(spark, sf_dir, "embeddings"))
-    q = e.select(
+    return _rerank_refine(short, spread(load_table(spark, sf_dir, "embeddings")))
+
+
+def _rerank_refine(short: DataFrame, corpus: DataFrame) -> DataFrame:
+    """The exact-refine tail: re-score an ADC shortlist (query_id,
+    neighbor_id) with exact cosine against ``corpus`` (vec_id,
+    embedding) and keep the top-{_PQ_K}. Separated from the entry so the
+    DEPLOYMENT layout can inject a vec_id-bucketed corpus table — then
+    the neighbor join reads corpus buckets in place and the only added
+    Exchange is the tiny shortlist re-key (plan-pinned in
+    tests/test_ann_index.py and measured at 400k vectors by
+    tools/ann_scale_point.py --refine-bucketed)."""
+    q = corpus.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
     )
-    n = e.select(
+    n = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
     )
