@@ -259,12 +259,101 @@ def bench_vector(spark, work: Path, sf_dir: str, batches: int) -> dict:
     }
 
 
+def bench_codes(spark, work: Path, sf_dir: str, batches: int) -> dict:
+    """The IVF-PQ CODES ingest tier (streaming/ann_ingest_stream.py):
+    bootstrap trains the frozen codebooks on the first half of the
+    corpus (one-off, reported separately), then each drop commits one
+    append generation — map-side encode against broadcast books plus
+    the codes-union snapshot write. The union write grows with index
+    size, so the per-trigger breakdown is the interesting number: its
+    FLOOR is the fixed trigger cost, its growth is the compaction
+    write a real deployment amortizes."""
+    from pyspark.sql import Window
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+    from projekt_data_engineering_iubh_spark.streaming.ann_ingest_stream import (
+        bootstrap_codes_index,
+        start_codes_ingest_stream,
+    )
+
+    embs = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy("vec_id")) - 1,
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = embs.count()
+    corpus_n = n // 2
+    batch_n = (n - corpus_n) // batches or 1
+
+    work.mkdir(parents=True, exist_ok=True)
+    root = str(work / "codes_index")
+    t0 = time.perf_counter()
+    bootstrap_codes_index(
+        spark,
+        embs.filter(F.col("rk") < corpus_n).select("vec_id", "embedding"),
+        root,
+    )
+    bootstrap_sec = round(time.perf_counter() - t0, 2)
+
+    src = work / "src"
+    src.mkdir()
+
+    def drop(name: str, lo: int, hi: int) -> None:
+        staging = work / f"stage_{name}"
+        out = embs.filter(
+            (F.col("rk") >= lo) & (F.col("rk") < hi)
+        ).select("vec_id", "embedding")
+        if out.count() == 0:
+            raise RuntimeError(
+                f"drop {name}: rank range [{lo},{hi}) selected 0 rows"
+            )
+        out.coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    schema = "vec_id long, embedding array<float>"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = start_codes_ingest_stream(stream, str(work / "ckpt_c"), root)
+    wall0 = time.perf_counter()
+    delivered = 0
+    try:
+        lo = corpus_n
+        for b in range(batches):
+            hi = min(lo + batch_n, n)
+            drop(f"b{b}", lo, hi)
+            delivered += hi - lo
+            lo = hi
+            q.processAllAvailable()
+        rows, secs, trig = _progress_stats(q)
+    finally:
+        q.stop()
+    # throughput on DELIVERED rows: numInputRows counts every source
+    # scan of the micro-batch (the processor reads it twice: empty
+    # pre-check + encode), so it overstates input by 2x
+    return {
+        "tier": "codes_stream",
+        "sf_dir": sf_dir,
+        "bootstrap_train_vecs": corpus_n,
+        "bootstrap_sec": bootstrap_sec,
+        "batches": batches,
+        "delivered_rows": delivered,
+        "reported_input_rows": rows,
+        "trigger_exec_sec": round(secs, 2),
+        "sustained_rows_per_sec": round(delivered / secs) if secs else None,
+        "wall_sec": round(time.perf_counter() - wall0, 2),
+        "triggers": trig,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--which",
         default="both",
-        choices=["pipeline", "neardup", "vector", "both", "all"],
+        choices=["pipeline", "neardup", "vector", "codes", "both", "all"],
     )
     ap.add_argument("--days", type=int, default=3)
     ap.add_argument("--machines", type=int, default=8)
@@ -286,6 +375,8 @@ def main() -> None:
             print(json.dumps(bench_neardup(spark, work / "n", args.sf_dir, args.batches)))
         if args.which in ("vector", "all"):
             print(json.dumps(bench_vector(spark, work / "v", args.sf_dir, args.batches)))
+        if args.which in ("codes", "all"):
+            print(json.dumps(bench_codes(spark, work / "c", args.sf_dir, args.batches)))
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
