@@ -128,3 +128,40 @@ def start_codes_ingest_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def make_delete_batch_processor(root: str):
+    """foreachBatch hook for the DELETE stream: one tombstone
+    generation per non-empty trigger (plans/vector_queries.
+    ivfpq_delete_generation). Exactly-once falls out of the delete's
+    own idempotency — keys that are unknown or already dead commit
+    NOTHING, so a replayed trigger (crash between commit and
+    checkpoint) is a no-op; a lost CAS against a concurrent
+    appender/deleter retries inside the call."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vq.ivfpq_delete_generation(batch_df.sparkSession, root, batch_df)
+
+    return _process
+
+
+def start_codes_delete_stream(
+    keys: DataFrame, checkpoint: str, root: str
+):
+    """Wire a takedown-key stream (vec_id rows — GDPR erasure requests,
+    moderation takedowns, dedup re-run verdicts) into tombstone
+    generations on the serving index: the streaming face of FAISS
+    ``remove_ids``, pairing with the codes ingest above so the index
+    both grows AND shrinks continuously without retraining. Serving
+    reads go through read_live_codes, so a delete takes effect the
+    moment its generation commits while in-flight readers keep their
+    snapshot; ivfpq_compact folds accumulated tombstones away on the
+    maintenance cadence."""
+    return (
+        keys.writeStream.outputMode("append")
+        .foreachBatch(make_delete_batch_processor(root))
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

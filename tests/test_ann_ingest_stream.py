@@ -139,3 +139,93 @@ def test_codes_ingest_replayed_trigger_lands_once(spark, tmp_path):
     # an empty trigger commits nothing either
     proc(batch.filter(F.lit(False)), 1)
     assert store._committed_versions(root) == [1, 2]
+
+
+def test_delete_stream_tombstones_exactly_once(spark, tmp_path):
+    """The takedown-key stream (r10): each drop of vec_id keys commits
+    one tombstone generation; the serving view loses exactly those ids
+    the moment the version commits; a REPLAYED drop (same keys arriving
+    again — checkpoint recovery or a duplicate upstream request)
+    commits NOTHING; and a concurrent codes-ingest appender composes
+    through the CAS retry (delete + append interleave on one root)."""
+    root = str(tmp_path / "codes_index")
+    ingest_src = tmp_path / "ingest_src"
+    delete_src = tmp_path / "delete_src"
+    ingest_src.mkdir()
+    delete_src.mkdir()
+
+    embs = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    ais.bootstrap_codes_index(
+        spark, embs.filter(F.col("vec_id") < 100), root
+    )
+
+    qi = ais.start_codes_ingest_stream(
+        spark.readStream.schema(SCHEMA).parquet(str(ingest_src)),
+        str(tmp_path / "ckpt_i"),
+        root,
+    )
+    qd = ais.start_codes_delete_stream(
+        spark.readStream.schema("vec_id long").parquet(str(delete_src)),
+        str(tmp_path / "ckpt_d"),
+        root,
+    )
+
+    def live_ids():
+        return {
+            r.vec_id
+            for r in vq.read_live_codes(
+                spark, store.resolve(root)
+            ).collect()
+        }
+
+    try:
+        # grow: ingest [100, 300)
+        _drop(
+            spark, ingest_src, tmp_path, "i1",
+            embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300)),
+        )
+        qi.processAllAvailable()
+        grown = live_ids()
+        assert grown == set(range(300)) & {
+            r.vec_id for r in embs.select("vec_id").collect()
+        }
+
+        # shrink: takedown drop for ids [50, 150) step 4
+        dead = list(range(50, 150, 4))
+        _drop(
+            spark, delete_src, tmp_path, "d1",
+            spark.createDataFrame([(i,) for i in dead], "vec_id long"),
+        )
+        qd.processAllAvailable()
+        after_delete = live_ids()
+        assert after_delete == grown - set(dead)
+        v_after = store._committed_versions(root)
+
+        # replay: the SAME keys dropped again commit nothing
+        _drop(
+            spark, delete_src, tmp_path, "d1_replay",
+            spark.createDataFrame([(i,) for i in dead], "vec_id long"),
+        )
+        qd.processAllAvailable()
+        assert store._committed_versions(root) == v_after
+        assert live_ids() == after_delete
+
+        # interleave: ingest the rest while tombstones are live; the
+        # delete's keys stay dead (none of them are in this delta) and
+        # the new vectors land
+        _drop(spark, ingest_src, tmp_path, "i2",
+              embs.filter(F.col("vec_id") >= 300))
+        qi.processAllAvailable()
+        final = live_ids()
+        assert final == {
+            r.vec_id for r in embs.select("vec_id").collect()
+        } - set(dead)
+    finally:
+        qi.stop()
+        qd.stop()
+
+    # compact folds the tombstones away; serving view unchanged
+    assert vq.ivfpq_compact(spark, root) is True
+    assert live_ids() == final
