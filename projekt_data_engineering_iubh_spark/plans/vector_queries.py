@@ -653,6 +653,130 @@ def emb_ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Large-to-large kNN JOIN (batch-inference shape: the query side is itself
+# a corpus-sized table, so nothing can broadcast)
+# ---------------------------------------------------------------------------
+
+_KJ_K = 10
+_KJ_NPROBE = 2
+_KJ_SLICES = 4
+
+_KJ_SQL = f"""
+WITH c AS (
+  SELECT vec_id, embedding,
+         [{", ".join(_dist_sql(j) for j in range(N_CENTROIDS))}] AS d
+  FROM embeddings
+), cells AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cell
+  FROM c WHERE vec_id % 2 = 1
+), q0 AS (
+  SELECT vec_id AS query_id, embedding AS qe, d FROM c
+  WHERE vec_id % 2 = 0
+), qcells AS (
+  SELECT query_id, qe, d, unnest(range(0, {N_CENTROIDS})) AS pcell FROM q0
+), probes AS (
+  SELECT query_id, qe, CAST(pcell AS INTEGER) AS pcell
+  FROM (
+    SELECT query_id, qe, pcell,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY q0d, pcell) AS pr
+    FROM (SELECT query_id, qe, pcell, d[pcell + 1] AS q0d FROM qcells)
+  ) WHERE pr <= {_KJ_NPROBE}
+), cand AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {vx.cosine_sql('p.qe', 'e.embedding')} AS cos_sim
+  FROM probes p JOIN cells e ON e.cell = p.pcell
+), r AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= {_KJ_K}
+"""
+
+
+@register("emb_knn_join_shuffled", oracle=_KJ_SQL, driver=False)
+def emb_knn_join_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN JOIN of two corpus-sized tables (offline batch inference: every
+    even vec_id queries the odd-vec_id corpus for its top-k neighbors).
+
+    Every other ANN entry broadcasts its query set — correct when |Q| is a
+    handful of point lookups, impossible when Q is 100M rows of its own.
+    This is the shuffled shape that survives that regime:
+
+    - both sides coarse-quantize to the shared 16-centroid codebook; the
+      query side probes its nprobe={_KJ_NPROBE} nearest cells (same recall
+      fix as emb_ivf_ann_multiprobe, same relational probe selection);
+    - candidate generation is a sort-merge equi-join on (cell, slice) —
+      `.hint("merge")` pins the shuffled strategy so the plan at test
+      scale IS the plan at 100 TB (no size-based broadcast flip);
+    - the corpus side is salted into {_KJ_SLICES} hash slices and the
+      query side replicates across them, so one hot Voronoi cell splits
+      into {_KJ_SLICES} bounded partitions instead of one straggler —
+      classic replicate-one-side skew salting, invisible to results (the
+      oracle knows nothing about slices).
+
+    Per-query top-k is a window over query_id; cost per query is
+    nprobe/N_CENTROIDS of the corpus, shuffle volume is one pass over each
+    table — never all-pairs."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", vx.norm(F.col("embedding"))
+    )
+    withd = e.withColumn(
+        "_dists", F.array(*[_dist_spark(j) for j in range(N_CENTROIDS)])
+    )
+    corp = (
+        withd.filter(F.col("vec_id") % 2 == 1)
+        .withColumn(
+            "cell",
+            (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1)
+            .cast("int"),
+        )
+        .withColumn("slice", (F.col("vec_id") % _KJ_SLICES).cast("int"))
+        .select("vec_id", "embedding", "nrm", "cell", "slice")
+    )
+    q0 = withd.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.posexplode("_dists").alias("pcell", "q0d"),
+    )
+    pw = Window.partitionBy("query_id").orderBy("q0d", "pcell")
+    probes = (
+        q0.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= _KJ_NPROBE)
+        .select(
+            "query_id", "qe", "qnrm",
+            F.col("pcell").cast("int").alias("pcell"),
+        )
+        .withColumn(
+            "qslice",
+            F.explode(F.array(*[F.lit(s) for s in range(_KJ_SLICES)])),
+        )
+    )
+    cand = probes.join(
+        corp.hint("merge"),
+        (F.col("pcell") == F.col("cell")) & (F.col("qslice") == F.col("slice")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            vx.dot(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KJ_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # int8 scalar quantization + ADC top-k (the compressed-index search path)
 # ---------------------------------------------------------------------------
 

@@ -236,6 +236,26 @@ def test_ann_pairs_probe_picks_uncapped_plan(spark):
     assert "WindowGroupLimit" not in plan, plan
 
 
+def test_knn_join_shuffles_both_sides_never_broadcasts(spark):
+    """emb_knn_join_shuffled is the large-to-large kNN join: the query
+    side is corpus-sized, so the candidate join must be the shuffled
+    strategy at EVERY scale — a size-based broadcast flip at test scale
+    would certify a plan that OOMs at 100 TB. The `.hint("merge")` pin
+    must survive into the executed plan: sort-merge on (cell, slice),
+    both sides hash-partitioned on the join key, zero broadcasts."""
+    plan = plan_of(spark, "emb_knn_join_shuffled")
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert any("pcell" in ln and "qslice" in ln for ln in smj), plan
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    # query side shuffled on (pcell, qslice); corpus side on (cell, slice)
+    assert any("pcell" in ln and "qslice" in ln for ln in ex), plan
+    assert any(
+        "cell" in ln and "slice" in ln and "pcell" not in ln for ln in ex
+    ), plan
+
+
 def test_train_order_single_window_shuffle(spark):
     """docs_train_order (#108) must stay one hash projection + ONE window
     shuffle (the terasort shape): row_number and the running char-offset
