@@ -2560,6 +2560,7 @@ def _ivfpq_search(
 # ---------------------------------------------------------------------------
 
 import os  # noqa: E402
+import shutil  # noqa: E402
 
 from projekt_data_engineering_iubh_spark.pipeline import ann_index  # noqa: E402
 
@@ -3261,6 +3262,36 @@ def read_index_meta(spark: SparkSession, snapshot_dir: str):
     return rows[0] if rows else None
 
 
+def _link_or_copy_parquet(src_dir: str, dst_dir: str) -> None:
+    """Publish src_dir's parquet part-files into dst_dir WITHOUT reading
+    them: hardlink (same-filesystem metadata ops, O(#files) regardless of
+    bytes) with a copy fallback for cross-device stores. This is what
+    makes a snapshot generation O(delta): before it, every append/delete
+    commit re-wrote the full codes artifact through Spark — a per-trigger
+    O(corpus) write that is trivial at 20k vectors and fatal at 100 TB
+    (the Delta/Iceberg manifest trick, done at the filesystem level so
+    readers still see one self-contained parquet directory). Vacuuming a
+    superseded version only unlinks its directory entries; shared inodes
+    survive in every later snapshot that linked them."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in os.listdir(src_dir):
+        if name.startswith(("_", ".")):
+            continue  # _SUCCESS / hidden sidecars
+        src, dst = os.path.join(src_dir, name), os.path.join(dst_dir, name)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+
+def _link_frozen_artifacts(cur: str, data_dir: str) -> None:
+    """coarse/books/meta are frozen across every generation — link them."""
+    for name in ("coarse", "books", "meta"):
+        src = os.path.join(cur, name)
+        if os.path.isdir(src):
+            _link_or_copy_parquet(src, os.path.join(data_dir, name))
+
+
 def _read_tombstones(spark: SparkSession, snapshot_dir: str):
     """The snapshot's live tombstone key set (vec_id), or None if the
     version carries no deletes (absent artifact == empty set)."""
@@ -3389,32 +3420,45 @@ def ivfpq_append_generation(
         if new_codes.isEmpty():
             return False  # replayed batch / nothing new: exactly-once no-op
 
+        # resurrection (a tombstoned id arriving again) is the ONE case
+        # that must touch existing rows: the dead code row is replaced
+        # and its tombstone dropped — a real rewrite. Everything else is
+        # pure delta, published as hardlinks + appended part-files.
+        resurrect = tomb is not None and not (
+            new_codes.select("vec_id")
+            .join(tomb, "vec_id", "left_semi")
+            .isEmpty()
+        )
+
         def append(data_dir: str) -> None:
-            # each version is self-contained, so coarse/books/meta are
-            # re-written — but as parquet COPIES of the current
-            # snapshot's artifacts (they are frozen across generations),
-            # never re-created from python data: a LocalRelation parquet
-            # write costs ~4 s per table on this box (python-worker
-            # round trip, measured r10) vs 0.18 s for a read -> write
-            # copy — it was the dominant per-trigger cost of the
-            # streaming ingest
-            for name in ("coarse", "books", "meta"):
-                spark.read.parquet(os.path.join(cur, name)).coalesce(
-                    1
-                ).write.parquet(os.path.join(data_dir, name))
-            if tomb is None:
-                codes_out = old_codes.unionByName(new_codes)
-            else:
-                # resurrected ids: replace the dead row, drop the tombstone
-                delta_ids = new_codes.select("vec_id")
-                codes_out = old_codes.join(
-                    delta_ids, "vec_id", "left_anti"
-                ).unionByName(new_codes)
-                live_tomb = tomb.join(delta_ids, "vec_id", "left_anti")
-                if not live_tomb.isEmpty():
-                    live_tomb.coalesce(1).write.parquet(
-                        os.path.join(data_dir, "tombstones")
+            # coarse/books/meta are frozen across generations: linked,
+            # never re-read or re-created (a LocalRelation parquet write
+            # costs ~4 s per table on this box — measured r10 — and even
+            # the read -> write copy at 0.18 s per table was pure floor)
+            _link_frozen_artifacts(cur, data_dir)
+            if not resurrect:
+                # O(delta) commit: link every existing codes part-file,
+                # append-write only the new rows (the 100 TB shape —
+                # trigger cost no longer scales with index size)
+                codes_dir = os.path.join(data_dir, "codes")
+                _link_or_copy_parquet(os.path.join(cur, "codes"), codes_dir)
+                new_codes.write.mode("append").parquet(codes_dir)
+                if tomb is not None:
+                    _link_or_copy_parquet(
+                        os.path.join(cur, "tombstones"),
+                        os.path.join(data_dir, "tombstones"),
                     )
+                return
+            # resurrected ids: replace the dead row, drop the tombstone
+            delta_ids = new_codes.select("vec_id")
+            codes_out = old_codes.join(
+                delta_ids, "vec_id", "left_anti"
+            ).unionByName(new_codes)
+            live_tomb = tomb.join(delta_ids, "vec_id", "left_anti")
+            if not live_tomb.isEmpty():
+                live_tomb.coalesce(1).write.parquet(
+                    os.path.join(data_dir, "tombstones")
+                )
             codes_out.write.parquet(os.path.join(data_dir, "codes"))
 
         try:
@@ -3442,11 +3486,11 @@ def ivfpq_delete_generation(
     under replay, same as the append's empty-delta skip).
 
     This is the takedown/GDPR/dedup-rerun shape a 100 TB corpus needs:
-    the delete itself is an O(|keys|) key-set write (no shuffle of the
-    corpus, no retrain); the codes copy into the new self-contained
-    snapshot is the same compaction write every generation already pays.
-    ivfpq_compact folds accumulated tombstones back into a clean full
-    snapshot when the dead fraction warrants it.
+    the delete commit is an O(|keys|) key-set write plus hardlinks of
+    every unchanged artifact (no shuffle of the corpus, no retrain, no
+    codes rewrite — _link_or_copy_parquet). ivfpq_compact folds
+    accumulated tombstones back into a clean full snapshot when the dead
+    fraction warrants one real rewrite.
 
     Reference scope: the reference engine (648 LoC,
     /root/reference/src/daily_aggregator.py) has no vector tier; this is
@@ -3470,19 +3514,19 @@ def ivfpq_delete_generation(
             return False  # nothing live to delete: idempotent no-op
 
         def build(data_dir: str) -> None:
-            for name in ("coarse", "books", "meta"):
-                src = os.path.join(cur, name)
-                if os.path.isdir(src):
-                    spark.read.parquet(src).coalesce(1).write.parquet(
-                        os.path.join(data_dir, name)
-                    )
-            codes.write.parquet(os.path.join(data_dir, "codes"))
-            all_tomb = (
-                new_dead if tomb is None else tomb.unionByName(new_dead)
+            # delete touches NO code row: the whole commit is links
+            # (O(#files) metadata ops) plus the new tombstone keys —
+            # O(|keys|) regardless of index size
+            _link_frozen_artifacts(cur, data_dir)
+            _link_or_copy_parquet(
+                os.path.join(cur, "codes"), os.path.join(data_dir, "codes")
             )
-            all_tomb.coalesce(1).write.parquet(
-                os.path.join(data_dir, "tombstones")
-            )
+            tomb_dir = os.path.join(data_dir, "tombstones")
+            if tomb is not None:
+                _link_or_copy_parquet(
+                    os.path.join(cur, "tombstones"), tomb_dir
+                )
+            new_dead.coalesce(1).write.mode("append").parquet(tomb_dir)
 
         try:
             store.commit_snapshot(root, build)
@@ -3494,30 +3538,33 @@ def ivfpq_delete_generation(
     )
 
 
-def ivfpq_compact(spark: SparkSession, root: str) -> bool:
+def ivfpq_compact(
+    spark: SparkSession, root: str, force: bool = False
+) -> bool:
     """Fold accumulated tombstones into a clean full snapshot: commit a
     version whose codes are exactly the LIVE rows and which carries no
     tombstones artifact — the maintenance compaction that bounds the
     serve path's anti-join key set (run it when the dead fraction
     justifies one full codes rewrite; until then deletes stay O(|keys|)).
     Returns False (no commit) when the current version has no
-    tombstones. Readers of prior versions keep their snapshot;
-    store.vacuum reclaims superseded generations afterwards."""
+    tombstones — unless ``force=True``, which rewrites anyway: since
+    generations publish as hardlinks + appended delta part-files
+    (O(delta) commits), the codes file count grows by one per trigger,
+    and a long-running ingest needs this small-file compaction
+    periodically even with zero deletes. Readers of prior versions keep
+    their snapshot; store.vacuum reclaims superseded generations
+    afterwards."""
     from projekt_data_engineering_iubh_spark.pipeline import store
 
     for _ in range(_APPEND_RETRIES):
         cur = store.resolve(root)
-        if _read_tombstones(spark, cur) is None:
+        if _read_tombstones(spark, cur) is None and not force:
             return False  # already compact
         live = read_live_codes(spark, cur)
 
         def build(data_dir: str) -> None:
-            for name in ("coarse", "books", "meta"):
-                src = os.path.join(cur, name)
-                if os.path.isdir(src):
-                    spark.read.parquet(src).coalesce(1).write.parquet(
-                        os.path.join(data_dir, name)
-                    )
+            _link_frozen_artifacts(cur, data_dir)
+            # the one real rewrite in the lifecycle: codes minus dead rows
             live.write.parquet(os.path.join(data_dir, "codes"))
 
         try:

@@ -28,9 +28,11 @@ Readers mid-scan keep their resolved version under their feet (snapshot
 isolation); store.vacuum with retention reclaims old generations.
 
 Scale shape: per trigger the cluster work is ONE map-side encode of the
-batch (argmin over driver-literal codebooks — no shuffle) plus the codes
-union write; the serving path stays the lean codes-only plan throughout.
-Training remains a one-off sample-sized job at bootstrap.
+batch (argmin over driver-literal codebooks — no shuffle) plus an
+O(delta) snapshot publish — existing codes part-files HARDLINK into the
+new version and only the delta rows are written (r10;
+vq._link_or_copy_parquet), so trigger cost never scales with index
+size. Training remains a one-off sample-sized job at bootstrap.
 
 Reference scope note: the reference engine has no streaming or vector
 tier (SURVEY.md §2.9 is engine breadth); north-star training-data

@@ -705,3 +705,71 @@ def test_delete_readd_compact_lifecycle(spark, tmp_path, monkeypatch):
     # compacting a compact index is a no-op
     assert vq.ivfpq_compact(spark, root) is False
     assert store.resolve(root) == v5
+
+
+def _inodes(d):
+    return {
+        os.stat(os.path.join(d, f)).st_ino
+        for f in os.listdir(d)
+        if not f.startswith(("_", "."))
+    }
+
+
+def test_generation_commits_are_o_delta_hardlinks(spark, tmp_path, monkeypatch):
+    """r10: snapshot generations must publish as hardlinks + appended
+    delta part-files, never a full codes rewrite — at 100 TB a
+    per-trigger O(corpus) write is the difference between an ingest tier
+    and a nightly batch job. Pins: (1) an append's new codes dir SHARES
+    every previous part-file inode and adds delta files; (2) a delete's
+    codes dir is inode-identical (no code byte moved) and its tombstones
+    dir links prior generations' key files; (3) compact(force=True) with
+    zero tombstones collapses the accumulated small files into a fresh
+    write (no shared inodes) with identical content."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    vq._IVFPQ_CLIENT_CACHE.clear()
+    root = vq._ensure_ivfpq_appended_index(spark, SF)  # v1 + v2
+
+    v2 = store.resolve(root)
+    v2_inodes = _inodes(os.path.join(v2, "codes"))
+
+    # (1) append generation: old part-files linked, delta appended
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    top = emb.agg(F.max("vec_id")).collect()[0][0]
+    fresh = emb.limit(3).select(
+        (F.col("vec_id") + top + 1).alias("vec_id"), "embedding"
+    )
+    assert vq.ivfpq_append_generation(spark, None, root, vectors=fresh)
+    v3 = store.resolve(root)
+    v3_inodes = _inodes(os.path.join(v3, "codes"))
+    assert v2_inodes <= v3_inodes, "append rewrote existing codes files"
+    assert len(v3_inodes) > len(v2_inodes), "append added no delta file"
+    for name in ("coarse", "books", "meta"):
+        assert _inodes(os.path.join(v3, name)) == _inodes(
+            os.path.join(v2, name)
+        ), name
+
+    # (2) delete generation: codes inode-identical, tombstones linked
+    dead = spark.createDataFrame([(0,), (2,)], "vec_id long")
+    assert vq.ivfpq_delete_generation(spark, root, dead)
+    v4 = store.resolve(root)
+    assert _inodes(os.path.join(v4, "codes")) == v3_inodes
+    t4 = _inodes(os.path.join(v4, "tombstones"))
+    more = spark.createDataFrame([(4,)], "vec_id long")
+    assert vq.ivfpq_delete_generation(spark, root, more)
+    v5 = store.resolve(root)
+    assert t4 <= _inodes(os.path.join(v5, "tombstones"))
+    assert _inodes(os.path.join(v5, "codes")) == v3_inodes
+
+    # (3) force-compact with no tombstones: small files collapse
+    assert vq.ivfpq_compact(spark, root)  # folds the tombstones first
+    v6 = store.resolve(root)
+    assert vq.ivfpq_compact(spark, root) is False  # nothing to fold
+    before = _rows(spark.read.parquet(os.path.join(v6, "codes")))
+    assert vq.ivfpq_compact(spark, root, force=True)
+    v7 = store.resolve(root)
+    assert _rows(spark.read.parquet(os.path.join(v7, "codes"))) == before
+    assert not (_inodes(os.path.join(v7, "codes")) & v3_inodes)

@@ -7,13 +7,16 @@ is 100x candidate pairs. The deployable shape scales the cell count with
 the corpus (cells ~ n/target_occupancy, the standard IVF sizing rule) so
 candidates/query stays CONSTANT and total work stays linear.
 
-This tool measures both arms on replica corpora (ann_scale_point's
-dim-rotation scheme) and reports, per (size, arm): join wall (min-of-runs,
-interleaved), candidate-pair count, candidates/query, recall@10 against
-exact brute force on a sampled query set, and the scaled arm's one-off
-k-means training cost. The fixed arm is capped at --fixed-max vectors
-(its pair count is the thing being indicted; no need to melt the box
-proving it twice).
+This tool measures three arms on replica corpora (ann_scale_point's
+dim-rotation scheme) — fixed 16 md5 cells, trained cells ∝ n (constant
+occupancy), trained cells ∝ √n — and reports, per (size, arm): analytic
+candidate-pair count (Σ_cell probe_hits × occupancy — two cheap
+histograms, no join execution), candidates/query, and, for arms under
+--wall-pair-cap, the end-to-end join wall (min-of-runs, interleaved)
+plus recall@10 against exact brute force on a sampled query set and the
+trained arms' one-off k-means cost. Arms over the cap report counts
+only: the exploding pair count IS the finding; no need to melt the box
+proving it end to end.
 
 Both arms share one table-driven implementation (operators/kmeans.py
 assign machinery: broadcast centroid cross join + map-side min_by argmin;
@@ -110,10 +113,12 @@ def _trained_centroids(spark, e: DataFrame, n_cells: int, dim: int):
     return cents, k_eff, round(time.time() - t0, 3)
 
 
-def _knn_join(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Table-driven variant of emb_knn_join_shuffled: even vec_ids query
-    the odd-vec_id corpus; cells come from the given centroid table."""
-    from projekt_data_engineering_iubh_spark.functions import vectors as vx
+def _assign_sides(
+    e: DataFrame, cents: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Cell-assign both roles: (corpus with cell+slice, query probes
+    pre-slice-explosion). Shared by the join and the analytic pair
+    counter so they count the same candidate set."""
     from projekt_data_engineering_iubh_spark.operators.kmeans import (
         _int_sq_dist,
     )
@@ -172,7 +177,16 @@ def _knn_join(e: DataFrame, cents: DataFrame) -> DataFrame:
             "query_id", "b.qe", "b.qnrm", F.col("b.cell").alias("pcell")
         )
     )
-    probes = probe1.unionByName(best2).withColumn(
+    return corp, probe1.unionByName(best2)
+
+
+def _knn_join(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Table-driven variant of emb_knn_join_shuffled: even vec_ids query
+    the odd-vec_id corpus; cells come from the given centroid table."""
+    from projekt_data_engineering_iubh_spark.functions import vectors as vx
+
+    corp, probes_ns = _assign_sides(e, cents)
+    probes = probes_ns.withColumn(
         "qslice", F.explode(F.array(*[F.lit(s) for s in range(SLICES)]))
     )
     cand = probes.join(
@@ -253,9 +267,11 @@ def main() -> int:
     ap.add_argument("--copies", type=int, nargs="+", default=[1, 10, 50])
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
-        "--fixed-max", type=int, default=25_000,
-        help="skip the fixed-16-cell arm above this corpus size "
-        "(its pair count grows quadratically; that is the finding)",
+        "--wall-pair-cap", type=int, default=5_000_000,
+        help="wall-clock and recall-check an arm only when its analytic "
+        "candidate-pair count is under this cap; above it the PAIR COUNT "
+        "is the finding (the fixed-cell arm explodes quadratically — no "
+        "need to melt the box proving it end to end)",
     )
     args = ap.parse_args()
 
@@ -275,9 +291,8 @@ def main() -> int:
 
         arms: dict[str, dict] = {}
         cent_tables: dict[str, DataFrame] = {}
-        if n <= args.fixed_max:
-            cent_tables["fixed16"] = _fixed_centroids(spark)
-            arms["fixed16"] = {"cells": 16}
+        cent_tables["fixed16"] = _fixed_centroids(spark)
+        arms["fixed16"] = {"cells": 16}
         # two trained sizing rules: cells ∝ n (constant occupancy → flat
         # cand/query, recall decays at fixed nprobe) and the classic
         # cells ∝ √n (cand/query grows as √corpus, recall holds better)
@@ -295,28 +310,39 @@ def main() -> int:
                 "train_sec": train_sec,
             }
 
-        # interleaved min-of-runs walls (box drift hits both arms)
-        times: dict[str, list[float]] = {a: [] for a in arms}
+        # analytic pair counts first (cheap histograms) — they gate
+        # which arms get end-to-end walls
+        n_queries = n // 2 + n % 2
+        walled = []
         for a in arms:
+            cand_rows = _knn_join_cand_count(e, cent_tables[a])
+            arms[a].update(
+                cand_pairs=cand_rows,
+                cand_per_query=round(cand_rows / max(1, n_queries), 1),
+            )
+            if cand_rows <= args.wall_pair_cap:
+                walled.append(a)
+            else:
+                arms[a]["skipped"] = (
+                    f"pairs > wall cap {args.wall_pair_cap}"
+                )
+
+        # interleaved min-of-runs walls (box drift hits every arm alike)
+        times: dict[str, list[float]] = {a: [] for a in walled}
+        for a in walled:
             _knn_join(e, cent_tables[a]).count()  # warm plan + cache
         for _ in range(args.runs):
-            for a in arms:
+            for a in walled:
                 t0 = time.time()
                 _knn_join(e, cent_tables[a]).count()
                 times[a].append(round(time.time() - t0, 3))
-
-        n_queries = n // 2 + n % 2
-        for a in arms:
-            joined = _knn_join(e, cent_tables[a])
-            cand_rows = _knn_join_cand_count(e, cent_tables[a])
+        for a in walled:
             arms[a].update(
-                {
-                    "wall_min": min(times[a]),
-                    "runs": times[a],
-                    "cand_pairs": cand_rows,
-                    "cand_per_query": round(cand_rows / max(1, n_queries), 1),
-                    "recall_at_10": _recall_at_10(spark, e, joined),
-                }
+                wall_min=min(times[a]),
+                runs=times[a],
+                recall_at_10=_recall_at_10(
+                    spark, e, _knn_join(e, cent_tables[a])
+                ),
             )
         e.unpersist()
         for name, ct in cent_tables.items():
@@ -331,19 +357,22 @@ def main() -> int:
 
 
 def _knn_join_cand_count(e: DataFrame, cents: DataFrame) -> int:
-    """Candidate count: the join with the top-k window removed."""
-    joined = _knn_join(e, cents)
-    # rebuild: everything up to `cand` is the first child of the Window;
-    # simplest correct recount is to re-run the join and drop the filter
-    # by raising K — instead, count rows with rn unrestricted via a
-    # large-K variant
-    global K
-    old_k = K
-    K = 1 << 30
-    try:
-        return _knn_join(e, cents).count()
-    finally:
-        K = old_k
+    """Analytic candidate count: Σ_cell probe_hits(cell) × corpus(cell).
+    Slicing doesn't change the pair count (queries replicate to every
+    slice, slices partition the cell), so two cheap histograms replace
+    executing the join — essential for the fixed-cell arm, whose pair
+    count is exactly the quantity that explodes."""
+    corp, probes_ns = _assign_sides(e, cents)
+    ch = corp.groupBy("cell").count().withColumnRenamed("count", "cn")
+    qh = (
+        probes_ns.groupBy("pcell").count().withColumnRenamed("count", "qn")
+    )
+    row = (
+        ch.join(qh, ch.cell == qh.pcell)
+        .agg(F.sum(F.col("cn") * F.col("qn")).alias("pairs"))
+        .collect()[0]
+    )
+    return int(row.pairs or 0)
 
 
 if __name__ == "__main__":
