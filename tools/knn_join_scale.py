@@ -180,12 +180,149 @@ def _assign_sides(
     return corp, probe1.unionByName(best2)
 
 
-def _knn_join(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Table-driven variant of emb_knn_join_shuffled: even vec_ids query
-    the odd-vec_id corpus; cells come from the given centroid table."""
+def _two_level_assign_sides(
+    spark, e: DataFrame, cents: DataFrame, dim: int
+) -> tuple[DataFrame, DataFrame, int]:
+    """Scale-law finding #4 made concrete: broadcast-argmin assignment is
+    O(n·cells) distance folds, so at production cell counts the coarse
+    quantizer itself needs sublinear search. This is the first rung — a
+    two-level quantizer: train √cells super-cells OVER THE CENTROID
+    TABLE (tiny), route each vector to its 2 nearest super-cells, argmin
+    only over the centroids inside them: ~(√k + 2k/√k) folds per vector
+    instead of k. Approximate (the true nearest centroid can hide in an
+    unprobed super-cell) — the caller measures the disagreement rate and
+    its recall effect. Returns (corp, probes_pre_slice, n_supers)."""
+    from projekt_data_engineering_iubh_spark.operators.kmeans import (
+        _int_sq_dist,
+        kmeans_train,
+    )
+
+    k = cents.count()
+    n_super = max(2, int(k ** 0.5))
+    # super-quantizer trained on the centroids themselves (k rows)
+    cvecs = cents.select(
+        F.col("cell").cast("long").alias("vec_id"),
+        F.col("cq").alias("qemb"),
+    )
+    supers = kmeans_train(cvecs, n_super, 2, dim).select(
+        F.col("cell").alias("super_cell"), F.col("cq").alias("scq")
+    )
+    # each centroid routed to its own nearest super-cell (tiny join)
+    cent_super = (
+        cents.crossJoin(F.broadcast(supers))
+        .withColumn("sd", _int_sq_dist(F.col("cq"), F.col("scq")))
+        .groupBy("cell")
+        .agg(
+            F.min_by(
+                F.struct("cq", "super_cell"), F.struct("sd", "super_cell")
+            ).alias("b")
+        )
+        .select("cell", "b.cq", "b.super_cell")
+    )
+
+    def assign(rows: DataFrame, id_col: str, keep: list[str]) -> DataFrame:
+        # stage 1: 2 nearest super-cells (n_super folds/vector)
+        sc = (
+            rows.crossJoin(F.broadcast(supers))
+            .withColumn("sd", _int_sq_dist(F.col("qemb"), F.col("scq")))
+        )
+        s1 = sc.groupBy(id_col).agg(
+            F.min_by(
+                F.struct(*keep, "qemb", "super_cell"),
+                F.struct("sd", "super_cell"),
+            ).alias("b")
+        )
+        p1 = s1.select(id_col, "b.*")
+        s2 = (
+            sc.join(
+                s1.select(id_col, F.col("b.super_cell").alias("s1")), id_col
+            )
+            .filter(F.col("super_cell") != F.col("s1"))
+            .groupBy(id_col)
+            .agg(
+                F.min_by(
+                    F.struct(*keep, "qemb", "super_cell"),
+                    F.struct("sd", "super_cell"),
+                ).alias("b")
+            )
+            .select(id_col, "b.*")
+        )
+        routed = p1.unionByName(s2)
+        # stage 2: argmin over the centroids of the 2 probed super-cells
+        # (~2k/√k folds/vector)
+        return (
+            routed.join(F.broadcast(cent_super), "super_cell")
+            .withColumn("d", _int_sq_dist(F.col("qemb"), F.col("cq")))
+            .groupBy(id_col)
+            .agg(
+                F.min_by(
+                    F.struct(*keep, "cell"), F.struct("d", "cell")
+                ).alias("b")
+            )
+            .select(id_col, "b.*")
+        )
+
+    corp = (
+        assign(
+            e.filter(F.col("vec_id") % 2 == 1),
+            "vec_id",
+            ["embedding", "nrm"],
+        )
+        .withColumn("slice", (F.col("vec_id") % SLICES).cast("int"))
+    )
+    # query probes: top-NPROBE cells via the same two-level route — rank
+    # the centroids of the probed super-cells
+    q = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        "qemb",
+    )
+    sc = (
+        q.crossJoin(F.broadcast(supers))
+        .withColumn("sd", _int_sq_dist(F.col("qemb"), F.col("scq")))
+    )
+    s1 = sc.groupBy("query_id").agg(
+        F.min_by(
+            F.struct("qe", "qnrm", "qemb", "super_cell"),
+            F.struct("sd", "super_cell"),
+        ).alias("b")
+    )
+    p1 = s1.select("query_id", "b.*")
+    s2 = (
+        sc.join(
+            s1.select("query_id", F.col("b.super_cell").alias("s1")),
+            "query_id",
+        )
+        .filter(F.col("super_cell") != F.col("s1"))
+        .groupBy("query_id")
+        .agg(
+            F.min_by(
+                F.struct("qe", "qnrm", "qemb", "super_cell"),
+                F.struct("sd", "super_cell"),
+            ).alias("b")
+        )
+        .select("query_id", "b.*")
+    )
+    routed = p1.unionByName(s2)
+    ranked = (
+        routed.join(F.broadcast(cent_super), "super_cell")
+        .withColumn("d", _int_sq_dist(F.col("qemb"), F.col("cq")))
+    )
+    pw = Window.partitionBy("query_id").orderBy("d", "cell")
+    probes = (
+        ranked.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= NPROBE)
+        .select("query_id", "qe", "qnrm", F.col("cell").alias("pcell"))
+    )
+    return corp, probes, n_super
+
+
+def _knn_join_from_sides(
+    corp: DataFrame, probes_ns: DataFrame
+) -> DataFrame:
     from projekt_data_engineering_iubh_spark.functions import vectors as vx
 
-    corp, probes_ns = _assign_sides(e, cents)
     probes = probes_ns.withColumn(
         "qslice", F.explode(F.array(*[F.lit(s) for s in range(SLICES)]))
     )
@@ -206,6 +343,13 @@ def _knn_join(e: DataFrame, cents: DataFrame) -> DataFrame:
     return (
         cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K)
     )
+
+
+def _knn_join(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Table-driven variant of emb_knn_join_shuffled: even vec_ids query
+    the odd-vec_id corpus; cells come from the given centroid table."""
+    corp, probes_ns = _assign_sides(e, cents)
+    return _knn_join_from_sides(corp, probes_ns)
 
 
 def _recall_at_10(spark, e: DataFrame, joined: DataFrame) -> float:
@@ -266,6 +410,13 @@ def main() -> int:
     ap.add_argument("--out-base", default="/tmp/knnjoin")
     ap.add_argument("--copies", type=int, nargs="+", default=[1, 10, 50])
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--two-level",
+        action="store_true",
+        help="also measure the two-level coarse quantizer on the "
+        "cells-proportional-to-n arm: assignment wall vs flat argmin, "
+        "assignment disagreement rate, end-to-end join wall + recall",
+    )
     ap.add_argument(
         "--wall-pair-cap", type=int, default=5_000_000,
         help="wall-clock and recall-check an arm only when its analytic "
@@ -344,6 +495,41 @@ def main() -> int:
                     spark, e, _knn_join(e, cent_tables[a])
                 ),
             )
+        if args.two_level:
+            cents = cent_tables["linear_cells"]
+            tl: dict = {}
+            t0 = time.time()
+            c0, p0 = _assign_sides(e, cents)
+            c0 = c0.cache()
+            c0.count(), p0.count()
+            tl["flat_assign_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            c2, p2, n_super = _two_level_assign_sides(spark, e, cents, dim)
+            c2 = c2.cache()
+            c2.count(), p2.count()
+            tl["two_level_assign_sec"] = round(time.time() - t0, 3)
+            tl["n_supers"] = n_super
+            both = c0.select(
+                "vec_id", F.col("cell").alias("c_exact")
+            ).join(c2.select("vec_id", "cell"), "vec_id")
+            tl["assign_disagree_frac"] = round(
+                both.filter(F.col("cell") != F.col("c_exact")).count()
+                / max(1, both.count()),
+                4,
+            )
+            joined2 = _knn_join_from_sides(c2, p2)
+            joined2.count()  # warm
+            walls = []
+            for _ in range(args.runs):
+                t0 = time.time()
+                _knn_join_from_sides(c2, p2).count()
+                walls.append(round(time.time() - t0, 3))
+            tl["join_wall_min"] = min(walls)
+            tl["runs"] = walls
+            tl["recall_at_10"] = _recall_at_10(spark, e, joined2)
+            arms["linear_cells"]["two_level"] = tl
+            c0.unpersist(), c2.unpersist()
+
         e.unpersist()
         for name, ct in cent_tables.items():
             if name != "fixed16":
