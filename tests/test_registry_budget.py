@@ -147,6 +147,11 @@ LOCAL_ONLY_FAMILY = {
     "docs_boilerplate_prune",
     "emb_hamming_ann",
     "emb_ivfpq_residual",
+    # round 10 mid-round addition (#152): born AFTER rotation #7's
+    # 50/50 pre-flight, so it stays local-only this round (full oracle +
+    # plan pin + driver-contract pre-flight at sf0.001/sf0.01 both
+    # green); lead rotation-#8 promotion candidate
+    "emb_knn_join_shuffled",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
