@@ -348,12 +348,95 @@ def bench_codes(spark, work: Path, sf_dir: str, batches: int) -> dict:
     }
 
 
+def bench_deletes(spark, work: Path, sf_dir: str, batches: int) -> dict:
+    """The DELETE tier (streaming/ann_ingest_stream.start_codes_delete_
+    stream): bootstrap + one append generation build the full index
+    (one-off, reported), then each drop of takedown keys commits one
+    tombstone generation. Under the r10 delta publish a delete commit is
+    O(|keys|) + hardlinks, so the per-trigger wall should sit at the
+    trigger FLOOR (no encode term, no codes write) and stay flat as the
+    index grows — the number this lane exists to pin."""
+    from pyspark.sql import Window
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+    from projekt_data_engineering_iubh_spark.plans import (
+        vector_queries as vq,
+    )
+    from projekt_data_engineering_iubh_spark.streaming.ann_ingest_stream import (
+        bootstrap_codes_index,
+        start_codes_delete_stream,
+    )
+
+    embs = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("rk", F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .localCheckpoint(eager=True)
+    )
+    n = embs.count()
+    work.mkdir(parents=True, exist_ok=True)
+    root = str(work / "codes_index")
+    t0 = time.perf_counter()
+    bootstrap_codes_index(
+        spark, embs.select("vec_id", "embedding"), root
+    )
+    build_sec = round(time.perf_counter() - t0, 2)
+
+    # takedown drops: batches disjoint key slices, n/(2*batches) each
+    batch_n = n // (2 * batches) or 1
+    src = work / "keys"
+    src.mkdir()
+
+    def drop(name: str, lo: int, hi: int) -> None:
+        staging = work / f"stage_{name}"
+        out = embs.filter(
+            (F.col("rk") >= lo) & (F.col("rk") < hi)
+        ).select("vec_id")
+        out.coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    stream = spark.readStream.schema("vec_id long").parquet(str(src))
+    q = start_codes_delete_stream(stream, str(work / "ckpt_d"), root)
+    wall0 = time.perf_counter()
+    delivered = 0
+    try:
+        lo = 0
+        for b in range(batches):
+            hi = lo + batch_n
+            drop(f"d{b}", lo, hi)
+            delivered += hi - lo
+            lo = hi
+            q.processAllAvailable()
+        rows, secs, trig = _progress_stats(q)
+    finally:
+        q.stop()
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    live = vq.read_live_codes(spark, store.resolve(root)).count()
+    return {
+        "tier": "delete_stream",
+        "sf_dir": sf_dir,
+        "index_vecs": n,
+        "build_sec": build_sec,
+        "batches": batches,
+        "delivered_keys": delivered,
+        "live_after": live,
+        "trigger_exec_sec": round(secs, 2),
+        "sustained_keys_per_sec": round(delivered / secs) if secs else None,
+        "wall_sec": round(time.perf_counter() - wall0, 2),
+        "triggers": trig,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--which",
         default="both",
-        choices=["pipeline", "neardup", "vector", "codes", "both", "all"],
+        choices=[
+            "pipeline", "neardup", "vector", "codes", "deletes",
+            "both", "all",
+        ],
     )
     ap.add_argument("--days", type=int, default=3)
     ap.add_argument("--machines", type=int, default=8)
@@ -377,6 +460,8 @@ def main() -> None:
             print(json.dumps(bench_vector(spark, work / "v", args.sf_dir, args.batches)))
         if args.which in ("codes", "all"):
             print(json.dumps(bench_codes(spark, work / "c", args.sf_dir, args.batches)))
+        if args.which in ("deletes", "all"):
+            print(json.dumps(bench_deletes(spark, work / "d", args.sf_dir, args.batches)))
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
