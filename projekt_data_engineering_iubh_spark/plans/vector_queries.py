@@ -3280,8 +3280,13 @@ def _link_or_copy_parquet(src_dir: str, dst_dir: str) -> None:
         src, dst = os.path.join(src_dir, name), os.path.join(dst_dir, name)
         try:
             os.link(src, dst)
+        except FileExistsError:
+            # part-file names carry a per-job UUID, so a collision means
+            # two generations produced the same name — corrupt silently
+            # overwriting it would lose a file; fail loudly instead
+            raise
         except OSError:
-            shutil.copy2(src, dst)
+            shutil.copy2(src, dst)  # cross-device store: copy fallback
 
 
 def _link_frozen_artifacts(cur: str, data_dir: str) -> None:
