@@ -707,14 +707,14 @@ def emb_knn_join_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the shuffled shape that survives that regime:
 
     - both sides coarse-quantize to the shared 16-centroid codebook; the
-      query side probes its nprobe={_KJ_NPROBE} nearest cells (same recall
+      query side probes its nprobe=2 nearest cells (same recall
       fix as emb_ivf_ann_multiprobe, same relational probe selection);
     - candidate generation is a sort-merge equi-join on (cell, slice) —
       `.hint("merge")` pins the shuffled strategy so the plan at test
       scale IS the plan at 100 TB (no size-based broadcast flip);
-    - the corpus side is salted into {_KJ_SLICES} hash slices and the
+    - the corpus side is salted into 4 hash slices and the
       query side replicates across them, so one hot Voronoi cell splits
-      into {_KJ_SLICES} bounded partitions instead of one straggler —
+      into 4 bounded partitions instead of one straggler —
       classic replicate-one-side skew salting, invisible to results (the
       oracle knows nothing about slices).
 
@@ -3143,6 +3143,9 @@ def _rerank_refine(short: DataFrame, corpus: DataFrame) -> DataFrame:
 
 _APPEND_CUT = 100  # vec_id < cut trains the codebooks; >= cut is "late"
 _APPEND_RETRIES = 8  # CAS retry bound for concurrent append generations
+# delete generations link prior tombstone part-files and append one new
+# one; at this file count the (tiny) key set is folded into one rewrite
+_TOMBSTONE_FOLD_FILES = 8
 
 _IVFPQ_APPEND_SQL = f"""
 SELECT query_id, neighbor_id, cell, adc_dist, rn FROM (
@@ -3447,7 +3450,12 @@ def ivfpq_append_generation(
                 # trigger cost no longer scales with index size)
                 codes_dir = os.path.join(data_dir, "codes")
                 _link_or_copy_parquet(os.path.join(cur, "codes"), codes_dir)
-                new_codes.write.mode("append").parquet(codes_dir)
+                # one part-file per trigger, not one per shuffle
+                # partition (32 here, executor-count in production): the
+                # delta is a pinned micro-batch, so the coalesce is free
+                # and codes file count actually grows 1/trigger as the
+                # compaction story assumes
+                new_codes.coalesce(1).write.mode("append").parquet(codes_dir)
                 if tomb is not None:
                     _link_or_copy_parquet(
                         os.path.join(cur, "tombstones"),
@@ -3528,6 +3536,22 @@ def ivfpq_delete_generation(
             )
             tomb_dir = os.path.join(data_dir, "tombstones")
             if tomb is not None:
+                # each generation appends one part-file; frequent
+                # takedown triggers would otherwise accumulate small
+                # files unboundedly between code compactions. The key
+                # set is tiny by construction, so once the linked dir
+                # crosses the fold threshold the whole set is rewritten
+                # as ONE file — still O(|all keys|), never O(corpus)
+                n_parts = sum(
+                    1
+                    for f in os.listdir(os.path.join(cur, "tombstones"))
+                    if not f.startswith(("_", "."))
+                )
+                if n_parts >= _TOMBSTONE_FOLD_FILES:
+                    tomb.unionByName(new_dead).coalesce(1).write.parquet(
+                        tomb_dir
+                    )
+                    return
                 _link_or_copy_parquet(
                     os.path.join(cur, "tombstones"), tomb_dir
                 )

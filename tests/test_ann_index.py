@@ -773,3 +773,65 @@ def test_generation_commits_are_o_delta_hardlinks(spark, tmp_path, monkeypatch):
     v7 = store.resolve(root)
     assert _rows(spark.read.parquet(os.path.join(v7, "codes"))) == before
     assert not (_inodes(os.path.join(v7, "codes")) & v3_inodes)
+
+
+def _part_files(d):
+    return [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+
+
+def test_delta_file_growth_is_bounded(spark, tmp_path, monkeypatch):
+    """r11 (ADVICE): file-count growth of the O(delta) generations is
+    BOUNDED — (1) one append trigger adds exactly ONE codes part-file
+    (the delta is coalesced before the append write; without it a
+    32-partition micro-batch adds up to 32 files per trigger and the
+    'grows by one per trigger' compaction story is off by cpus);
+    (2) frequent small delete generations fold the (tiny) tombstone key
+    set into one rewrite once the linked dir crosses the threshold, so
+    tombstone file count stays <= _TOMBSTONE_FOLD_FILES instead of
+    growing one file per takedown trigger forever."""
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    vq._IVFPQ_CLIENT_CACHE.clear()
+    root = vq._ensure_ivfpq_appended_index(spark, SF)  # v1 + v2
+
+    emb = load_table(spark, SF, "embeddings")
+    top = emb.agg(F.max("vec_id")).collect()[0][0]
+
+    # (1) a many-partition delta still lands as ONE appended part-file
+    before = _part_files(os.path.join(store.resolve(root), "codes"))
+    fresh = (
+        emb.limit(8)
+        .select((F.col("vec_id") + top + 1).alias("vec_id"), "embedding")
+        .repartition(8)
+    )
+    assert vq.ivfpq_append_generation(spark, None, root, vectors=fresh)
+    after = _part_files(os.path.join(store.resolve(root), "codes"))
+    assert len(after) == len(before) + 1
+
+    # (2) tombstone generations fold at the threshold
+    live = sorted(
+        r.vec_id
+        for r in vq.read_live_codes(spark, store.resolve(root)).collect()
+    )
+    n_gens = vq._TOMBSTONE_FOLD_FILES + 3
+    for i in range(n_gens):
+        keys = spark.createDataFrame([(int(live[i]),)], "vec_id long")
+        assert vq.ivfpq_delete_generation(spark, root, keys)
+        n_tomb = len(
+            _part_files(os.path.join(store.resolve(root), "tombstones"))
+        )
+        assert n_tomb <= vq._TOMBSTONE_FOLD_FILES, (
+            f"gen {i}: {n_tomb} tombstone files"
+        )
+    # every deleted key is still dead after the folds
+    final = store.resolve(root)
+    dead_now = {
+        r.vec_id
+        for r in spark.read.parquet(
+            os.path.join(final, "tombstones")
+        ).collect()
+    }
+    assert set(live[:n_gens]) <= dead_now
