@@ -777,6 +777,162 @@ def emb_knn_join_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trained, scale-sized kNN JOIN: cells ∝ corpus via the Lloyd trainer,
+# assignment through the two-level coarse router (the production shape)
+# ---------------------------------------------------------------------------
+
+_KJT_K = 10
+_KJT_NPROBE = 4
+_KJT_SLICES = 4
+_KJT_MIN_CELLS = 8
+_KJT_TARGET_CELL = 64  # corpus vectors per trained cell (cells ∝ n)
+_KJT_ITERS = 2
+
+
+def _kjt_sql() -> str:
+    """The full trained-join oracle: ranked-seed Lloyd training over the
+    corpus half with DATA-DEPENDENT k (scalar subquery — cells ∝ n so
+    the same SQL string is the right geometry at every sf), the
+    two-level router CTEs over the trained centroids, both sides routed
+    through that SAME router, candidate equi-join on cell, exact-cosine
+    top-k."""
+    from projekt_data_engineering_iubh_spark.operators import kmeans as _km
+
+    corpus_src = (
+        f"SELECT vec_id, {_km.quantize_sql('embedding')} AS qemb"
+        f" FROM embeddings WHERE vec_id % 2 = 1"
+    )
+    k_sql = (
+        f"SELECT greatest({_KJT_MIN_CELLS}, COUNT(*) // {_KJT_TARGET_CELL})"
+        f" FROM tjqv"
+    )
+    train, cent = _km.kmeans_train_ranked_sql_ctes(
+        corpus_src, k_sql, _KJT_ITERS, EMB_DIM, "tj"
+    )
+    router, supers, cs = _km.router_sql_ctes(cent, EMB_DIM, "tjr")
+    corp_route, corp_cells = _km.route_top_cells_sql(
+        "tjqv", "vec_id", [], 1, supers, cs, EMB_DIM, "tjc"
+    )
+    qsrc = (
+        f"tjq AS (SELECT vec_id AS query_id,"
+        f" {_km.quantize_sql('embedding')} AS qemb"
+        f" FROM embeddings WHERE vec_id % 2 = 0)"
+    )
+    q_route, q_cells = _km.route_top_cells_sql(
+        "tjq", "query_id", [], _KJT_NPROBE, supers, cs, EMB_DIM, "tjp"
+    )
+    return f"""WITH {train},
+{router},
+{corp_route},
+{qsrc},
+{q_route},
+tjcand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {vx.cosine_sql('qq.embedding', 'ee.embedding')} AS cos_sim
+  FROM {q_cells} p
+  JOIN {corp_cells} c ON c.cell = p.cell
+  JOIN embeddings ee ON ee.vec_id = c.vec_id
+  JOIN embeddings qq ON qq.vec_id = p.query_id
+), tjrank AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
+  FROM tjcand
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM tjrank WHERE rn <= {_KJT_K}
+"""
+
+
+@register("emb_knn_join_trained", oracle=_kjt_sql(), driver=False)
+def emb_knn_join_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN JOIN in its PRODUCTION geometry (r11): emb_knn_join_shuffled
+    proved the shuffled sort-merge shape but kept the oracle-dictated
+    FIXED 16 cells — the configuration tools/knn_join_scale.py measured
+    as quadratic (1.71B candidate pairs at a 100k corpus). This entry is
+    the scale-sized variant the r10 law demands:
+
+    - cells ∝ corpus (one trained cell per ~64 corpus vectors, floor 8)
+      from the exact fixed-point Lloyd trainer with RANKED seeds
+      (operators/kmeans.py::kmeans_train_ranked — the corpus half's ids
+      are odd, so dense-id seeding can't apply), k resolved from a
+      corpus count on both engines (scalar subquery in the oracle);
+    - BOTH sides are assigned through the SAME two-level coarse router
+      (operators/kmeans.py::train_router / route_top_cells — √k supers
+      trained over the centroid table, ~(√k + 2k/√k) folds per vector
+      instead of k): the r10 measurement showed join recall needs router
+      CONSISTENCY, not argmin fidelity (recall held 0.140 vs 0.156 under
+      60.7% routing disagreement), so sharing the router is enforced
+      here by construction and pinned in tests/test_kmeans_router.py;
+    - queries probe their nprobe=4 nearest routed cells — the coverage
+      lever that buys recall back at a pair budget that stays LINEAR in
+      the corpus (cand/query ≈ nprobe × 64 regardless of n);
+    - candidate generation keeps #152's shuffled skew-proof tail:
+      sort-merge equi-join on (cell, slice), corpus salted into 4 hash
+      slices with query-side replication, `.hint("merge")` pinning the
+      no-broadcast strategy; exact-cosine re-rank of the candidates is
+      the refine stage (per-query top-k window).
+
+    The oracle replicates ALL of it — training, router, routing,
+    join, refine — so the hash match certifies the approximate index
+    construction itself, not just the final join algebra."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        vx.norm(F.col("embedding")).alias("nrm"),
+        km.quantize(F.col("embedding")).alias("qemb"),
+    )
+    corpus = e.filter(F.col("vec_id") % 2 == 1)
+    # k from a MATERIALIZED corpus count: one scalar job, never
+    # data-sized driver state (same collect class as the codebook reads)
+    n = corpus.count()
+    k = max(_KJT_MIN_CELLS, n // _KJT_TARGET_CELL)
+    # localCheckpoint pins the k-row training/router artifacts so the
+    # three consumers below don't each re-execute the Lloyd chain
+    cents = km.kmeans_train_ranked(
+        corpus.select("vec_id", "qemb"), k, _KJT_ITERS, EMB_DIM
+    ).localCheckpoint(eager=True)
+    router = km.train_router(cents, EMB_DIM)
+    router.supers = router.supers.localCheckpoint(eager=True)
+    router.cent_super = router.cent_super.localCheckpoint(eager=True)
+    corp = km.route_top_cells(
+        router, corpus, "vec_id", ["embedding", "nrm"], 1
+    ).withColumn("slice", (F.col("vec_id") % _KJT_SLICES).cast("int"))
+    q = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("qemb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    probes = (
+        km.route_top_cells(router, q, "query_id", ["qe", "qnrm"], _KJT_NPROBE)
+        .withColumnRenamed("cell", "pcell")
+        .withColumn(
+            "qslice",
+            F.explode(F.array(*[F.lit(s) for s in range(_KJT_SLICES)])),
+        )
+    )
+    cand = probes.join(
+        corp.hint("merge"),
+        (F.col("pcell") == F.col("cell"))
+        & (F.col("qslice") == F.col("slice")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            vx.dot(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KJT_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # int8 scalar quantization + ADC top-k (the compressed-index search path)
 # ---------------------------------------------------------------------------
 
