@@ -195,3 +195,87 @@ def vacuum_ann_indexes(ttl_seconds: float = 7 * 86400) -> list[str]:
     from projekt_data_engineering_iubh_spark.pipeline import ann_index
 
     return ann_index.vacuum_stale(ttl_seconds)
+
+
+# ---------------------------------------------------------------------------
+# ANN snapshot-store maintenance policy (r11)
+# ---------------------------------------------------------------------------
+
+import os
+
+
+@dataclass(frozen=True)
+class AnnMaintenancePolicy:
+    """When to fold an ANN index root's accumulated generations.
+
+    The r10 curve (tools/delete_serve_curve.py) showed serve wall FLAT
+    across 0→50% dead at test scale — serve LATENCY does not tell you
+    when to compact; the recorded rule is to trigger on footprint:
+
+    * ``max_tombstone_bytes`` — the tombstone key set is the serve
+      anti-join's broadcast build side; its bytes (not its age) are
+      what grow the per-read work and the per-generation link set.
+      Crossing it runs ``ivfpq_compact`` (folds tombstones away — the
+      one real codes rewrite in the lifecycle).
+    * ``max_codes_files`` — O(delta) commits append one codes part-file
+      per trigger; scan planning and footer reads degrade with file
+      count long before data size matters. Crossing it runs
+      ``ivfpq_compact(force=True)`` (small-file fold).
+
+    Both checks are O(#files) filesystem metadata ops — cheap enough to
+    run on EVERY streaming trigger, which is where
+    streaming/ann_ingest_stream.py calls them when a policy is passed.
+    """
+
+    max_tombstone_bytes: int = 8 * 1024 * 1024
+    max_codes_files: int = 64
+
+
+@dataclass
+class AnnMaintenanceResult:
+    codes_files: int
+    tombstone_bytes: int
+    compacted: str | None  # "tombstone_bytes" | "codes_files" | None
+
+
+def _artifact_footprint(snap_dir: str, name: str) -> tuple[int, int]:
+    d = os.path.join(snap_dir, name)
+    if not os.path.isdir(d):
+        return 0, 0
+    files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+    return len(files), sum(
+        os.path.getsize(os.path.join(d, f)) for f in files
+    )
+
+
+def maintain_ann_root(
+    spark: SparkSession,
+    root: str,
+    policy: AnnMaintenancePolicy = AnnMaintenancePolicy(),
+) -> AnnMaintenanceResult:
+    """Enforce ``policy`` on an ANN index root: measure the CURRENT
+    snapshot's codes/tombstones footprint (metadata-only — no Spark job
+    on the happy path) and run the matching compaction when a threshold
+    is crossed. Tombstone bytes win over file count when both fire
+    (the tombstone fold also rewrites codes, so it resets both).
+
+    Compaction publishes a NEW snapshot version through the store CAS —
+    in-flight readers keep their version, a concurrent trigger that
+    lost the race simply re-resolves (same contract as every other
+    generation commit). Returns what was measured and whether/why a
+    compaction committed, so streaming callers can log the cadence."""
+    from projekt_data_engineering_iubh_spark.plans import (
+        vector_queries as _vq,
+    )
+
+    cur = snapstore.resolve(root)
+    codes_files, _ = _artifact_footprint(cur, "codes")
+    _, tomb_bytes = _artifact_footprint(cur, "tombstones")
+    compacted = None
+    if tomb_bytes >= policy.max_tombstone_bytes:
+        if _vq.ivfpq_compact(spark, root):
+            compacted = "tombstone_bytes"
+    elif codes_files >= policy.max_codes_files:
+        if _vq.ivfpq_compact(spark, root, force=True):
+            compacted = "codes_files"
+    return AnnMaintenanceResult(codes_files, tomb_bytes, compacted)

@@ -3302,6 +3302,8 @@ _APPEND_RETRIES = 8  # CAS retry bound for concurrent append generations
 # delete generations link prior tombstone part-files and append one new
 # one; at this file count the (tiny) key set is folded into one rewrite
 _TOMBSTONE_FOLD_FILES = 8
+# compaction rewrites live codes into ~this many bytes per part-file
+_COMPACT_TARGET_BYTES = 128 * 1024 * 1024
 
 _IVFPQ_APPEND_SQL = f"""
 SELECT query_id, neighbor_id, cell, adc_dist, rn FROM (
@@ -3746,11 +3748,26 @@ def ivfpq_compact(
         if _read_tombstones(spark, cur) is None and not force:
             return False  # already compact
         live = read_live_codes(spark, cur)
+        # fold to a BOUNDED file count sized from the source footprint
+        # (metadata only): the parquet scan otherwise keeps roughly one
+        # partition per small source file, so the "compacted" write
+        # would re-emit the same file count it was meant to fold
+        src_codes = os.path.join(cur, "codes")
+        codes_bytes = sum(
+            os.path.getsize(os.path.join(src_codes, f))
+            for f in os.listdir(src_codes)
+            if not f.startswith(("_", "."))
+        )
+        n_out = max(1, -(-codes_bytes // _COMPACT_TARGET_BYTES))
 
         def build(data_dir: str) -> None:
             _link_frozen_artifacts(cur, data_dir)
-            # the one real rewrite in the lifecycle: codes minus dead rows
-            live.write.parquet(os.path.join(data_dir, "codes"))
+            # the one real rewrite in the lifecycle: codes minus dead
+            # rows, repartitioned to ~128 MiB files (one shuffle of the
+            # live rows — the same cost Delta/Iceberg OPTIMIZE pays)
+            live.repartition(n_out).write.parquet(
+                os.path.join(data_dir, "codes")
+            )
 
         try:
             store.commit_snapshot(root, build)

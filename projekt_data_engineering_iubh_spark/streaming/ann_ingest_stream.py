@@ -107,8 +107,17 @@ def bootstrap_codes_index(
     return root
 
 
-def make_codes_batch_processor(root: str):
-    """foreachBatch hook: one append generation per non-empty trigger."""
+def make_codes_batch_processor(root: str, policy=None):
+    """foreachBatch hook: one append generation per non-empty trigger.
+
+    With a ``policy`` (pipeline/maintenance.AnnMaintenancePolicy) the
+    trigger path ALSO enforces the compaction thresholds after each
+    commit — the footprint check is O(#files) metadata, and compaction,
+    when it fires, publishes through the same store CAS every
+    generation uses, so a maintenance fold racing the next trigger is
+    just another lost-CAS retry. This is what keeps a long-running
+    ingest's file count bounded without an external cron
+    (tests/test_ann_maintenance.py pins the bound)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -116,23 +125,31 @@ def make_codes_batch_processor(root: str):
         vq.ivfpq_append_generation(
             batch_df.sparkSession, None, root, vectors=batch_df
         )
+        if policy is not None:
+            from projekt_data_engineering_iubh_spark.pipeline import (
+                maintenance,
+            )
+
+            maintenance.maintain_ann_root(
+                batch_df.sparkSession, root, policy
+            )
 
     return _process
 
 
 def start_codes_ingest_stream(
-    embs: DataFrame, checkpoint: str, root: str
+    embs: DataFrame, checkpoint: str, root: str, *, policy=None
 ):
     """Wire the streaming codes ingest and return the StreamingQuery."""
     return (
         embs.writeStream.outputMode("append")
-        .foreachBatch(make_codes_batch_processor(root))
+        .foreachBatch(make_codes_batch_processor(root, policy))
         .option("checkpointLocation", checkpoint)
         .start()
     )
 
 
-def make_delete_batch_processor(root: str):
+def make_delete_batch_processor(root: str, policy=None):
     """foreachBatch hook for the DELETE stream: one tombstone
     generation per non-empty trigger (plans/vector_queries.
     ivfpq_delete_generation). Exactly-once falls out of the delete's
@@ -145,12 +162,20 @@ def make_delete_batch_processor(root: str):
         if batch_df.isEmpty():
             return
         vq.ivfpq_delete_generation(batch_df.sparkSession, root, batch_df)
+        if policy is not None:
+            from projekt_data_engineering_iubh_spark.pipeline import (
+                maintenance,
+            )
+
+            maintenance.maintain_ann_root(
+                batch_df.sparkSession, root, policy
+            )
 
     return _process
 
 
 def start_codes_delete_stream(
-    keys: DataFrame, checkpoint: str, root: str
+    keys: DataFrame, checkpoint: str, root: str, *, policy=None
 ):
     """Wire a takedown-key stream (vec_id rows — GDPR erasure requests,
     moderation takedowns, dedup re-run verdicts) into tombstone
@@ -163,7 +188,7 @@ def start_codes_delete_stream(
     maintenance cadence."""
     return (
         keys.writeStream.outputMode("append")
-        .foreachBatch(make_delete_batch_processor(root))
+        .foreachBatch(make_delete_batch_processor(root, policy))
         .option("checkpointLocation", checkpoint)
         .start()
     )

@@ -1,0 +1,153 @@
+"""Automated compaction policy over the ANN snapshot store (r11).
+
+The r10 rounds proved the O(delta) generation mechanics (hardlinks +
+one appended part-file per trigger) and recorded the maintenance RULE —
+compact on tombstone-bytes / file-count footprint, never on serve
+latency — but nothing enforced it. These pins drive a long
+ingest+delete run through the SAME foreachBatch processor bodies a live
+stream executes and assert the policy actually bounds the store:
+codes file count never exceeds the threshold across many triggers
+(compaction fires from inside the trigger path), the tombstone-bytes
+trigger folds deletes away, and the happy path costs no Spark job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from projekt_data_engineering_iubh_spark.catalog import load_table
+from projekt_data_engineering_iubh_spark.pipeline import maintenance, store
+from projekt_data_engineering_iubh_spark.plans import vector_queries as vq
+from projekt_data_engineering_iubh_spark.streaming import (
+    ann_ingest_stream as ais,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _codes_files(root):
+    d = os.path.join(store.resolve(root), "codes")
+    return len([f for f in os.listdir(d) if not f.startswith(("_", "."))])
+
+
+def _bootstrap(spark, tmp_path):
+    root = str(tmp_path / "codes_index")
+    embs = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    ais.bootstrap_codes_index(
+        spark, embs.filter(F.col("vec_id") < 100), root
+    )
+    return root, embs
+
+
+def test_ingest_file_count_stays_bounded(spark, tmp_path):
+    """A long ingest run with a max_codes_files policy: every trigger
+    appends one part-file; the in-trigger maintenance folds the store
+    whenever the threshold is reached, so the file count stays <= the
+    threshold FOREVER instead of growing one per trigger — and the run
+    must fold more than once (a single lucky compaction proves
+    nothing about a long-running stream)."""
+    root, embs = _bootstrap(spark, tmp_path)
+    policy = maintenance.AnnMaintenancePolicy(max_codes_files=4)
+    proc = ais.make_codes_batch_processor(root, policy)
+    folds = 0
+    prev = _codes_files(root)
+    for i in range(12):
+        lo, hi = 100 + 30 * i, 100 + 30 * (i + 1)
+        proc(
+            embs.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ),
+            i,
+        )
+        now = _codes_files(root)
+        assert now <= policy.max_codes_files, f"trigger {i}: {now} files"
+        if now < prev + 1:
+            folds += 1
+        prev = now
+    assert folds >= 2, f"compaction fired {folds}x across 12 triggers"
+    # no rows lost across all the folds
+    got = {
+        r.vec_id
+        for r in spark.read.parquet(
+            os.path.join(store.resolve(root), "codes")
+        ).collect()
+    }
+    assert got == {r.vec_id for r in embs.filter(
+        F.col("vec_id") < 100 + 30 * 12
+    ).select("vec_id").collect()}
+
+
+def test_delete_tombstone_bytes_trigger_folds(spark, tmp_path):
+    """The tombstone-bytes trigger: a delete stream under a tiny byte
+    threshold folds its tombstones into the codes on the very trigger
+    that crosses it — the store returns to the no-tombstones state,
+    serving stays correct, and the dead ids stay dead."""
+    root, embs = _bootstrap(spark, tmp_path)
+    # grow the index first so deletes have something to kill
+    ais.make_codes_batch_processor(root)(
+        embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300)), 0
+    )
+    policy = maintenance.AnnMaintenancePolicy(max_tombstone_bytes=1)
+    proc = ais.make_delete_batch_processor(root, policy)
+    dead = []
+    for i in range(3):
+        keys = [(int(v),) for v in range(10 * i, 10 * i + 5)]
+        dead += [k[0] for k in keys]
+        proc(spark.createDataFrame(keys, "vec_id long"), i)
+        # any tombstone footprint crosses 1 byte -> folded immediately
+        assert not os.path.isdir(
+            os.path.join(store.resolve(root), "tombstones")
+        ), f"trigger {i} left tombstones behind"
+        live = {
+            r.vec_id
+            for r in vq.read_live_codes(
+                spark, store.resolve(root)
+            ).collect()
+        }
+        assert not (set(dead) & live)
+
+
+def test_maintain_under_threshold_is_metadata_only(spark, tmp_path):
+    """Under both thresholds maintain_ann_root measures and does
+    NOTHING: no new store version (no compaction commit), correct
+    footprint numbers returned. This is the every-trigger happy path —
+    it must stay cheap enough to run unconditionally."""
+    root, _ = _bootstrap(spark, tmp_path)
+    before = store._committed_versions(root)
+    res = maintenance.maintain_ann_root(
+        spark, root, maintenance.AnnMaintenancePolicy()
+    )
+    assert store._committed_versions(root) == before
+    assert res.compacted is None
+    assert res.codes_files == _codes_files(root)
+    assert res.tombstone_bytes == 0
+
+
+def test_tombstone_trigger_wins_over_file_trigger(spark, tmp_path):
+    """When both thresholds are crossed, ONE plain compact resolves
+    both (the tombstone fold rewrites codes too) — not two commits."""
+    root, embs = _bootstrap(spark, tmp_path)
+    ais.make_codes_batch_processor(root)(
+        embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)), 0
+    )
+    vq.ivfpq_delete_generation(
+        spark, root, spark.createDataFrame([(0,), (1,)], "vec_id long")
+    )
+    before = store._committed_versions(root)
+    res = maintenance.maintain_ann_root(
+        spark,
+        root,
+        maintenance.AnnMaintenancePolicy(
+            max_tombstone_bytes=1, max_codes_files=1
+        ),
+    )
+    assert res.compacted == "tombstone_bytes"
+    after = store._committed_versions(root)
+    assert len(after) == len(before) + 1  # exactly one maintenance commit
+    assert not os.path.isdir(
+        os.path.join(store.resolve(root), "tombstones")
+    )

@@ -404,6 +404,107 @@ def _recall_at_10(spark, e: DataFrame, joined: DataFrame) -> float:
     return round(sum(hits) / len(hits), 4)
 
 
+def _trained_join_arm(
+    spark,
+    e: DataFrame,
+    dim: int,
+    runs: int,
+    wall_pair_cap: int,
+    nprobes: list[int],
+    target_cell: int = 64,
+) -> dict:
+    """The emb_knn_join_trained construction (r11 registry entry) at
+    tool scale: cells ∝ corpus (one per ~target_cell vectors,
+    sample-trained Lloyd — production training is sample-sized; the
+    registry entry trains on the full corpus only for oracle purity),
+    BOTH sides routed through the SHARED two-level router
+    (operators/kmeans.py::train_router/route_top_cells — the
+    productized r10 --two-level machinery), then the shuffled
+    sort-merge join tail. Measures, per nprobe: analytic pair count
+    (flat cand/query ≈ nprobe × target_cell is the design claim), join
+    wall for arms under the cap, and recall@10 — the refine-coverage
+    law the nprobe lever trades on."""
+    from projekt_data_engineering_iubh_spark.operators import kmeans as km
+
+    out: dict = {"target_cell": target_cell}
+    corpus = e.filter(F.col("vec_id") % 2 == 1)
+    n_corp = corpus.count()
+    k = max(8, n_corp // target_cell)
+    t0 = time.time()
+    cents, k_eff, train_sec = _trained_centroids(spark, e, k, dim)
+    router = km.train_router(cents, dim)
+    router.supers = router.supers.localCheckpoint(eager=True)
+    router.cent_super = router.cent_super.localCheckpoint(eager=True)
+    out.update(
+        cells=k_eff,
+        cells_requested=k,
+        n_supers=router.supers.count(),
+        train_router_sec=round(time.time() - t0, 3),
+    )
+    t0 = time.time()
+    corp = (
+        km.route_top_cells(
+            router, corpus, "vec_id", ["embedding", "nrm"], 1
+        )
+        .withColumn("slice", (F.col("vec_id") % SLICES).cast("int"))
+        .cache()
+    )
+    corp.count()
+    out["corpus_assign_sec"] = round(time.time() - t0, 3)
+    q = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        "qemb",
+    )
+    n_q = q.count()
+    ch = corp.groupBy("cell").count().withColumnRenamed("count", "cn")
+    out["by_nprobe"] = {}
+    for nprobe in nprobes:
+        res: dict = {}
+        probes_ns = (
+            km.route_top_cells(router, q, "query_id", ["qe", "qnrm"], nprobe)
+            .withColumnRenamed("cell", "pcell")
+            .cache()
+        )
+        probes_ns.count()
+        qh = (
+            probes_ns.groupBy("pcell").count().withColumnRenamed("count", "qn")
+        )
+        pairs = int(
+            (
+                ch.join(qh, ch.cell == qh.pcell)
+                .agg(F.sum(F.col("cn") * F.col("qn")).alias("p"))
+                .collect()[0]
+                .p
+            )
+            or 0
+        )
+        res.update(
+            cand_pairs=pairs, cand_per_query=round(pairs / max(1, n_q), 1)
+        )
+        if pairs <= wall_pair_cap:
+            _knn_join_from_sides(corp, probes_ns).count()  # warm
+            walls = []
+            for _ in range(runs):
+                t0 = time.time()
+                _knn_join_from_sides(corp, probes_ns).count()
+                walls.append(round(time.time() - t0, 3))
+            res.update(
+                wall_min=min(walls),
+                runs=walls,
+                recall_at_10=_recall_at_10(
+                    spark, e, _knn_join_from_sides(corp, probes_ns)
+                ),
+            )
+        else:
+            res["skipped"] = f"pairs > wall cap {wall_pair_cap}"
+        probes_ns.unpersist()
+        out["by_nprobe"][str(nprobe)] = res
+    corp.unpersist()
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -416,6 +517,18 @@ def main() -> int:
         help="also measure the two-level coarse quantizer on the "
         "cells-proportional-to-n arm: assignment wall vs flat argmin, "
         "assignment disagreement rate, end-to-end join wall + recall",
+    )
+    ap.add_argument(
+        "--trained-join",
+        action="store_true",
+        help="measure the emb_knn_join_trained construction (cells ∝ n "
+        "at ~64/cell, shared two-level router on both sides) across "
+        "--nprobes: pair budget, join wall, recall@10 per nprobe — the "
+        "refine-coverage law the production sizing picks from",
+    )
+    ap.add_argument(
+        "--nprobes", type=int, nargs="+", default=[2, 4, 8],
+        help="nprobe sweep for the --trained-join arm",
     )
     ap.add_argument(
         "--wall-pair-cap", type=int, default=5_000_000,
@@ -439,6 +552,20 @@ def main() -> int:
         e = _prep(spark, out_dir).cache()
         n = e.count()
         dim = len(e.select("embedding").first()[0])
+
+        if args.trained_join:
+            # focused run: ONLY the production construction (the classic
+            # arms re-measure r10's law; no need to re-melt the box)
+            arm = _trained_join_arm(
+                spark, e, dim, args.runs, args.wall_pair_cap, args.nprobes
+            )
+            e.unpersist()
+            points.append(
+                {"copies": copies, "n_vectors": n,
+                 "arms": {"trained_join": arm}}
+            )
+            print(json.dumps(points[-1]), file=sys.stderr)
+            continue
 
         arms: dict[str, dict] = {}
         cent_tables: dict[str, DataFrame] = {}
