@@ -1100,7 +1100,7 @@ LIMIT 50
 """
 
 
-@register("docs_bpe_pair_counts", oracle=_BPE_PAIRS_SQL, driver=False)
+@register("docs_bpe_pair_counts", oracle=_BPE_PAIRS_SQL)
 def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-round BPE pair statistics — the per-round kernel of
     tokenizer training (operators/bpe.py; Sennrich et al. 2016): corpus
@@ -1150,15 +1150,14 @@ WITH toks AS (
   SELECT a, b FROM stats ORDER BY pc DESC, a, b LIMIT 1
 )
 SELECT s.word, s.n,
-       string_split(replace(array_to_string(s.syms, chr(31)),
-                            t.a || chr(31) || t.b, t.a || t.b),
-                    chr(31)) AS syms,
+       replace(array_to_string(s.syms, chr(31)),
+               t.a || chr(31) || t.b, t.a || t.b) AS syms,
        t.a AS merged_a, t.b AS merged_b
 FROM segs s CROSS JOIN top t
 """
 
 
-@register("docs_bpe_one_round", oracle=_BPE_ONE_ROUND_SQL, driver=False)
+@register("docs_bpe_one_round", oracle=_BPE_ONE_ROUND_SQL)
 def docs_bpe_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One COMPLETE BPE training round, SQL-expressible end-to-end so the
     merge-APPLICATION semantics get cross-engine hash verification (the
@@ -1170,7 +1169,11 @@ def docs_bpe_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot occur inside tokens), one merge = one replace() — both
     engines replace leftmost-first non-overlapping, exactly the fold in
     operators/bpe.py::apply_merge. The 1-row argmax frame is
-    broadcast-joined, never collected; registry query #102."""
+    broadcast-joined, never collected. Output ``syms`` stays in the
+    0x1F-joined STRING encoding (scalar) — the driver's pandas canon
+    cannot hash array cells (the r8 docs_inverted_index lesson, caught
+    again for this entry by the rotation-#8 pre-flight); registry
+    query #102."""
     from projekt_data_engineering_iubh_spark.operators import bpe
 
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -1182,13 +1185,10 @@ def docs_bpe_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     joined = F.concat_ws(_BPE_SEP, "syms")
-    merged = F.split(
-        F.replace(
-            joined,
-            F.concat(F.col("a"), F.lit(_BPE_SEP), F.col("b")),
-            F.concat(F.col("a"), F.col("b")),
-        ),
-        _BPE_SEP,
+    merged = F.replace(
+        joined,
+        F.concat(F.col("a"), F.lit(_BPE_SEP), F.col("b")),
+        F.concat(F.col("a"), F.col("b")),
     )
     return seg.crossJoin(F.broadcast(top)).select(
         "word",
@@ -1247,7 +1247,7 @@ WITH toks AS (
 _BPE_TRAIN3_SQL = (
     _BPE_TRAIN3_CTES
     + """
-SELECT word, n, syms,
+SELECT word, n, array_to_string(syms, chr(31)) AS syms,
        a1 AS merge1_a, b1 AS merge1_b,
        a2 AS merge2_a, b2 AS merge2_b,
        a3 AS merge3_a, b3 AS merge3_b
@@ -1256,7 +1256,7 @@ FROM segs3
 )
 
 
-@register("docs_bpe_train3", oracle=_BPE_TRAIN3_SQL, driver=False)
+@register("docs_bpe_train3", oracle=_BPE_TRAIN3_SQL)
 def docs_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THREE chained BPE training rounds, SQL-expressible end-to-end
     (r6 VERDICT #4 — the iterated trainer cross-engine verified, not
@@ -1271,9 +1271,12 @@ def docs_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines produce an identically empty result. The driver-loop
     variant with early stop and checkpointing is
     operators/bpe.py::bpe_train, pinned to this chained kernel by
-    tests/test_bpe.py::test_train3_query_matches_bpe_train; registry
-    query #103."""
-    return _bpe_train3_seg(spark, sf_dir)
+    tests/test_bpe.py::test_train3_query_matches_bpe_train. Output
+    ``syms`` is the 0x1F-joined STRING encoding (scalar driver
+    contract, same as docs_bpe_one_round); registry query #103."""
+    return _bpe_train3_seg(spark, sf_dir).withColumn(
+        "syms", F.concat_ws(_BPE_SEP, "syms")
+    )
 
 
 def _bpe_train3_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,7 +1338,7 @@ GROUP BY d.doc_id
 )
 
 
-@register("docs_bpe_tokenize", oracle=_BPE_TOKENIZE_SQL, driver=False)
+@register("docs_bpe_tokenize", oracle=_BPE_TOKENIZE_SQL)
 def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale BPE INFERENCE with the 3-round trained vocabulary —
     the other half of the tokenizer tier (train = docs_bpe_train3): every
@@ -1935,7 +1938,7 @@ FROM est JOIN ex USING (source)
 """
 
 
-@register("docs_hll_distinct", oracle=_HLL_SQL)
+@register("docs_hll_distinct", oracle=_HLL_SQL, driver=False)
 def docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit HyperLogLog distinct-count sketch per source — completes
     the engine-portable mergeable-sketch trio next to Bloom membership
@@ -2019,7 +2022,7 @@ LIMIT {_WS_K}
 """
 
 
-@register("docs_weighted_sample", oracle=_WS_SQL)
+@register("docs_weighted_sample", oracle=_WS_SQL, driver=False)
 def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement, Efraimidis–Spirakis 2006:
     draw k=50 documents with probability proportional to length

@@ -936,7 +936,7 @@ FROM cum GROUP BY event_type
 
 
 @register(
-    "events_value_hist_quantiles", oracle=_HIST_QUANT_SQL
+    "events_value_hist_quantiles", oracle=_HIST_QUANT_SQL, driver=False
 )
 def events_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram quantile sketch — the quantile member of the
@@ -1113,7 +1113,7 @@ LIMIT {_PATH_TOPK}
 """
 
 
-@register("events_top_paths", oracle=_TOP_PATHS_SQL)
+@register("events_top_paths", oracle=_TOP_PATHS_SQL, driver=False)
 def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session path mining: the top-20 most frequent event-type
     sequences (first 5 non-marker events per marker session,
@@ -1212,7 +1212,7 @@ JOIN tt ON tt.user_id = base.user_id
 """
 
 
-@register("events_user_features", oracle=_UF_SQL)
+@register("events_user_features", oracle=_UF_SQL, driver=False)
 def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user feature-engineering rollup — the RFM-style vector a
     training pipeline materializes as model input: recency (days since
@@ -1654,7 +1654,7 @@ FROM pc
 """
 
 
-@register("events_markov_transitions", oracle=_MARKOV_SQL)
+@register("events_markov_transitions", oracle=_MARKOV_SQL, driver=False)
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over in-session event types:
     P(next | current) in integer micro-units — the MODEL complement of
@@ -1775,7 +1775,7 @@ GROUP BY 1, 2, 3
 """
 
 
-@register("events_bootstrap_ci", oracle=_BOOT_SQL)
+@register("events_bootstrap_ci", oracle=_BOOT_SQL, driver=False)
 def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncertainty at scale: a 95% percentile CI for each type's mean
     value via the POISSON BOOTSTRAP (Chamandy et al., "Estimating
@@ -2020,7 +2020,7 @@ GROUP BY 1
 
 
 @register(
-    "events_seasonal_naive_eval", oracle=_SEASONAL_NAIVE_SQL
+    "events_seasonal_naive_eval", oracle=_SEASONAL_NAIVE_SQL, driver=False
 )
 def events_seasonal_naive_eval(
     spark: SparkSession, sf_dir: str

@@ -541,7 +541,7 @@ SELECT c_custkey, c_nationkey, c_acctbal, rn FROM ranked WHERE rn <= 3
 """
 
 
-@register("topk_per_group", oracle=_TOPK_GROUP_SQL)
+@register("topk_per_group", oracle=_TOPK_GROUP_SQL, driver=False)
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K per group via row_number ≤ K — the scalable top-k idiom (no
     global sort; per-partition heaps then one shuffle of K×groups rows)."""
@@ -782,7 +782,7 @@ FROM ({_Q6_SQL}) q6 CROSS JOIN ({_Q14_SQL}) q14 CROSS JOIN ({_Q17_SQL}) q17
 """
 
 
-@register("q6_q14_q17_metrics", oracle=_Q6_Q14_Q17_SQL)
+@register("q6_q14_q17_metrics", oracle=_Q6_Q14_Q17_SQL, driver=False)
 def q6_q14_q17_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 + Q14 + Q17 analogs as one single-row driver entry
     (registry curation: three 1-row results cross-joined — each branch's
@@ -1509,7 +1509,7 @@ GROUP BY cn.n_name, sn.n_name, l_year
 """
 
 
-@register("q7_nation_volume", oracle=_Q7_SQL)
+@register("q7_nation_volume", oracle=_Q7_SQL, driver=False)
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
     year — a five-join chain where the SAME dimension (nation) joins
@@ -1775,7 +1775,7 @@ FROM z GROUP BY 1
 """
 
 
-@register("lineitem_zorder_blocks", oracle=_ZORDER_SQL)
+@register("lineitem_zorder_blocks", oracle=_ZORDER_SQL, driver=False)
 def lineitem_zorder_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout blocks over lineitem's two query
     dimensions — the multi-dimensional data-layout lever behind Delta's
@@ -1857,7 +1857,7 @@ FROM c
 """
 
 
-@register("orders_benford", oracle=_BENFORD_SQL)
+@register("orders_benford", oracle=_BENFORD_SQL, driver=False)
 def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit conformance over order totals — the
     forensic data-quality test for fabricated or truncated monetary

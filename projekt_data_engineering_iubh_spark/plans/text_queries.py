@@ -1235,7 +1235,7 @@ SELECT doc_id, word, score, rnk FROM r WHERE rnk <= {_TFIDF_TOP}
 """
 
 
-@register("docs_tfidf_top_terms", oracle=_TFIDF_SQL, driver=False)
+@register("docs_tfidf_top_terms", oracle=_TFIDF_SQL)
 def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document, TF-IDF family scoring.
 
@@ -1621,7 +1621,7 @@ def scrub_pii(d: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@register("docs_pii_scrub", oracle=_PII_SQL, driver=False)
+@register("docs_pii_scrub", oracle=_PII_SQL)
 def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the corpus (emails, IPv4, long digit runs) —
     the mandatory scrub step of a training-data pipeline. The synthetic
@@ -2165,7 +2165,7 @@ GROUP BY 1
 """
 
 
-@register("docs_inverted_index", oracle=_INVERTED_INDEX_SQL)
+@register("docs_inverted_index", oracle=_INVERTED_INDEX_SQL, driver=False)
 def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction — the SERVING export the BM25 scorer
     (docs_bm25_topk) queries online: per term, document frequency,

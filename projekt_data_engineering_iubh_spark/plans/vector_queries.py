@@ -513,7 +513,7 @@ SELECT query_id, neighbor_id, cell, cos_sim, rn FROM r WHERE rn <= {_IVF_K}
 """
 
 
-@register("emb_ivf_ann", oracle=_IVF_SQL, driver=False)
+@register("emb_ivf_ann", oracle=_IVF_SQL)
 def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: coarse-quantize every vector to its nearest centroid,
     then search only the query's own cell (nprobe=1) with exact cosine +
@@ -595,7 +595,7 @@ SELECT query_id, neighbor_id, cell, cos_sim, rn FROM r WHERE rn <= {_IVF_K}
 """
 
 
-@register("emb_ivf_ann_multiprobe", oracle=_IVF_MP_SQL, driver=False)
+@register("emb_ivf_ann_multiprobe", oracle=_IVF_MP_SQL)
 def emb_ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with nprobe={_IVF_NPROBE}: each query searches its
     nprobe NEAREST cells instead of only its own — the standard recall
@@ -697,7 +697,7 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= {_KJ_K}
 """
 
 
-@register("emb_knn_join_shuffled", oracle=_KJ_SQL, driver=False)
+@register("emb_knn_join_shuffled", oracle=_KJ_SQL)
 def emb_knn_join_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN JOIN of two corpus-sized tables (offline batch inference: every
     even vec_id queries the odd-vec_id corpus for its top-k neighbors).
@@ -843,7 +843,7 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM tjrank WHERE rn <= {_KJT_K}
 """
 
 
-@register("emb_knn_join_trained", oracle=_kjt_sql(), driver=False)
+@register("emb_knn_join_trained", oracle=_kjt_sql())
 def emb_knn_join_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kNN JOIN in its PRODUCTION geometry (r11): emb_knn_join_shuffled
     proved the shuffled sort-merge shape but kept the oracle-dictated
@@ -1674,7 +1674,7 @@ GROUP BY 2
 """
 
 
-@register("emb_ann_recall", oracle=_RECALL_SQL, driver=False)
+@register("emb_ann_recall", oracle=_RECALL_SQL)
 def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF approximate searches against the brute-force
     ground truth, per query and per variant — the evaluation harness that
@@ -1727,7 +1727,7 @@ GROUP BY 2
 """
 
 
-@register("emb_ann_recall_trained", oracle=_RECALL_TRAINED_SQL, driver=False)
+@register("emb_ann_recall_trained", oracle=_RECALL_TRAINED_SQL)
 def emb_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the TRAINED-cell IVF search (emb_ivf_ann_trained)
     against the brute-force ground truth — extends the recall harness to
@@ -1776,7 +1776,7 @@ GROUP BY 1
 """
 
 
-@register("emb_cluster_stats", oracle=_CSTATS_SQL, driver=False)
+@register("emb_cluster_stats", oracle=_CSTATS_SQL)
 def emb_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster health stats over the trained k-means assignment: member
     count, min/max squared distance (radius), and inertia (sum of squared
@@ -2032,7 +2032,7 @@ JOIN v3 ON v3.dim = means.dim
 """
 
 
-@register("emb_top_pc_power", oracle=_pc_sql())
+@register("emb_top_pc_power", oracle=_pc_sql(), driver=False)
 def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal component of the embedding covariance by POWER
     ITERATION — distributed linear algebra as a lazy DataFrame loop (the
@@ -2196,7 +2196,7 @@ GROUP BY 1
 )
 
 
-@register("emb_pc_outliers", oracle=_PC_OUTLIERS_SQL)
+@register("emb_pc_outliers", oracle=_PC_OUTLIERS_SQL, driver=False)
 def emb_pc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The USE of the trained component (emb_top_pc_power): project
     every embedding onto the round-3 iterate and screen for semantic
@@ -2765,7 +2765,7 @@ FROM c{_KM_ITERS} c JOIN bcounts b USING (cell),
 """
 
 
-@register("emb_ivf_build", oracle=_IVF_BUILD_SQL, driver=False)
+@register("emb_ivf_build", oracle=_IVF_BUILD_SQL)
 def emb_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BUILD half of the trained-IVF split (r7 VERDICT #2): train
     the coarse quantizer (exact fixed-point Lloyd, 3 rounds — the same
@@ -2920,7 +2920,7 @@ def _ivfpq_build_sql() -> str:
 _IVFPQ_BUILD_SQL = _ivfpq_build_sql()
 
 
-@register("emb_ivfpq_build", oracle=_IVFPQ_BUILD_SQL, driver=False)
+@register("emb_ivfpq_build", oracle=_IVFPQ_BUILD_SQL)
 def emb_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BUILD half of the IVF-PQ residual split: train coarse quantizer
     + four residual codebooks (emb_ivfpq_residual's exact fixed-point
@@ -2956,7 +2956,7 @@ def emb_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_ivfpq_serve", oracle=_IVFPQ_SQL, driver=False)
+@register("emb_ivfpq_serve", oracle=_IVFPQ_SQL)
 def emb_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERVE half of the IVF-PQ residual split: read coarse centroids +
     residual codebooks (k×dim literal-sized collects, same budget as

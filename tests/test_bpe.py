@@ -149,7 +149,9 @@ def test_train3_query_matches_bpe_train(spark):
     q_merges = [
         (rows[0][f"merge{r}_a"], rows[0][f"merge{r}_b"]) for r in (1, 2, 3)
     ]
-    q_segs = {r.word: list(r.syms) for r in rows}
+    # the registry entry ships syms in the scalar 0x1F-joined string
+    # encoding (driver contract) — decode before comparing
+    q_segs = {r.word: r.syms.split("\x1f") for r in rows}
 
     t_merges, t_seg = bpe.bpe_train(load_table(spark, sf, "documents"), 3)
     assert [(a, b) for a, b, _ in t_merges] == q_merges

@@ -29,25 +29,18 @@ def test_driver_set_fits_budget():
 # they get external CORRECTNESS rows; demoted entries stay oracle-green on
 # every local test run.
 LOCAL_ONLY_FAMILY = {
-    "docs_tfidf_top_terms",
     "docs_train_test_split",
     "docs_dedup_clusters",
-    "emb_ivf_ann",
     # round 3
     "docs_repetition_stats",
-    "docs_pii_scrub",
-    "emb_ivf_ann_multiprobe",
     "docs_profile",
     "docs_sample",
     "docs_chunk",
-    "emb_ann_recall",
-    "emb_cluster_stats",
     # round 4
     "docs_corpus_curated_model",
     # round 5 rotation (demoted after four green rounds)
     "docs_word_count",
     # round 5 additions that stay local
-    "emb_ann_recall_trained",
     # round 6 rotation: demoted after two green rounds (r4+r5) to free
     # slots for the never-driver-checked r5 families (docs_dedup_incremental,
     # emb_ivf/pq trained, corpus_lm, vocab_coverage, filter_audit, funnel,
@@ -60,8 +53,6 @@ LOCAL_ONLY_FAMILY = {
     # round 6 additions (driver set at budget): the per-source dup-rate
     # datasheet rollup (#100) and the BPE tokenizer-training kernel (#101)
     "docs_dedup_rate_by_source",
-    "docs_bpe_pair_counts",
-    "docs_bpe_one_round",
     # round 7 rotation: ten never-driver-checked entries promoted
     # (docs_dedup_clusters_star, emb_semantic_dedup, emb_quantize_int8,
     # docs_bloom_membership, docs_decontaminate, docs_mixture_epochs,
@@ -76,8 +67,6 @@ LOCAL_ONLY_FAMILY = {
     "emb_pq_adc",
     # round 7 additions (driver set at budget): the 3-round BPE train
     # (#103) and the trained-vocabulary corpus tokenizer (#104)
-    "docs_bpe_train3",
-    "docs_bpe_tokenize",
     # round 7: explicit HyperLogLog sketch (#114)
     # round 7: Efraimidis-Spirakis weighted sample (#115)
     # round 7: power-iteration dominant principal component (#125)
@@ -103,9 +92,6 @@ LOCAL_ONLY_FAMILY = {
     # the trained ANN indexes (#143-#146) — build persists quantizers +
     # codes via the snapshot store, serve answers from the stored index
     # (oracle = the inline variant's, so hash match proves equivalence)
-    "emb_ivf_build",
-    "emb_ivfpq_build",
-    "emb_ivfpq_serve",
     # round 9 rotation #6: fifteen never-driver-checked entries promoted
     # (emb_ivf_serve, emb_ivfpq_serve_lean, emb_top_pc_power,
     # emb_pc_outliers, events_value_hist_quantiles, events_top_paths,
@@ -147,11 +133,21 @@ LOCAL_ONLY_FAMILY = {
     "docs_boilerplate_prune",
     "emb_hamming_ann",
     "emb_ivfpq_residual",
-    # round 10 mid-round addition (#152): born AFTER rotation #7's
-    # 50/50 pre-flight, so it stays local-only this round (full oracle +
-    # plan pin + driver-contract pre-flight at sf0.001/sf0.01 both
-    # green); lead rotation-#8 promotion candidate
-    "emb_knn_join_shuffled",
+    # round 11 rotation #8: sixteen never-driver-checked entries
+    # promoted (emb_knn_join_shuffled #152 leading, the new
+    # emb_knn_join_trained #153, the BPE family docs_bpe_pair_counts /
+    # docs_bpe_one_round / docs_bpe_train3 / docs_bpe_tokenize, the ANN
+    # build halves emb_ivf_build / emb_ivfpq_build / emb_ivfpq_serve,
+    # emb_ivf_ann, emb_ivf_ann_multiprobe, emb_ann_recall,
+    # emb_ann_recall_trained, emb_cluster_stats, docs_pii_scrub,
+    # docs_tfidf_top_terms); these two-round-green (r9+r10) entries
+    # demoted — semantics covered by surviving driver entries or
+    # dedicated tests, oracle-green on every local run
+    "docs_inverted_index",
+    "docs_hll_distinct",
+    "docs_weighted_sample",
+    "emb_top_pc_power",
+    "emb_pc_outliers",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
