@@ -1389,6 +1389,134 @@ def _ivft_search(cells: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Routed IVF serve: the two-level router on the ASYMMETRIC (single-index)
+# path, corpus and queries routed by the SAME approximate quantizer
+# ---------------------------------------------------------------------------
+
+_IVFR_NPROBE = 2
+_IVFR_MIN_CELLS = 8
+_IVFR_TARGET_CELL = 64
+
+
+def _ivfr_sql() -> str:
+    src = (
+        f"SELECT vec_id, {km.quantize_sql('embedding')} AS qemb"
+        f" FROM embeddings"
+    )
+    k_sql = (
+        f"SELECT greatest({_IVFR_MIN_CELLS},"
+        f" COUNT(*) // {_IVFR_TARGET_CELL}) FROM rvqv"
+    )
+    train, cent = km.kmeans_train_ranked_sql_ctes(src, k_sql, 2, EMB_DIM, "rv")
+    router, supers, cs = km.router_sql_ctes(cent, EMB_DIM, "rvr")
+    corp_route, corp_cells = km.route_top_cells_sql(
+        "rvqv", "vec_id", [], 1, supers, cs, EMB_DIM, "rvc"
+    )
+    qsrc = (
+        f"rvq AS (SELECT vec_id AS query_id, qemb FROM rvqv"
+        f" WHERE vec_id < {_IVF_QUERIES})"
+    )
+    q_route, q_cells = km.route_top_cells_sql(
+        "rvq", "query_id", [], _IVFR_NPROBE, supers, cs, EMB_DIM, "rvp"
+    )
+    return f"""WITH {train},
+{router},
+{corp_route},
+{qsrc},
+{q_route},
+rvcand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, c.cell,
+         {vx.cosine_sql('qq.embedding', 'ee.embedding')} AS cos_sim
+  FROM {q_cells} p
+  JOIN {corp_cells} c ON c.cell = p.cell AND c.vec_id != p.query_id
+  JOIN embeddings ee ON ee.vec_id = c.vec_id
+  JOIN embeddings qq ON qq.vec_id = p.query_id
+), rvrank AS (
+  SELECT query_id, neighbor_id, cell, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
+  FROM rvcand
+)
+SELECT query_id, neighbor_id, cell, cos_sim, rn FROM rvrank
+WHERE rn <= {_IVF_K}
+"""
+
+
+@register("emb_ivf_ann_routed", oracle=_ivfr_sql(), driver=False)
+def emb_ivf_ann_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with the two-level router on the ASYMMETRIC serve
+    path (r11, closing the r10 caveat): emb_ivf_ann_trained assigns by
+    exact broadcast argmin — O(n·k) folds, the term that explodes once
+    cells ∝ corpus; this entry routes BOTH the corpus assignment and
+    the query probes through the SAME two-level router
+    (operators/kmeans.py, ~(√k + 2k/√k) folds per vector).
+
+    The r10 measurement said exactly how this must be wired: join
+    recall survives 60.7% routing disagreement because both sides share
+    the router — so for a single-index serve the corpus must be routed
+    by the SAME approximate quantizer the queries will use, never by a
+    better one (a corpus assigned by exact argmin + queries routed
+    approximately lose the cells where the two disagree). Sharing is
+    enforced by construction: one TwoLevelRouter instance feeds
+    route_top_cells for both sides, and the oracle replicates the whole
+    construction (trained cells ∝ n via scalar-subquery k, super
+    training, centroid routing, both routings, search), so the hash
+    match certifies the asymmetric-consistency wiring itself.
+
+    Scale shape: cells ∝ corpus (one per ~64 vectors, floor 8), queries
+    probe nprobe=2 routed cells, candidates are one broadcast equi-join
+    on the cell id (the query set is fixed-k — point lookups, the
+    emb_ivf_serve family's regime), per-query top-k window."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        vx.norm(F.col("embedding")).alias("nrm"),
+        km.quantize(F.col("embedding")).alias("qemb"),
+    )
+    n = e.count()
+    k = max(_IVFR_MIN_CELLS, n // _IVFR_TARGET_CELL)
+    cents = km.kmeans_train_ranked(
+        e.select("vec_id", "qemb"), k, 2, EMB_DIM
+    ).localCheckpoint(eager=True)
+    router = km.train_router(cents, EMB_DIM)
+    router.supers = router.supers.localCheckpoint(eager=True)
+    router.cent_super = router.cent_super.localCheckpoint(eager=True)
+    corp = km.route_top_cells(
+        router, e, "vec_id", ["embedding", "nrm"], 1
+    )
+    q = e.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        "qemb",
+    )
+    probes = km.route_top_cells(
+        router, q, "query_id", ["qe", "qnrm"], _IVFR_NPROBE
+    ).withColumnRenamed("cell", "pcell")
+    cand = corp.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("pcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (
+            vx.dot(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_K)
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Trained product quantization: per-subspace k-means codebooks + ADC
 # ---------------------------------------------------------------------------
 

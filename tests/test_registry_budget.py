@@ -148,6 +148,12 @@ LOCAL_ONLY_FAMILY = {
     "docs_weighted_sample",
     "emb_top_pc_power",
     "emb_pc_outliers",
+    # round 11 mid-round addition (#154): born AFTER rotation #8's
+    # 50/50 pre-flight, so it stays local-only this round (full oracle
+    # replicating the shared-router asymmetric-serve construction,
+    # driver-contract pre-flight green at sf0.001/sf0.01); lead
+    # rotation-#9 promotion candidate
+    "emb_ivf_ann_routed",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
