@@ -373,17 +373,33 @@ def train_router(
 
 
 def _route_supers(
-    router: TwoLevelRouter, rows: DataFrame, id_col: str, keep: list[str]
+    router: TwoLevelRouter,
+    rows: DataFrame,
+    id_col: str,
+    keep: list[str],
+    n_probe_super: int = ROUTER_SUPER_PROBES,
 ) -> DataFrame:
     """(id, *keep, qemb) → one row per (id, probed super_cell), the
-    ROUTER_SUPER_PROBES nearest supers. Two-pass min_by (map-side
-    combinable) instead of a row_number window: each pass reduces the
-    n_super candidate rows per vector to ONE before the id shuffle —
-    same two-pass shape the probe-selection trap list mandates."""
+    ``n_probe_super`` nearest supers. The default 2 uses two-pass min_by
+    (map-side combinable) instead of a row_number window: each pass
+    reduces the n_super candidate rows per vector to ONE before the id
+    shuffle — the two-pass shape the probe-selection trap list
+    mandates. Wider probing (a recall lever when the true nprobe-th
+    cell hides in an unprobed super — the r11 trap note) falls back to
+    a row_number window over the n_super candidates; same (sd,
+    super_cell) tie-break, verified equivalent for n=2 by
+    tests/test_kmeans_router.py."""
     sc = rows.crossJoin(F.broadcast(router.supers)).withColumn(
         "sd", _int_sq_dist(F.col("qemb"), F.col("scq"))
     )
     fields = [*keep, "qemb", "super_cell"]
+    if n_probe_super != 2:
+        w = Window.partitionBy(id_col).orderBy("sd", "super_cell")
+        return (
+            sc.withColumn("_sr", F.row_number().over(w))
+            .filter(F.col("_sr") <= n_probe_super)
+            .select(id_col, *fields)
+        )
     s1 = sc.groupBy(id_col).agg(
         F.min_by(F.struct(*fields), F.struct("sd", "super_cell")).alias("b")
     )
@@ -408,6 +424,8 @@ def route_top_cells(
     id_col: str,
     keep: list[str],
     n_cells: int,
+    *,
+    n_probe_super: int = ROUTER_SUPER_PROBES,
 ) -> DataFrame:
     """Route (id, *keep, qemb) rows to their ``n_cells`` nearest cells
     AS SEEN THROUGH the router: rank only the centroids of the probed
@@ -418,7 +436,7 @@ def route_top_cells(
     over the ~2k/√k candidate cells per id). Output: (id, *keep, cell)
     [+ nothing else] — qemb is consumed here."""
     cand = (
-        _route_supers(router, rows, id_col, keep)
+        _route_supers(router, rows, id_col, keep, n_probe_super)
         .join(F.broadcast(router.cent_super), "super_cell")
         .withColumn("d", _int_sq_dist(F.col("qemb"), F.col("cq")))
     )
@@ -520,6 +538,7 @@ def route_top_cells_sql(
     cent_super_cte: str,
     dim: int,
     prefix: str,
+    n_probe_super: int = ROUTER_SUPER_PROBES,
 ) -> tuple[str, str]:
     """CTEs mirroring :func:`route_top_cells` over a source CTE
     (id, *keep, qemb): ROUTER_SUPER_PROBES nearest supers, then the
@@ -542,7 +561,7 @@ def route_top_cells_sql(
         f"           {sq_dist_sql('v.qemb', 's.scq', dim)}, s.super_cell)"
         f" AS sr\n"
         f"  FROM {src_cte} v CROSS JOIN {supers_cte} s)"
-        f" WHERE sr <= {ROUTER_SUPER_PROBES})",
+        f" WHERE sr <= {n_probe_super})",
         f"{out} AS (SELECT {cols(id_col, ks, 'cell')} FROM (\n"
         f"  SELECT {cols(f'r.{id_col}', kr, 'cs.cell')},\n"
         f"         ROW_NUMBER() OVER (PARTITION BY r.{id_col} ORDER BY\n"

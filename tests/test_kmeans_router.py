@@ -125,3 +125,35 @@ def test_ranked_seeds_work_on_non_dense_ids(spark):
     # seed vectors are the 6 lowest odd vec_ids' quantized embeddings
     low = v.orderBy("vec_id").limit(6).collect()
     assert [list(r.cq) for r in rows] == [list(r.qemb) for r in low]
+
+
+def test_wide_super_probing_recovers_exact_argmin(spark):
+    """n_probe_super widened to ALL supers makes the probe pool every
+    centroid, so routed assignment must equal the exact broadcast
+    argmin (assign_cells) — the equivalence that makes n_probe_super a
+    pure recall/cost dial (2 = two-pass min_by fast path, wider = the
+    row_number window path; r11 trap note)."""
+    v, cents, router = _trained_router(spark)
+    n_supers = router.supers.count()
+    routed = {
+        r.vec_id: r.cell
+        for r in km.route_top_cells(
+            router, v, "vec_id", [], 1, n_probe_super=n_supers
+        ).collect()
+    }
+    exact = {
+        r.vec_id: r.cell
+        for r in km.assign_cells(
+            v, cents.select("cell", "cq")
+        ).collect()
+    }
+    assert routed == exact
+    # and n_probe_super=3 draws cells from at most 3 supers per vector
+    sup_of = {r.cell: r.super_cell for r in router.cent_super.collect()}
+    rows = km.route_top_cells(
+        router, v, "vec_id", [], 4, n_probe_super=3
+    ).collect()
+    per_vec: dict[int, set] = {}
+    for r in rows:
+        per_vec.setdefault(r.vec_id, set()).add(sup_of[r.cell])
+    assert all(len(s) <= 3 for s in per_vec.values())

@@ -412,6 +412,7 @@ def _trained_join_arm(
     wall_pair_cap: int,
     nprobes: list[int],
     target_cell: int = 64,
+    super_probes: int | None = None,
 ) -> dict:
     """The emb_knn_join_trained construction (r11 registry entry) at
     tool scale: cells ∝ corpus (one per ~target_cell vectors,
@@ -426,7 +427,13 @@ def _trained_join_arm(
     law the nprobe lever trades on."""
     from projekt_data_engineering_iubh_spark.operators import kmeans as km
 
-    out: dict = {"target_cell": target_cell}
+    from projekt_data_engineering_iubh_spark.operators.kmeans import (
+        ROUTER_SUPER_PROBES,
+    )
+
+    if super_probes is None:
+        super_probes = ROUTER_SUPER_PROBES
+    out: dict = {"target_cell": target_cell, "super_probes": super_probes}
     corpus = e.filter(F.col("vec_id") % 2 == 1)
     n_corp = corpus.count()
     k = max(8, n_corp // target_cell)
@@ -442,9 +449,12 @@ def _trained_join_arm(
         train_router_sec=round(time.time() - t0, 3),
     )
     t0 = time.time()
+    sp = min(super_probes, out["n_supers"])
+    out["super_probes"] = sp
     corp = (
         km.route_top_cells(
-            router, corpus, "vec_id", ["embedding", "nrm"], 1
+            router, corpus, "vec_id", ["embedding", "nrm"], 1,
+            n_probe_super=sp,
         )
         .withColumn("slice", (F.col("vec_id") % SLICES).cast("int"))
         .cache()
@@ -463,7 +473,10 @@ def _trained_join_arm(
     for nprobe in nprobes:
         res: dict = {}
         probes_ns = (
-            km.route_top_cells(router, q, "query_id", ["qe", "qnrm"], nprobe)
+            km.route_top_cells(
+                router, q, "query_id", ["qe", "qnrm"], nprobe,
+                n_probe_super=sp,
+            )
             .withColumnRenamed("cell", "pcell")
             .cache()
         )
@@ -531,6 +544,12 @@ def main() -> int:
         help="nprobe sweep for the --trained-join arm",
     )
     ap.add_argument(
+        "--super-probes", type=int, default=None,
+        help="widen the router's super probing for the --trained-join "
+        "arm (default ROUTER_SUPER_PROBES=2; a large value = exact "
+        "probe selection, isolating router loss from coverage loss)",
+    )
+    ap.add_argument(
         "--wall-pair-cap", type=int, default=5_000_000,
         help="wall-clock and recall-check an arm only when its analytic "
         "candidate-pair count is under this cap; above it the PAIR COUNT "
@@ -557,7 +576,8 @@ def main() -> int:
             # focused run: ONLY the production construction (the classic
             # arms re-measure r10's law; no need to re-melt the box)
             arm = _trained_join_arm(
-                spark, e, dim, args.runs, args.wall_pair_cap, args.nprobes
+                spark, e, dim, args.runs, args.wall_pair_cap, args.nprobes,
+                super_probes=args.super_probes,
             )
             e.unpersist()
             points.append(
