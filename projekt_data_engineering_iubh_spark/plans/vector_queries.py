@@ -2410,6 +2410,9 @@ def _ivfpq_sql(
     topk: int = _PQ_K,
     train_max: int | None = None,
     delete_where: str | None = None,
+    query_where: str | None = None,
+    corpus_where: str | None = None,
+    refine: tuple[int, int] | None = None,
 ) -> str:
     """The full IVF-PQ oracle: coarse k-means CTE chain -> residuals ->
     per-subspace k-means on residual slices -> encoded corpus ->
@@ -2423,7 +2426,16 @@ def _ivfpq_sql(
     CANDIDATE corpus only — queries, training, and encoding are
     untouched — mirroring a tombstoned serving index: per-row encode is
     independent, so searching encode-all-minus-deleted equals searching
-    a from-scratch encode of the surviving corpus."""
+    a from-scratch encode of the surviving corpus.
+
+    The r11 JOIN face: ``query_where`` (predicate over ``q.vec_id``)
+    replaces the fixed-k query filter with an arbitrary one (a
+    corpus-sized query side), ``corpus_where`` (over ``x.vec_id``)
+    restricts candidates symmetrically, and ``refine=(R, k)`` switches
+    the tail to the two-stage production ranking: ADC top-R shortlist
+    per query, then exact fixed-point re-rank of the shortlist to
+    top-k. All three default off — every pre-r11 oracle string is
+    byte-identical."""
     subdim = EMB_DIM // pq_m
     parts = []
     # coarse quantizer (same geometry as the trained IVF). With
@@ -2507,7 +2519,7 @@ def _ivfpq_sql(
         f"         ROW_NUMBER() OVER (PARTITION BY q.vec_id"
         f"             ORDER BY {cdist}, c.cell) AS prn"
         f"  FROM {enc_view} q CROSS JOIN {ccent} c"
-        f"  WHERE q.vec_id < {_PQ_QUERIES}"
+        f"  WHERE {query_where or f'q.vec_id < {_PQ_QUERIES}'}"
         f") WHERE prn <= {_IVFPQ_NPROBE})"
     )
     # query residual against EACH probed cell's centroid
@@ -2538,9 +2550,38 @@ def _ivfpq_sql(
         f" CAST({exact} AS DOUBLE) / {_PQT_SCALE2!r} AS exact_dist"
         f" FROM qr q JOIN res x"
         f" ON x.cell = q.pcell AND x.vec_id != q.query_id {enc_joins}"
-        + (f" WHERE {delete_where}" if delete_where else "")
+        + (
+            " WHERE " + " AND ".join(
+                c for c in (corpus_where, delete_where) if c
+            )
+            if (corpus_where or delete_where)
+            else ""
+        )
         + ")"
     )
+    if refine is not None:
+        shortlist, k = refine
+        return (
+            "WITH "
+            + ",\n".join(parts)
+            + f"""
+, short AS (
+  SELECT query_id, neighbor_id, cell, adc_dist, exact_dist FROM (
+    SELECT query_id, neighbor_id, cell, adc_dist, exact_dist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_dist, neighbor_id) AS arn
+    FROM cand
+  ) WHERE arn <= {shortlist}
+), rr AS (
+  SELECT query_id, neighbor_id, cell, adc_dist, exact_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY exact_dist, neighbor_id) AS INTEGER) AS rn
+  FROM short
+)
+SELECT query_id, neighbor_id, cell, adc_dist, exact_dist, rn
+FROM rr WHERE rn <= {k}
+"""
+        )
     return (
         "WITH "
         + ",\n".join(parts)
@@ -2724,30 +2765,31 @@ def _ivfpq_encode_residuals(
     return res.selectExpr("vec_id", "cell", "qemb", *code_exprs)
 
 
-def _ivfpq_search(
-    qv: DataFrame,
+def _ivfpq_query_tables(
+    qd: DataFrame,
     coarse_cells: list,
     coarse_cqs: list,
     books: list,
-    codes: DataFrame,
+    nprobe: int,
 ) -> DataFrame:
-    """nprobe-cell probed residual-ADC search over encoded codes
-    (vec_id, cell, qemb, c0..c{M-1}): shared by the inline entry and
-    the stored-index SERVE entry. When ``codes`` carries no qemb column
-    (the LEAN serve path), the exact_dist/abs_err verification columns
-    are omitted and the answer comes from the 2-byte codes alone — no
-    corpus join anywhere."""
+    """(query_id, qq) → one row per (query, probed cell) carrying the
+    per-subspace ADC table columns t0..t{M-1} (arrays of bigint squared
+    distances to each book centroid, computed from the query's residual
+    against THAT cell's centroid — the per-probed-cell residual that
+    naive IVF+PQ compositions get wrong). The tables are tiny
+    (M × codes longs) and RIDE THE ROW, so the same helper serves both
+    the broadcast point-lookup path (fixed-k queries,
+    _ivfpq_search) and the corpus-sized shuffled JOIN path
+    (emb_knn_join_adc) unchanged. Geometry is derived from ``books``
+    (m = len(books), subdim = len(books[0][0])) — any codebook shape
+    routes correctly."""
+    pq_m = len(books)
+    subdim = len(books[0][0])
+    isq = _isq
     coarse_arr = F.array(
         *[F.array(*[F.lit(v) for v in cq]) for cq in coarse_cqs]
     )
     cell_lit = F.array(*[F.lit(c) for c in coarse_cells])
-    isq = _isq
-
-    # queries: nprobe nearest coarse cells, then a per-(query, cell)
-    # residual ADC table against the same literal codebooks
-    qd = qv.filter(F.col("vec_id") < _PQ_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("qemb").alias("qq")
-    )
     pdists = F.array(
         *[
             isq(F.col("qq"), F.array(*[F.lit(v) for v in cq]))
@@ -2772,7 +2814,7 @@ def _ivfpq_search(
                         )
                     ),
                     1,
-                    _IVFPQ_NPROBE,
+                    nprobe,
                 )
             ).alias("prn", "probe"),
         )
@@ -2791,15 +2833,44 @@ def _ivfpq_search(
         F.array(
             *[
                 isq(
-                    F.slice("qres", m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                    F.slice("qres", m * subdim + 1, subdim),
                     F.array(*[F.lit(v) for v in cq]),
                 )
                 for cq in books[m]
             ]
         ).alias(f"t{m}")
-        for m in range(_PQ_M)
+        for m in range(pq_m)
     ]
-    qtables = probes.select("query_id", "qq", "pcell", *table_cols)
+    return probes.select("query_id", "qq", "pcell", *table_cols)
+
+
+def _ivfpq_search(
+    qv: DataFrame,
+    coarse_cells: list,
+    coarse_cqs: list,
+    books: list,
+    codes: DataFrame,
+) -> DataFrame:
+    """nprobe-cell probed residual-ADC search over encoded codes
+    (vec_id, cell, qemb, c0..c{M-1}): shared by the inline entry and
+    the stored-index SERVE entry. When ``codes`` carries no qemb column
+    (the LEAN serve path), the exact_dist/abs_err verification columns
+    are omitted and the answer comes from the 2-byte codes alone — no
+    corpus join anywhere."""
+    coarse_arr = F.array(
+        *[F.array(*[F.lit(v) for v in cq]) for cq in coarse_cqs]
+    )
+    cell_lit = F.array(*[F.lit(c) for c in coarse_cells])
+    isq = _isq
+
+    # queries: nprobe nearest coarse cells, then a per-(query, cell)
+    # residual ADC table against the same literal codebooks
+    qd = qv.filter(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qemb").alias("qq")
+    )
+    qtables = _ivfpq_query_tables(
+        qd, coarse_cells, coarse_cqs, books, _IVFPQ_NPROBE
+    )
 
     adc = sum(
         F.element_at(F.col(f"t{m}"), F.col(f"c{m}") + 1)
@@ -2837,6 +2908,104 @@ def _ivfpq_search(
         .filter(F.col("rn") <= _PQ_K)
         .select(*out_cols, "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# ADC-candidate kNN JOIN: PQ scoring for candidates, exact refine of the
+# shortlist — the compute shape that affords coverage at scale
+# ---------------------------------------------------------------------------
+
+_ADCJ_SHORTLIST = 30
+_ADCJ_K = 10
+_ADCJ_SLICES = 4
+
+_ADCJ_SQL = _ivfpq_sql(
+    normalized=True,
+    query_where="q.vec_id % 2 = 0",
+    corpus_where="x.vec_id % 2 = 1",
+    refine=(_ADCJ_SHORTLIST, _ADCJ_K),
+)
+
+
+@register("emb_knn_join_adc", oracle=_ADCJ_SQL, driver=False)
+def emb_knn_join_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN JOIN with PQ/ADC candidate scoring + exact refine (r11) —
+    the third member of the join family and the COMPUTE answer to the
+    coverage question: emb_knn_join_trained buys recall with nprobe,
+    but every candidate there pays a full 64-dim exact cosine; here a
+    candidate costs M=4 table lookups + 3 adds (the FAISS IVFADC batch
+    shape), so the same compute budget affords ~10× the coverage, and
+    exactness is restored where it matters — a per-query top-30
+    ADC shortlist is re-ranked by the EXACT fixed-point distance
+    (normalized codes: L2 order == cosine order) for the final top-k.
+
+    Spark shape: the per-(query, probed-cell) ADC tables are tiny
+    (M × codes longs) and RIDE THE CANDIDATE ROW
+    (_ivfpq_query_tables — the same helper the broadcast point-lookup
+    serve uses), so the corpus-sized query side needs no driver
+    round-trip and no broadcast: candidates come from the same
+    salted sort-merge equi-join on (cell, slice) as #152/#153
+    (`.hint("merge")`, 4 hash slices, query-side replication), ADC is
+    an element_at per subspace, and the two-stage ranking is two
+    windows (ADC top-30, exact top-k over the survivors).
+
+    The ORACLE (_ivfpq_sql with query_where / corpus_where / refine)
+    re-derives the trained coarse quantizer, residual codebooks,
+    encoded corpus, per-probed-cell query residuals, ADC, and BOTH
+    ranking stages — the hash certifies the full compressed-domain
+    join, shortlist cut included."""
+    qv, _asg, cells, cqs, _bcells, books, codes = _ivfpq_train(
+        spark, sf_dir, normalized=True
+    )
+    corp = (
+        codes.filter(F.col("vec_id") % 2 == 1)
+        .withColumn("slice", (F.col("vec_id") % _ADCJ_SLICES).cast("int"))
+    )
+    qd = qv.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qemb").alias("qq")
+    )
+    qtables = _ivfpq_query_tables(
+        qd, cells, cqs, books, _IVFPQ_NPROBE
+    ).withColumn(
+        "qslice",
+        F.explode(F.array(*[F.lit(i) for i in range(_ADCJ_SLICES)])),
+    )
+    pq_m = len(books)
+    adc = sum(
+        F.element_at(F.col(f"t{m}"), F.col(f"c{m}") + 1)
+        for m in range(pq_m)
+    )
+    cand = qtables.join(
+        corp.hint("merge"),
+        (F.col("pcell") == F.col("cell"))
+        & (F.col("qslice") == F.col("slice"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (adc.cast("double") / F.lit(_PQT_SCALE2)).alias("adc_dist"),
+        (
+            _isq(F.col("qq"), F.col("qemb")).cast("double")
+            / F.lit(_PQT_SCALE2)
+        ).alias("exact_dist"),
+    )
+    aw = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        cand.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") <= _ADCJ_SHORTLIST)
+        .drop("arn")
+    )
+    ew = Window.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
+    return (
+        short.withColumn("rn", F.row_number().over(ew).cast("int"))
+        .filter(F.col("rn") <= _ADCJ_K)
+        .select(
+            "query_id", "neighbor_id", "cell", "adc_dist", "exact_dist",
+            "rn",
+        )
+    )
+
 
 
 # ---------------------------------------------------------------------------

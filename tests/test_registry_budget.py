@@ -154,6 +154,10 @@ LOCAL_ONLY_FAMILY = {
     # driver-contract pre-flight green at sf0.001/sf0.01); lead
     # rotation-#9 promotion candidate
     "emb_ivf_ann_routed",
+    # round 11 mid-round addition (#155): the ADC-candidate kNN join
+    # (PQ-scored candidates + exact shortlist refine) — same local-only
+    # status and rationale as #154; rotation-#9 candidate
+    "emb_knn_join_adc",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
