@@ -528,3 +528,33 @@ def test_serve_plans_contain_no_training(spark):
         )
     )
     assert ivf_shuffles <= 3, ivf
+
+
+def test_trained_knn_join_candidate_join_stays_shuffled(spark):
+    """emb_knn_join_trained (#153): the candidate join must keep the
+    shuffled sort-merge strategy (both sides corpus-sized at scale) —
+    broadcasts are LEGITIMATE only for the router's k-row tables
+    (supers / cent_super feed every routing join); the (cell, slice)
+    candidate join itself must never flip to broadcast."""
+    plan = plan_of(spark, "emb_knn_join_trained")
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert any("pcell" in ln and "qslice" in ln for ln in smj), plan
+    for ln in plan.splitlines():
+        if "BroadcastHashJoin" in ln:
+            assert "slice" not in ln, ln  # router tables only
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert any("pcell" in ln and "qslice" in ln for ln in ex), plan
+
+
+def test_adc_knn_join_candidate_join_stays_shuffled(spark):
+    """emb_knn_join_adc (#155): same shuffled-candidate-join contract —
+    the ADC tables ride the query rows through the sort-merge join
+    (no driver round-trip, no broadcast of a corpus-sized side)."""
+    plan = plan_of(spark, "emb_knn_join_adc")
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert any("pcell" in ln and "qslice" in ln for ln in smj), plan
+    for ln in plan.splitlines():
+        if "BroadcastHashJoin" in ln:
+            assert "slice" not in ln, ln
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert any("pcell" in ln and "qslice" in ln for ln in ex), plan
