@@ -4214,3 +4214,140 @@ def _serve_adc_from_snapshot(
         spark, coarse_cells, coarse_cqs, books, qrows, codes,
         EMB_DIM // pq_m, pq_m,
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN JOIN against the STORED live index: the corpus-sized query face of
+# the grow-then-shrink lifecycle (joins #152-#155 meet the store #146-#151)
+# ---------------------------------------------------------------------------
+
+_KJSERVE_SQL = _ivfpq_sql(
+    normalized=True,
+    pq_m=_PQ_COS_M,
+    train_max=_APPEND_CUT,
+    delete_where=f"x.vec_id % {_DELETE_MOD} != {_DELETE_RES}",
+    query_where="q.vec_id % 2 = 0",
+    refine=(_ADCJ_SHORTLIST, _ADCJ_K),
+)
+
+
+@register("emb_knn_join_serve", oracle=_KJSERVE_SQL, driver=False)
+def emb_knn_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-to-large kNN JOIN executed AGAINST THE STORED LIVE INDEX
+    (r11) — the missing face that connects the two flagship structures:
+    the join family (#152 shuffled cells, #153 trained cells, #155 ADC
+    candidates) always re-derived its index inline from the raw corpus,
+    and the snapshot-store lifecycle (#146-#151 build/serve/append/
+    delete/compact) only ever answered a fixed broadcast-sized query
+    batch. Here a corpus-sized query side (every even vec_id) joins the
+    SAME three-version root emb_ivfpq_delete_serve maintains — codebooks
+    trained once on the frozen vec_id < 100 subset (v1), the rest
+    appended against the frozen books without retrain (v2), every
+    vec_id % 10 == 3 tombstoned (v3) — so the batch join honors
+    appends AND takedowns without touching a code row.
+
+    Spark shape, in scale order: candidates come from the 2-byte codes
+    ALONE (read_live_codes: codes scan + one anti-join against the
+    broadcast tombstone keys) — no corpus vector is read to score them.
+    The per-(query, probed-cell) ADC tables ride the query rows
+    (_ivfpq_query_tables, same helper as #155), the candidate join is
+    the salted sort-merge equi-join on (cell, slice) with
+    ``.hint("merge")`` (no broadcast flip when the query side is
+    corpus-sized), and the ADC window carries only (ids, cell, adc) —
+    never a vector. Full-precision embeddings are fetched ONLY for the
+    per-query top-30 shortlist, by two id-keyed joins (query_id for the
+    query vector, neighbor_id for the corpus vector) on a shortlist-sized
+    frame — the standard fetch-for-rerank lookup, then the exact
+    fixed-point top-10. At 100 TB the index is the only corpus-sized
+    artifact scanned, and it is ~16 bytes/vector.
+
+    The ORACLE is the fully composed _ivfpq_sql: subset-trained coarse +
+    residual codebooks (train_max), full-table encode, deleted ids
+    excluded from candidates (delete_where), corpus-sized query side
+    (query_where), ADC shortlist + exact re-rank (refine) — one hash
+    certifies frozen-book append parity, tombstone exclusion, and both
+    ranking stages of the compressed-domain join at once."""
+    from projekt_data_engineering_iubh_spark.pipeline import store as _st
+
+    root = _ensure_ivfpq_deleted_index(spark, sf_dir)
+    cur = _st.resolve(root)
+    meta = read_index_meta(spark, cur)
+    pq_m = meta.pq_m if meta is not None else _PQ_COS_M
+    pq_codes = meta.pq_codes if meta is not None else _PQ_CODES
+    coarse = sorted(
+        spark.read.parquet(os.path.join(cur, "coarse")).collect(),
+        key=lambda r: r.cell,
+    )
+    cells = [r.cell for r in coarse]
+    cqs = [list(r.cq) for r in coarse]
+    brows = spark.read.parquet(os.path.join(cur, "books")).collect()
+    books = [[None] * pq_codes for _ in range(pq_m)]
+    for r in brows:
+        books[r.m][r.code] = list(r.cq)
+    books = [[cq for cq in bk if cq is not None] for bk in books]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        km.quantize_normalized(F.col("embedding")).alias("qq"),
+    )
+    qtables = _ivfpq_query_tables(
+        qd, cells, cqs, books, _IVFPQ_NPROBE
+    ).drop("qq").withColumn(
+        "qslice",
+        F.explode(F.array(*[F.lit(i) for i in range(_ADCJ_SLICES)])),
+    )
+    corp = read_live_codes(spark, cur).withColumn(
+        "slice", (F.col("vec_id") % _ADCJ_SLICES).cast("int")
+    )
+    adc = sum(
+        F.element_at(F.col(f"t{m}"), F.col(f"c{m}") + 1)
+        for m in range(pq_m)
+    )
+    cand = qtables.join(
+        corp.hint("merge"),
+        (F.col("pcell") == F.col("cell"))
+        & (F.col("qslice") == F.col("slice"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (adc.cast("double") / F.lit(_PQT_SCALE2)).alias("adc_dist"),
+    )
+    aw = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        cand.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") <= _ADCJ_SHORTLIST)
+        .drop("arn")
+    )
+    # fetch full-precision vectors for the shortlist ONLY: two id-keyed
+    # joins on a (queries x R)-sized frame — never on the candidate set
+    qvecs = qd.withColumnRenamed("query_id", "qid")
+    xvecs = emb.select(
+        F.col("vec_id").alias("nid"),
+        km.quantize_normalized(F.col("embedding")).alias("xemb"),
+    )
+    refined = (
+        short.join(qvecs, F.col("query_id") == F.col("qid"))
+        .join(xvecs, F.col("neighbor_id") == F.col("nid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            "adc_dist",
+            (
+                _isq(F.col("qq"), F.col("xemb")).cast("double")
+                / F.lit(_PQT_SCALE2)
+            ).alias("exact_dist"),
+        )
+    )
+    ew = Window.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
+    return (
+        refined.withColumn("rn", F.row_number().over(ew).cast("int"))
+        .filter(F.col("rn") <= _ADCJ_K)
+        .select(
+            "query_id", "neighbor_id", "cell", "adc_dist", "exact_dist",
+            "rn",
+        )
+    )

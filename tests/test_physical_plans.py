@@ -558,3 +558,34 @@ def test_adc_knn_join_candidate_join_stays_shuffled(spark):
             assert "slice" not in ln, ln
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert any("pcell" in ln and "qslice" in ln for ln in ex), plan
+
+
+def test_serve_knn_join_reads_index_not_corpus_for_candidates(spark):
+    """emb_knn_join_serve (#156): the stored-index join's plan contract.
+
+    (1) The candidate join keeps the shuffled sort-merge strategy on
+    (cell, slice) — same rule as #153/#155, both sides corpus-sized at
+    scale. (2) Candidate scoring reads the SNAPSHOT's codes artifact —
+    a scan whose schema is the code columns (cell, c0..) with NO
+    embedding column — never the raw vectors: raw-table scans
+    (embedding in the schema) are legal exactly thrice (query-side
+    tables, query-vector refetch, shortlist corpus fetch) and none may
+    carry code columns. (3) The shuffles moving candidates carry no
+    vector column — the whole point of joining the 2-byte codes."""
+    plan = plan_of(spark, "emb_knn_join_serve")
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert any("pcell" in ln and "qslice" in ln for ln in smj), plan
+    for ln in plan.splitlines():
+        if "BroadcastHashJoin" in ln and "slice" in ln:
+            raise AssertionError(ln)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    code_scans = [
+        ln for ln in scans if "cell#" in ln and "embedding#" not in ln
+    ]
+    raw_scans = [ln for ln in scans if "embedding#" in ln]
+    assert code_scans, plan
+    assert len(raw_scans) <= 3, plan
+    assert all("cell#" not in ln for ln in raw_scans), plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "adc_dist" in ln:
+            assert "qq#" not in ln and "qemb#" not in ln, ln

@@ -158,6 +158,11 @@ LOCAL_ONLY_FAMILY = {
     # (PQ-scored candidates + exact shortlist refine) — same local-only
     # status and rationale as #154; rotation-#9 candidate
     "emb_knn_join_adc",
+    # round 11 mid-round addition (#156): the kNN join AGAINST THE
+    # STORED LIVE INDEX (appends + tombstones honored, ADC candidates
+    # from the 2-byte codes, exact shortlist refine) — same local-only
+    # status and rationale as #154/#155; rotation-#9 candidate
+    "emb_knn_join_serve",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
