@@ -279,3 +279,74 @@ def maintain_ann_root(
         if _vq.ivfpq_compact(spark, root, force=True):
             compacted = "codes_files"
     return AnnMaintenanceResult(codes_files, tomb_bytes, compacted)
+
+
+# ---------------------------------------------------------------------------
+# LSH signature-index maintenance policy (r11) — text-tier parity with
+# the ANN policy above: the near-dup index accumulates one band-row
+# delta file per streaming trigger, and nothing scheduled its fold
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SignatureIndexMaintenancePolicy:
+    """When to fold a band-row signature index's append delta.
+
+    The streaming near-dup tier (streaming/neardup_stream.py) lands ONE
+    delta parquet per trigger (band_delta.append_one); every micro-batch
+    filter then unions snapshot + live delta files, so the per-trigger
+    read cost grows with delta file count — the same small-file shape
+    the ANN policy bounds for codes. Triggers:
+
+    * ``max_delta_files`` — file count is what degrades the per-trigger
+      union scan (planning + footer reads per file) long before bytes
+      matter at trigger-sized deltas.
+    * ``max_delta_bytes`` — a byte backstop for fat triggers, so a few
+      large deltas can't hide behind a low file count.
+
+    Both checks are O(#files) local-filesystem metadata (the delta is
+    local-FS by band_delta's contract), cheap enough for EVERY trigger.
+    Crossing either runs ``compact_signature_index`` — the snapshot-CAS
+    fold whose one-cycle grace window keeps in-flight readers safe."""
+
+    max_delta_files: int = 16
+    max_delta_bytes: int = 64 * 1024 * 1024
+
+
+@dataclass
+class SignatureIndexMaintenanceResult:
+    delta_files: int
+    delta_bytes: int
+    compacted: str | None  # "delta_files" | "delta_bytes" | None
+
+
+def maintain_signature_index(
+    spark: SparkSession,
+    index_path: str,
+    policy: SignatureIndexMaintenancePolicy = (
+        SignatureIndexMaintenancePolicy()
+    ),
+) -> SignatureIndexMaintenanceResult:
+    """Enforce ``policy`` on a band-row signature index: measure the
+    LIVE delta footprint (metadata-only on the happy path) and fold it
+    into the base snapshot when a threshold is crossed. Same calling
+    contract as maintain_ann_root: streaming processors call this at
+    the end of every trigger when a policy is passed; concurrent folds
+    serialize through the store's CommitConflict and a lost race just
+    means the winner already folded."""
+    from projekt_data_engineering_iubh_spark.pipeline import band_delta
+
+    files = band_delta.live_files(index_path)
+    nbytes = sum(os.path.getsize(f) for f in files)
+    compacted = None
+    if len(files) >= policy.max_delta_files:
+        compacted = "delta_files"
+    elif nbytes >= policy.max_delta_bytes:
+        compacted = "delta_bytes"
+    if compacted is not None:
+        from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+            compact_signature_index,
+        )
+
+        compact_signature_index(spark, index_path)
+    return SignatureIndexMaintenanceResult(len(files), nbytes, compacted)

@@ -254,6 +254,7 @@ def start_neardup_corpus_stream(
     *,
     tau: float = NEAR_TAU,
     cluster_root: str | None = None,
+    policy=None,
     **curate_kwargs,
 ):
     """Corpus curation stream with the near-dup tier wired in:
@@ -262,10 +263,16 @@ def start_neardup_corpus_stream(
     index view (snapshot + delta), writes survivors idempotently to the
     (split, lang)-partitioned store, and appends their band rows to the
     index delta area. ``cluster_root`` additionally maintains the
-    transitive cluster map per trigger (see make_batch_processor)."""
+    transitive cluster map per trigger (see make_batch_processor).
+    ``policy`` (pipeline/maintenance.SignatureIndexMaintenancePolicy)
+    additionally enforces the delta-fold thresholds at every trigger —
+    without it the delta grows one file per trigger until someone runs
+    compact_signature_index by hand (the same gap the ANN tier closed
+    with AnnMaintenancePolicy)."""
     curated = curate_stream(docs, **curate_kwargs)
     processor = make_batch_processor(
-        out_path, index_path, tau=tau, cluster_root=cluster_root
+        out_path, index_path, tau=tau, cluster_root=cluster_root,
+        policy=policy,
     )
     return (
         curated.writeStream.outputMode("append")
@@ -281,6 +288,7 @@ def make_batch_processor(
     *,
     tau: float = NEAR_TAU,
     cluster_root: str | None = None,
+    policy=None,
 ):
     """The foreachBatch body, exposed for direct (retry-semantics) tests.
 
@@ -307,6 +315,11 @@ def make_batch_processor(
     corpus must assign ids from an increasing sequence (the natural
     ingest-pipeline shape; a replayed trigger re-presents the SAME ids,
     which the idempotent re-ingest path accepts).
+
+    ``policy`` (pipeline/maintenance.SignatureIndexMaintenancePolicy):
+    opt-in delta-fold enforcement at trigger end, after this trigger's
+    append landed — the text-tier analog of the ANN processors' policy
+    arg. Without it the delta grows one file per trigger unbounded.
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -348,5 +361,18 @@ def make_batch_processor(
             cluster_index.ingest_batch(
                 spark, stable, cluster_root, tau=tau, bands=bb
             )
+
+        if policy is not None:
+            # enforce the delta-fold policy at trigger end, AFTER this
+            # trigger's append landed (so its file counts toward the
+            # threshold). O(#files) metadata on the happy path; when it
+            # fires, the fold commits through the store CAS — a replayed
+            # trigger re-runs the check against the already-folded state
+            # and is a no-op (idempotent like everything above).
+            from projekt_data_engineering_iubh_spark.pipeline import (
+                maintenance,
+            )
+
+            maintenance.maintain_signature_index(spark, index_path, policy)
 
     return _process

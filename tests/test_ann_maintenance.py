@@ -151,3 +151,91 @@ def test_tombstone_trigger_wins_over_file_trigger(spark, tmp_path):
     assert not os.path.isdir(
         os.path.join(store.resolve(root), "tombstones")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text-tier parity: the LSH signature index's delta-fold policy (r11)
+# ---------------------------------------------------------------------------
+
+
+def _uniq_docs(spark, lo, hi):
+    """Distinct, non-near-dup texts so every doc survives the filter and
+    appends band rows (one delta file per trigger)."""
+    import hashlib
+
+    rows = [
+        (
+            i,
+            " ".join(
+                hashlib.sha1(f"{i}:{j}".encode()).hexdigest()
+                for j in range(12)
+            ),
+            "en",
+            "src",
+        )
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        [(i, t, lang, src, len(t), "train") for i, t, lang, src in rows],
+        ["doc_id", "text", "lang", "source", "n_chars", "split"],
+    )
+
+
+def test_signature_index_delta_stays_bounded(spark, tmp_path):
+    """A long near-dup streaming run with a SignatureIndexMaintenancePolicy:
+    every trigger appends one band-row delta file; the in-trigger
+    maintenance folds the delta into the base snapshot whenever the
+    file-count threshold is reached, so the live delta stays bounded
+    forever instead of growing one file per trigger — with >= 2 folds
+    across the run, and zero band rows lost across all of them."""
+    from projekt_data_engineering_iubh_spark.pipeline import band_delta
+    from projekt_data_engineering_iubh_spark.streaming import (
+        neardup_stream as nd,
+    )
+
+    idx = str(tmp_path / "sigidx")
+    nd.build_signature_index(
+        _uniq_docs(spark, 0, 10).select("doc_id", "text"), idx
+    )
+    policy = maintenance.SignatureIndexMaintenancePolicy(max_delta_files=3)
+    proc = nd.make_batch_processor(
+        str(tmp_path / "out"), idx, policy=policy
+    )
+    folds = 0
+    for i in range(8):
+        proc(_uniq_docs(spark, 10 + 5 * i, 10 + 5 * (i + 1)), i)
+        live = len(band_delta.live_files(idx))
+        assert live < policy.max_delta_files, f"trigger {i}: {live} live"
+        if live == 0:
+            folds += 1
+    assert folds >= 2, f"delta fold fired {folds}x across 8 triggers"
+    # nothing lost: the full index view carries band rows for every doc
+    got = {
+        r.doc_id
+        for r in nd.load_index(spark, idx).select("doc_id").collect()
+    }
+    assert got == set(range(0, 50))
+
+
+def test_signature_index_maintain_under_threshold_is_metadata_only(
+    spark, tmp_path
+):
+    """Under both thresholds the policy must not fold (no new snapshot
+    version) — the happy path is filesystem metadata only."""
+    from projekt_data_engineering_iubh_spark.pipeline import band_delta
+    from projekt_data_engineering_iubh_spark.streaming import (
+        neardup_stream as nd,
+    )
+
+    idx = str(tmp_path / "sigidx2")
+    nd.build_signature_index(
+        _uniq_docs(spark, 0, 10).select("doc_id", "text"), idx
+    )
+    proc = nd.make_batch_processor(str(tmp_path / "out2"), idx)
+    proc(_uniq_docs(spark, 10, 15), 0)
+    before = store._committed_versions(idx)
+    res = maintenance.maintain_signature_index(spark, idx)
+    assert res.compacted is None
+    assert res.delta_files == 1 and res.delta_bytes > 0
+    assert store._committed_versions(idx) == before
+    assert len(band_delta.live_files(idx)) == 1
