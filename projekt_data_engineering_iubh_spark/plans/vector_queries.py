@@ -4351,3 +4351,210 @@ def emb_knn_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STORED routed-IVF root: the production-geometry index (cells ∝ n + the
+# two-level router) persisted as versioned artifacts — the router ships
+# WITH the index, making the r10 consistency law durable across sessions
+# ---------------------------------------------------------------------------
+
+_IVFR_ITERS = 2
+
+
+def _ensure_ivfr_index(spark: SparkSession, sf_dir: str) -> str:
+    """Committed store root for the ROUTED trained-IVF index:
+    `centroids` (cell, cq — ranked-seed Lloyd, k = max(floor, n/64):
+    cells ∝ corpus, the production geometry), `supers` (super_cell, scq)
+    and `cent_super` (cell, cq, super_cell) — the TwoLevelRouter as
+    stored artifacts — and `codes` (vec_id, cell): the corpus routed
+    through that SAME router. Persisting the router next to the codes
+    is the point: the r10 consistency law says a routed corpus must be
+    probed by the router that assigned it, so the router is part of the
+    index version, not session state a server might retrain (and
+    thereby silently lose every disagreeing cell)."""
+
+    def build(data_dir: str) -> None:
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", km.quantize(F.col("embedding")).alias("qemb")
+        )
+        n = e.count()
+        k = max(_IVFR_MIN_CELLS, n // _IVFR_TARGET_CELL)
+        cents = km.kmeans_train_ranked(
+            e, k, _IVFR_ITERS, EMB_DIM
+        ).localCheckpoint(eager=True)
+        router = km.train_router(cents, EMB_DIM)
+        router.supers = router.supers.localCheckpoint(eager=True)
+        router.cent_super = router.cent_super.localCheckpoint(eager=True)
+        cents.coalesce(1).write.parquet(os.path.join(data_dir, "centroids"))
+        router.supers.coalesce(1).write.parquet(
+            os.path.join(data_dir, "supers")
+        )
+        router.cent_super.coalesce(1).write.parquet(
+            os.path.join(data_dir, "cent_super")
+        )
+        km.route_top_cells(router, e, "vec_id", [], 1).select(
+            "vec_id", F.col("cell").cast("int").alias("cell")
+        ).write.parquet(os.path.join(data_dir, "codes"))
+
+    consts = (
+        _IVFR_MIN_CELLS,
+        _IVFR_TARGET_CELL,
+        _IVFR_ITERS,
+        EMB_DIM,
+        km.FIXED_SCALE,
+        km.ROUTER_SUPER_PROBES,
+    )
+    return ann_index.ensure(
+        sf_dir, "embeddings.parquet", "ivfr", consts, build
+    )
+
+
+def _ivfr_build_sql() -> str:
+    """Oracle for the persisted routed-index artifacts: re-derive the
+    ranked-seed centroids (data-dependent k), the router (supers +
+    cell→super map), and the router-assigned codes from raw data, then
+    emit the unnested construction — (cell, super_cell, pos, cval,
+    n_members). A hash match certifies the stored centroid BYTES, the
+    stored routing map, and the stored assignment histogram at once."""
+    src = (
+        f"SELECT vec_id, {km.quantize_sql('embedding')} AS qemb"
+        f" FROM embeddings"
+    )
+    k_sql = (
+        f"SELECT greatest({_IVFR_MIN_CELLS},"
+        f" COUNT(*) // {_IVFR_TARGET_CELL}) FROM rbqv"
+    )
+    train, cent = km.kmeans_train_ranked_sql_ctes(
+        src, k_sql, _IVFR_ITERS, EMB_DIM, "rb"
+    )
+    router, supers, cs = km.router_sql_ctes(cent, EMB_DIM, "rbr")
+    corp_route, corp_cells = km.route_top_cells_sql(
+        "rbqv", "vec_id", [], 1, supers, cs, EMB_DIM, "rbc"
+    )
+    return f"""WITH {train},
+{router},
+{corp_route},
+rbn AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM {corp_cells} GROUP BY 1)
+SELECT m.cell, m.super_cell, CAST(i AS INTEGER) AS pos, m.cq[i] AS cval,
+       COALESCE(n.n_members, 0) AS n_members
+FROM {cs} m LEFT JOIN rbn n USING (cell), range(1, {EMB_DIM} + 1) t(i)
+"""
+
+
+@register("emb_ivf_routed_build", oracle=_ivfr_build_sql(), driver=False)
+def emb_ivf_routed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD half of the stored ROUTED index (r11): train cells ∝ n
+    (ranked-seed Lloyd, one cell per ~64 vectors), train the two-level
+    router over the centroid table, route the corpus through it, and
+    persist ALL FOUR artifacts (centroids, supers, cent_super, codes)
+    as one snapshot version. Returns the stored construction unnested —
+    per (cell, dim-position): centroid value, the cell's super
+    assignment, and the cell's routed member count — so the ORACLE
+    re-derives everything from raw data and the hash certifies the
+    stored bytes, router map included.
+
+    This is the production counterpart of emb_ivf_build (fixed 8 cells,
+    exact argmin assignment): at cells ∝ corpus the exact-assignment
+    term is O(n·k) folds — the term the r10/r11 measurements showed
+    dominating build at 100k vectors (29.6 s flat argmin vs 6.2 s
+    routed) — so the stored index must be BUILT through the router too,
+    and serving must reuse that exact router (see
+    emb_ivf_routed_serve). A cell can legitimately hold zero members
+    (Lloyd keeps it, the router steers its would-be members elsewhere):
+    COALESCE(0) on both engines."""
+    root = _ensure_ivfr_index(spark, sf_dir)
+    cs = ann_index.read_artifact(spark, root, "cent_super")
+    counts = (
+        ann_index.read_artifact(spark, root, "codes")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    )
+    return (
+        cs.select(
+            "cell",
+            "super_cell",
+            F.posexplode("cq").alias("pos0", "cval"),
+        )
+        .select(
+            "cell",
+            "super_cell",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            "cval",
+        )
+        .join(counts, "cell", "left")
+        .select(
+            "cell",
+            "super_cell",
+            "pos",
+            "cval",
+            F.coalesce(F.col("n_members"), F.lit(0).cast("long")).alias(
+                "n_members"
+            ),
+        )
+    )
+
+
+@register("emb_ivf_routed_serve", oracle=_ivfr_sql(), driver=False)
+def emb_ivf_routed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVE half of the stored ROUTED index (r11): read centroids'
+    router (supers + cent_super) and the routed codes from the snapshot
+    root — building first only if this corpus version has no committed
+    index — route the QUERIES through the STORED router, and run the
+    identical search as emb_ivf_ann_routed (#154). Output and oracle
+    are #154's verbatim: storage is invisible to results, so the hash
+    match proves the persisted router serves the same answers as the
+    in-session construction — which is exactly the consistency
+    guarantee a production serve needs across process restarts (a
+    RETRAINED router would disagree with the stored assignment on a
+    measured ~60% of cells and silently lose them from every probe).
+
+    Scale shape: serve collects NOTHING data-sized (the router frames
+    are k-row and √k-row, broadcast into the routing joins); the corpus
+    side is one vec_id equi-join (codes ⋈ corpus) and the probe side a
+    broadcast — no training, no Lloyd lineage, no argmin over k on the
+    serve path."""
+    root = _ensure_ivfr_index(spark, sf_dir)
+    router = km.TwoLevelRouter(
+        ann_index.read_artifact(spark, root, "supers"),
+        ann_index.read_artifact(spark, root, "cent_super"),
+    )
+    codes = ann_index.read_artifact(spark, root, "codes")
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        vx.norm(F.col("embedding")).alias("nrm"),
+        km.quantize(F.col("embedding")).alias("qemb"),
+    )
+    corp = e.select("vec_id", "embedding", "nrm").join(codes, "vec_id")
+    q = e.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        "qemb",
+    )
+    probes = km.route_top_cells(
+        router, q, "query_id", ["qe", "qnrm"], _IVFR_NPROBE
+    ).withColumnRenamed("cell", "pcell")
+    cand = corp.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("pcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (
+            vx.dot(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_K)
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rn")
+    )

@@ -589,3 +589,22 @@ def test_serve_knn_join_reads_index_not_corpus_for_candidates(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln and "adc_dist" in ln:
             assert "qq#" not in ln and "qemb#" not in ln, ln
+
+
+def test_routed_serve_plan_reads_stored_router_no_training(spark):
+    """emb_ivf_routed_serve (#157/#158): the stored-router serve
+    contract. No Lloyd lineage on the serve path — training lineage
+    shows up as localCheckpoint scars (Scan ExistingRDD) and per-round
+    centroid-update aggregates; serve must read the committed router +
+    codes artifacts instead. The routing joins' build sides (supers,
+    cent_super) and the probe join are broadcasts; no scan may read the
+    raw embeddings with a code column attached (candidates come from
+    the stored codes join, not a recomputed assignment)."""
+    plan = plan_of(spark, "emb_ivf_routed_serve")
+    assert "Scan ExistingRDD" not in plan, plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert any(
+        "cell#" in ln and "embedding#" not in ln for ln in scans
+    ), plan  # the stored codes artifact
+    assert any("super_cell#" in ln for ln in scans), plan  # stored router
+    assert "BroadcastExchange" in plan, plan

@@ -163,6 +163,13 @@ LOCAL_ONLY_FAMILY = {
     # from the 2-byte codes, exact shortlist refine) — same local-only
     # status and rationale as #154/#155; rotation-#9 candidate
     "emb_knn_join_serve",
+    # round 11 mid-round additions (#157/#158): the stored ROUTED index
+    # (cells ∝ n + the two-level router persisted as versioned
+    # artifacts; build face certifies the stored bytes, serve face
+    # reuses #154's oracle) — same local-only status; rotation-#9
+    # candidates
+    "emb_ivf_routed_build",
+    "emb_ivf_routed_serve",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
