@@ -4558,3 +4558,270 @@ def emb_ivf_routed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVF_K)
         .select("query_id", "neighbor_id", "cell", "cos_sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Routed-root APPEND: grow the routed index without retraining the ROUTER —
+# late vectors are routed by the STORED two-level quantizer (FAISS `add`
+# for the router tier; parity with the IVF-PQ frozen-book append)
+# ---------------------------------------------------------------------------
+
+
+def ivfr_append_generation(
+    spark: SparkSession,
+    sf_dir: str | None,
+    root: str,
+    *,
+    lo: int = 0,
+    hi: int | None = None,
+    vectors: DataFrame | None = None,
+) -> bool:
+    """Commit ONE append generation to a ROUTED index root: route new
+    corpus vectors through the root's FROZEN router (supers +
+    cent_super read from the CURRENT snapshot — never retrained) and
+    publish current-codes ∪ new-codes as the next version. Returns True
+    iff a new version was committed.
+
+    Same contracts as ivfpq_append_generation (#150): duplicates within
+    the delta collapse, already-coded ids anti-join away (an empty delta
+    commits NOTHING — exactly-once under foreachBatch replay), a lost
+    store CAS re-resolves and re-derives against the winner, and the
+    commit is O(delta): router artifacts + existing codes part-files are
+    hardlinked, only the new rows are written (one part-file per
+    trigger). Routing the delta costs ~(√k + 2k/√k) folds per vector —
+    the same sublinear assignment the build used, which is the whole
+    point of freezing the router: late vectors land in exactly the cells
+    a from-scratch routing of the grown corpus would give them (per-row
+    routing is independent), so serve-after-append equals a one-pass
+    build. The consistency law holds BY CONSTRUCTION across generations:
+    there is only ever one router in the root's lineage."""
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    for _ in range(_APPEND_RETRIES):
+        cur = store.resolve(root)
+        router = km.TwoLevelRouter(
+            spark.read.parquet(os.path.join(cur, "supers")),
+            spark.read.parquet(os.path.join(cur, "cent_super")),
+        )
+        if vectors is not None:
+            late = vectors
+        else:
+            late = load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") >= lo
+            )
+            if hi is not None:
+                late = late.filter(F.col("vec_id") < hi)
+        late = late.select(
+            "vec_id", km.quantize(F.col("embedding")).alias("qemb")
+        ).dropDuplicates(["vec_id"])
+        old_ids = spark.read.parquet(os.path.join(cur, "codes")).select(
+            "vec_id"
+        )
+        delta = (
+            km.route_top_cells(
+                router, late.join(old_ids, "vec_id", "left_anti"),
+                "vec_id", [], 1,
+            )
+            .select("vec_id", F.col("cell").cast("int").alias("cell"))
+            .localCheckpoint(eager=True)  # pin the delta BEFORE the commit
+        )
+        if delta.isEmpty():
+            return False  # replayed batch / nothing new: exactly-once no-op
+
+        def append(data_dir: str) -> None:
+            for art in ("centroids", "supers", "cent_super"):
+                _link_or_copy_parquet(
+                    os.path.join(cur, art), os.path.join(data_dir, art)
+                )
+            codes_dir = os.path.join(data_dir, "codes")
+            _link_or_copy_parquet(os.path.join(cur, "codes"), codes_dir)
+            delta.coalesce(1).write.mode("append").parquet(codes_dir)
+
+        try:
+            store.commit_snapshot(root, append)
+            return True
+        except store.CommitConflict:
+            continue  # lost the CAS: re-resolve and re-derive the delta
+    raise store.CommitConflict(
+        f"append to {root} lost the snapshot CAS {_APPEND_RETRIES} times"
+    )
+
+
+def _ensure_ivfr_appended_index(spark: SparkSession, sf_dir: str) -> str:
+    """Two-version routed root: v1 = router + cells trained on the ODD
+    corpus half (cells ∝ training corpus at every sf — the parity split
+    keeps the geometry production-shaped, unlike an absolute id cut),
+    odd half routed and committed; v2 = every EVEN vector routed through
+    the FROZEN router and appended. No retraining anywhere in v2."""
+
+    def build(data_dir: str) -> None:
+        e = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 2 == 1
+        ).select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
+        n = e.count()
+        k = max(_IVFR_MIN_CELLS, n // _IVFR_TARGET_CELL)
+        cents = km.kmeans_train_ranked(
+            e, k, _IVFR_ITERS, EMB_DIM
+        ).localCheckpoint(eager=True)
+        router = km.train_router(cents, EMB_DIM)
+        router.supers = router.supers.localCheckpoint(eager=True)
+        router.cent_super = router.cent_super.localCheckpoint(eager=True)
+        cents.coalesce(1).write.parquet(os.path.join(data_dir, "centroids"))
+        router.supers.coalesce(1).write.parquet(
+            os.path.join(data_dir, "supers")
+        )
+        router.cent_super.coalesce(1).write.parquet(
+            os.path.join(data_dir, "cent_super")
+        )
+        km.route_top_cells(router, e, "vec_id", [], 1).select(
+            "vec_id", F.col("cell").cast("int").alias("cell")
+        ).write.parquet(os.path.join(data_dir, "codes"))
+
+    consts = (
+        _IVFR_MIN_CELLS,
+        _IVFR_TARGET_CELL,
+        _IVFR_ITERS,
+        EMB_DIM,
+        km.FIXED_SCALE,
+        km.ROUTER_SUPER_PROBES,
+        "oddtrain",
+    )
+    root = ann_index.ensure(
+        sf_dir, "embeddings.parquet", "ivfr_app", consts, build
+    )
+
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    if store.current_version(root) < 2:
+        late = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 2 == 0
+        )
+        ivfr_append_generation(spark, sf_dir, root, vectors=late)
+    return root
+
+
+def _ivfr_app_sql() -> str:
+    """Oracle for serve-after-routed-append: train centroids + router on
+    the ODD half only (data-dependent k from the odd count), route the
+    FULL table through that router, search. Per-row routing is
+    independent and the router frozen, so route(odd) ∪ route(even) ==
+    route(all) — the hash certifies the frozen-router append produced
+    byte-identical cells to a one-pass routing of the grown corpus."""
+    src = (
+        f"SELECT vec_id, {km.quantize_sql('embedding')} AS qemb"
+        f" FROM embeddings WHERE vec_id % 2 = 1"
+    )
+    k_sql = (
+        f"SELECT greatest({_IVFR_MIN_CELLS},"
+        f" COUNT(*) // {_IVFR_TARGET_CELL}) FROM raqv"
+    )
+    train, cent = km.kmeans_train_ranked_sql_ctes(
+        src, k_sql, _IVFR_ITERS, EMB_DIM, "ra"
+    )
+    router, supers, cs = km.router_sql_ctes(cent, EMB_DIM, "rar")
+    full = (
+        f"rafull AS (SELECT vec_id, {km.quantize_sql('embedding')} AS qemb"
+        f" FROM embeddings)"
+    )
+    corp_route, corp_cells = km.route_top_cells_sql(
+        "rafull", "vec_id", [], 1, supers, cs, EMB_DIM, "rac"
+    )
+    qsrc = (
+        f"raq AS (SELECT vec_id AS query_id, qemb FROM rafull"
+        f" WHERE vec_id < {_IVF_QUERIES})"
+    )
+    q_route, q_cells = km.route_top_cells_sql(
+        "raq", "query_id", [], _IVFR_NPROBE, supers, cs, EMB_DIM, "rap"
+    )
+    return f"""WITH {train},
+{router},
+{full},
+{corp_route},
+{qsrc},
+{q_route},
+racand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, c.cell,
+         {vx.cosine_sql('qq.embedding', 'ee.embedding')} AS cos_sim
+  FROM {q_cells} p
+  JOIN {corp_cells} c ON c.cell = p.cell AND c.vec_id != p.query_id
+  JOIN embeddings ee ON ee.vec_id = c.vec_id
+  JOIN embeddings qq ON qq.vec_id = p.query_id
+), rarank AS (
+  SELECT query_id, neighbor_id, cell, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
+  FROM racand
+)
+SELECT query_id, neighbor_id, cell, cos_sim, rn FROM rarank
+WHERE rn <= {_IVF_K}
+"""
+
+
+@register(
+    "emb_ivf_routed_append_serve", oracle=_ivfr_app_sql(), driver=False
+)
+def emb_ivf_routed_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve from a routed index GROWN WITHOUT RETRAINING THE ROUTER
+    (r11): router + cells were trained once on the odd corpus half
+    (index v1, cells ∝ training corpus); every even vector was routed
+    through those FROZEN artifacts and appended as v2 — the router-tier
+    analog of the IVF-PQ frozen-book append (#150), and the growth path
+    the stored routed index (#157/#158) needs to be an actual lifecycle
+    rather than a rebuild-per-corpus-version artifact.
+
+    The serve plan is #158's verbatim (stored router routes the
+    queries; codes ⋈ corpus equi-join; broadcast probes; top-k window).
+    The ORACLE trains on the odd half and routes the FULL table in one
+    pass, so the hash match certifies that frozen-router appends land
+    every late vector in exactly the cell a from-scratch routing would
+    give it — O(delta) growth with zero recall drift by construction.
+    Commit mechanics (hardlinked artifacts + one appended part-file,
+    CAS retries, exactly-once empty-delta no-op) are shared with the
+    #150 lifecycle and pinned in tests/test_ann_index.py."""
+    root = _ensure_ivfr_appended_index(spark, sf_dir)
+
+    from projekt_data_engineering_iubh_spark.pipeline import store as _st
+
+    cur = _st.resolve(root)
+    router = km.TwoLevelRouter(
+        spark.read.parquet(os.path.join(cur, "supers")),
+        spark.read.parquet(os.path.join(cur, "cent_super")),
+    )
+    codes = spark.read.parquet(os.path.join(cur, "codes"))
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        vx.norm(F.col("embedding")).alias("nrm"),
+        km.quantize(F.col("embedding")).alias("qemb"),
+    )
+    corp = e.select("vec_id", "embedding", "nrm").join(codes, "vec_id")
+    q = e.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        "qemb",
+    )
+    probes = km.route_top_cells(
+        router, q, "query_id", ["qe", "qnrm"], _IVFR_NPROBE
+    ).withColumnRenamed("cell", "pcell")
+    cand = corp.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("pcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (
+            vx.dot(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_K)
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rn")
+    )

@@ -835,3 +835,63 @@ def test_delta_file_growth_is_bounded(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert set(live[:n_gens]) <= dead_now
+
+
+def test_routed_append_is_o_delta_with_frozen_router(
+    spark, tmp_path, monkeypatch
+):
+    """r11 routed-root append (#159): (1) the two-version lifecycle
+    commits the even half as ONE appended part-file with every v1 codes
+    part-file HARDLINKED (same inode — O(delta) commit, the #150
+    publish discipline on the router tier); (2) the router artifacts
+    are linked too, never rewritten — one router in the root's lineage
+    BY CONSTRUCTION; (3) a replayed append of the same vectors commits
+    nothing (exactly-once under foreachBatch replay)."""
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    root = vq._ensure_ivfr_appended_index(spark, SF)
+    assert store.current_version(root) == 2
+    cur = store.resolve(root)
+    versions = sorted(
+        d for d in os.listdir(root) if d.startswith("v") and d[1:].isdigit()
+    )
+    assert len(versions) == 2
+    v1_dir = os.path.join(root, versions[0])
+
+    # (1) codes: v2 = hardlinks of v1's part-files + exactly one delta
+    c1, c2 = os.path.join(v1_dir, "codes"), os.path.join(cur, "codes")
+    f1, f2 = _part_files(c1), _part_files(c2)
+    assert len(f2) == len(f1) + 1
+    for name in f1:
+        assert name in f2
+        assert (
+            os.stat(os.path.join(c1, name)).st_ino
+            == os.stat(os.path.join(c2, name)).st_ino
+        ), name
+
+    # (2) router artifacts linked across versions
+    for art in ("supers", "cent_super", "centroids"):
+        d1, d2 = os.path.join(v1_dir, art), os.path.join(cur, art)
+        a1, a2 = _part_files(d1), _part_files(d2)
+        assert a1 == a2, art
+        for name in a1:
+            assert (
+                os.stat(os.path.join(d1, name)).st_ino
+                == os.stat(os.path.join(d2, name)).st_ino
+            ), art
+
+    # (3) replay: same even vectors -> empty delta -> no commit
+    late = load_table(spark, SF, "embeddings").filter(
+        F.col("vec_id") % 2 == 0
+    )
+    assert not vq.ivfr_append_generation(spark, SF, root, vectors=late)
+    assert store.current_version(root) == 2
+
+    # the grown index covers the whole corpus, one code row per vector
+    n = load_table(spark, SF, "embeddings").count()
+    assert (
+        spark.read.parquet(os.path.join(cur, "codes")).count() == n
+    )

@@ -170,6 +170,10 @@ LOCAL_ONLY_FAMILY = {
     # candidates
     "emb_ivf_routed_build",
     "emb_ivf_routed_serve",
+    # round 11 mid-round addition (#159): routed-root append — grow the
+    # routed index without retraining the router (frozen-router routing
+    # of late vectors, O(delta) hardlink commit); rotation-#9 candidate
+    "emb_ivf_routed_append_serve",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
