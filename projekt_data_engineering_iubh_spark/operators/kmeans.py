@@ -478,10 +478,20 @@ def kmeans_train_ranked_sql_ctes(
     lowest vec_ids by rank (cell = rank − 1). ``k_sql`` may be any SQL
     scalar expression INCLUDING a scalar subquery — the data-dependent-k
     face (cells ∝ corpus) that a static oracle string needs. Returns
-    (CTE fragment, final CENTROID CTE name)."""
+    (CTE fragment, final CENTROID CTE name).
+
+    Source and centroid CTEs are MATERIALIZED: DuckDB inlines a plain
+    CTE at every reference site, so an oracle that references the
+    trained centroids several times (router training, cent→super
+    routing, corpus assignment, query probes) re-executes the whole
+    Lloyd chain per reference — measured fatal at sf1 with cells ∝ n
+    (the re-expanded tree OOM-killed a 98 GB process, r11). The cost is
+    n rows (source) + k rows per round — the same fix _ivfpq_sql's
+    ``res`` CTE already encodes."""
     parts = [
-        f"{prefix}qv AS ({src_sql})",
-        f"{prefix}c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, qemb AS cq"
+        f"{prefix}qv AS MATERIALIZED ({src_sql})",
+        f"{prefix}c0 AS MATERIALIZED"
+        f" (SELECT CAST(rn - 1 AS INTEGER) AS cell, qemb AS cq"
         f" FROM (SELECT qemb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn"
         f" FROM {prefix}qv) WHERE rn <= ({k_sql}))",
     ]
@@ -490,7 +500,10 @@ def kmeans_train_ranked_sql_ctes(
         parts.append(
             f"{prefix}a{r} AS ({_assign_sql(f'{prefix}qv', cent, dim)})"
         )
-        parts.append(f"{prefix}c{r} AS ({_update_sql(f'{prefix}a{r}', dim)})")
+        parts.append(
+            f"{prefix}c{r} AS MATERIALIZED"
+            f" ({_update_sql(f'{prefix}a{r}', dim)})"
+        )
         cent = f"{prefix}c{r}"
     return ",\n".join(parts), cent
 
@@ -517,9 +530,13 @@ def router_sql_ctes(
     cs = f"{prefix}cs"
     parts = [
         chain,
-        f"{supers} AS (SELECT cell AS super_cell, cq AS scq"
+        # MATERIALIZED: supers and cent_super are referenced by every
+        # routing CTE (corpus + queries) — plain CTEs would re-run the
+        # super-training chain per reference (see
+        # kmeans_train_ranked_sql_ctes for the sf1 OOM this caused)
+        f"{supers} AS MATERIALIZED (SELECT cell AS super_cell, cq AS scq"
         f" FROM {sup_cent})",
-        f"{cs} AS (SELECT cell, cq, super_cell FROM (\n"
+        f"{cs} AS MATERIALIZED (SELECT cell, cq, super_cell FROM (\n"
         f"  SELECT c.cell, c.cq, s.super_cell,\n"
         f"         ROW_NUMBER() OVER (PARTITION BY c.cell ORDER BY\n"
         f"           {sq_dist_sql('c.cq', 's.scq', dim)}, s.super_cell)"
@@ -554,7 +571,11 @@ def route_top_cells_sql(
     routed = f"{prefix}routed"
     out = f"{prefix}cells"
     parts = [
-        f"{routed} AS (SELECT {cols(id_col, ks, 'qemb', 'super_cell')}"
+        # MATERIALIZED: the routed/cells CTEs embed the source scan and
+        # the (already-materialized) router tables; downstream joins
+        # reference them and must not re-expand the routing windows
+        f"{routed} AS MATERIALIZED"
+        f" (SELECT {cols(id_col, ks, 'qemb', 'super_cell')}"
         f" FROM (\n"
         f"  SELECT {cols(f'v.{id_col}', kv, 'v.qemb', 's.super_cell')},\n"
         f"         ROW_NUMBER() OVER (PARTITION BY v.{id_col} ORDER BY\n"
@@ -562,7 +583,7 @@ def route_top_cells_sql(
         f" AS sr\n"
         f"  FROM {src_cte} v CROSS JOIN {supers_cte} s)"
         f" WHERE sr <= {n_probe_super})",
-        f"{out} AS (SELECT {cols(id_col, ks, 'cell')} FROM (\n"
+        f"{out} AS MATERIALIZED (SELECT {cols(id_col, ks, 'cell')} FROM (\n"
         f"  SELECT {cols(f'r.{id_col}', kr, 'cs.cell')},\n"
         f"         ROW_NUMBER() OVER (PARTITION BY r.{id_col} ORDER BY\n"
         f"           {sq_dist_sql('r.qemb', 'cs.cq', dim)}, cs.cell) AS rn\n"
