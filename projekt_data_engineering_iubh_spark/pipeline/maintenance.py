@@ -258,6 +258,10 @@ def maintain_ann_root(
     on the happy path) and run the matching compaction when a threshold
     is crossed. Tombstone bytes win over file count when both fire
     (the tombstone fold also rewrites codes, so it resets both).
+    Handles BOTH root kinds by inspecting the artifacts present: IVF-PQ
+    roots (books + meta) compact via ivfpq_compact; routed roots
+    (cent_super, no books — r11 #157-#159) via ivfr_compact, where only
+    the file-count trigger applies (no tombstone tier).
 
     Compaction publishes a NEW snapshot version through the store CAS —
     in-flight readers keep their version, a concurrent trigger that
@@ -271,12 +275,24 @@ def maintain_ann_root(
     cur = snapstore.resolve(root)
     codes_files, _ = _artifact_footprint(cur, "codes")
     _, tomb_bytes = _artifact_footprint(cur, "tombstones")
+    # root kind from the artifacts present, not an argument: an IVF-PQ
+    # root carries PQ books; a routed root carries the router map. The
+    # policy fires the matching compactor (ivfr roots have no tombstone
+    # tier, so only the file-count trigger applies there).
+    routed = os.path.isdir(os.path.join(cur, "cent_super")) and not (
+        os.path.isdir(os.path.join(cur, "books"))
+    )
     compacted = None
-    if tomb_bytes >= policy.max_tombstone_bytes:
+    if not routed and tomb_bytes >= policy.max_tombstone_bytes:
         if _vq.ivfpq_compact(spark, root):
             compacted = "tombstone_bytes"
     elif codes_files >= policy.max_codes_files:
-        if _vq.ivfpq_compact(spark, root, force=True):
+        fold = (
+            _vq.ivfr_compact(spark, root)
+            if routed
+            else _vq.ivfpq_compact(spark, root, force=True)
+        )
+        if fold:
             compacted = "codes_files"
     return AnnMaintenanceResult(codes_files, tomb_bytes, compacted)
 

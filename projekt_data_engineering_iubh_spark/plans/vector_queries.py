@@ -4825,3 +4825,52 @@ def emb_ivf_routed_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVF_K)
         .select("query_id", "neighbor_id", "cell", "cos_sim", "rn")
     )
+
+
+def ivfr_compact(spark: SparkSession, root: str) -> bool:
+    """Small-file compaction for a ROUTED index root: O(delta) appends
+    grow the codes artifact by one part-file per trigger (by design —
+    see ivfr_append_generation), so a long-running ingest periodically
+    folds them into ~128 MiB files. Commits a new version whose codes
+    are a clean rewrite (repartitioned from the source FOOTPRINT, not
+    the source file count — a parquet scan keeps ~one partition per
+    small file, so an unsized rewrite re-emits what it was folding:
+    the r11 lesson ivfpq_compact already encodes) with the router
+    artifacts hardlinked — the router is immutable across the root's
+    whole lineage, compaction included. Returns False when the codes
+    dir is already a single generation (one part-file): nothing to
+    fold. Readers of prior versions keep their snapshot."""
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    for _ in range(_APPEND_RETRIES):
+        cur = store.resolve(root)
+        src_codes = os.path.join(cur, "codes")
+        parts = [
+            f for f in os.listdir(src_codes)
+            if not f.startswith(("_", "."))
+        ]
+        if len(parts) <= 1:
+            return False  # already compact
+        codes_bytes = sum(
+            os.path.getsize(os.path.join(src_codes, f)) for f in parts
+        )
+        n_out = max(1, -(-codes_bytes // _COMPACT_TARGET_BYTES))
+        codes = spark.read.parquet(src_codes)
+
+        def build(data_dir: str) -> None:
+            for art in ("centroids", "supers", "cent_super"):
+                _link_or_copy_parquet(
+                    os.path.join(cur, art), os.path.join(data_dir, art)
+                )
+            codes.repartition(n_out).write.parquet(
+                os.path.join(data_dir, "codes")
+            )
+
+        try:
+            store.commit_snapshot(root, build)
+            return True
+        except store.CommitConflict:
+            continue
+    raise store.CommitConflict(
+        f"compact on {root} lost the snapshot CAS {_APPEND_RETRIES} times"
+    )
