@@ -67,6 +67,10 @@ SERVE_LANE = (
     "emb_ivfpq_serve_lean_cos",
     "emb_ivfpq_serve_rerank",
     "emb_ivfpq_delete_serve",
+    # r11: the stored ROUTED index (cells ∝ n + persisted router) —
+    # additive lane member; earlier rounds' per-query values stay
+    # comparable, the lane total gains this row from r11 on
+    "emb_ivf_routed_serve",
 )
 
 
