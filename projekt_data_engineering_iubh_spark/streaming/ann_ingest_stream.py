@@ -192,3 +192,88 @@ def start_codes_delete_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUTED-index streaming ingest (r11): grow the #157 routed root from a
+# vector stream — per-trigger ivfr_append_generation, the router frozen
+# forever (one router in the root's lineage BY CONSTRUCTION)
+# ---------------------------------------------------------------------------
+
+
+def bootstrap_routed_index(
+    spark: SparkSession, base: DataFrame, root: str
+) -> str:
+    """Train cells ∝ base-corpus (ranked-seed Lloyd) + the two-level
+    router on the BASE corpus and commit snapshot v1 (centroids, supers,
+    cent_super, codes) — the one-off training job; every later vector
+    arrives through the stream and is routed by these frozen artifacts
+    (plans/vector_queries.ivfr_append_generation)."""
+    e = base.select(
+        "vec_id", km.quantize(F.col("embedding")).alias("qemb")
+    )
+    n = e.count()
+    k = max(vq._IVFR_MIN_CELLS, n // vq._IVFR_TARGET_CELL)
+    cents = km.kmeans_train_ranked(
+        e, k, vq._IVFR_ITERS, vq.EMB_DIM
+    ).localCheckpoint(eager=True)
+    router = km.train_router(cents, vq.EMB_DIM)
+    router.supers = router.supers.localCheckpoint(eager=True)
+    router.cent_super = router.cent_super.localCheckpoint(eager=True)
+
+    def build(data_dir: str) -> None:
+        cents.coalesce(1).write.parquet(os.path.join(data_dir, "centroids"))
+        router.supers.coalesce(1).write.parquet(
+            os.path.join(data_dir, "supers")
+        )
+        router.cent_super.coalesce(1).write.parquet(
+            os.path.join(data_dir, "cent_super")
+        )
+        km.route_top_cells(router, e, "vec_id", [], 1).select(
+            "vec_id", F.col("cell").cast("int").alias("cell")
+        ).write.parquet(os.path.join(data_dir, "codes"))
+
+    try:
+        store.commit_snapshot(root, build)
+    except store.CommitConflict:
+        pass  # concurrent bootstrap won with the identical snapshot
+    return root
+
+
+def make_routed_batch_processor(root: str, policy=None):
+    """foreachBatch hook for the routed root: one append generation per
+    non-empty trigger (route batch through the FROZEN stored router,
+    anti-join already-coded ids, O(delta) hardlink commit). Exactly-once
+    under replay by the same empty-delta no-op contract as the IVF-PQ
+    tier. With a ``policy``, maintain_ann_root runs after each commit —
+    it detects the routed root from its artifacts and folds small codes
+    files through ivfr_compact on the file-count threshold."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vq.ivfr_append_generation(
+            batch_df.sparkSession, None, root, vectors=batch_df
+        )
+        if policy is not None:
+            from projekt_data_engineering_iubh_spark.pipeline import (
+                maintenance,
+            )
+
+            maintenance.maintain_ann_root(
+                batch_df.sparkSession, root, policy
+            )
+
+    return _process
+
+
+def start_routed_ingest_stream(
+    embs: DataFrame, checkpoint: str, root: str, *, policy=None
+):
+    """Wire the streaming routed-index ingest; returns the StreamingQuery."""
+    return (
+        embs.writeStream.outputMode("append")
+        .foreachBatch(make_routed_batch_processor(root, policy))
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -229,3 +229,75 @@ def test_delete_stream_tombstones_exactly_once(spark, tmp_path):
     # compact folds the tombstones away; serving view unchanged
     assert vq.ivfpq_compact(spark, root) is True
     assert live_ids() == final
+
+
+def test_routed_ingest_stream_matches_one_pass_routing(spark, tmp_path):
+    """Streaming ROUTED ingest (r11): multi-drop live run growing the
+    routed root through the frozen stored router, with a maintenance
+    policy bounding the codes file count from inside the trigger path.
+    Ground truth: the stream-grown codes must equal a ONE-PASS routing
+    of the full corpus through the v1 router (per-row routing is
+    independent + router frozen ⇒ zero drift), and replayed work lands
+    exactly once (three drops → exactly three new versions... minus
+    compactions, so assert on content, not version count)."""
+    from projekt_data_engineering_iubh_spark.pipeline import maintenance
+
+    root = str(tmp_path / "routed_index")
+    src = tmp_path / "rsrc"
+    src.mkdir()
+
+    embs = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    base = embs.filter(F.col("vec_id") < 200)
+    ais.bootstrap_routed_index(spark, base, root)
+    assert store._committed_versions(root) == [1]
+
+    policy = maintenance.AnnMaintenancePolicy(max_codes_files=3)
+    q = ais.start_routed_ingest_stream(
+        spark.readStream.schema(SCHEMA).parquet(str(src)),
+        str(tmp_path / "rckpt"),
+        root,
+        policy=policy,
+    )
+    try:
+        for i, (lo, hi) in enumerate(((200, 300), (300, 420), (420, 10**9))):
+            _drop(
+                spark, src, tmp_path, f"rb{i}",
+                embs.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+            )
+            q.processAllAvailable()
+            n_files = len([
+                f
+                for f in os.listdir(
+                    os.path.join(store.resolve(root), "codes")
+                )
+                if not f.startswith(("_", "."))
+            ])
+            assert n_files <= policy.max_codes_files, f"drop {i}: {n_files}"
+    finally:
+        q.stop()
+
+    # ground truth: one-pass routing of the FULL corpus through the v1
+    # router artifacts — the frozen-router zero-drift contract
+    v1 = os.path.join(root, "v00000001")
+    router = km.TwoLevelRouter(
+        spark.read.parquet(os.path.join(v1, "supers")),
+        spark.read.parquet(os.path.join(v1, "cent_super")),
+    )
+    qv = embs.select(
+        "vec_id", km.quantize(F.col("embedding")).alias("qemb")
+    )
+    want = sorted(
+        (r.vec_id, r.cell)
+        for r in km.route_top_cells(router, qv, "vec_id", [], 1).collect()
+    )
+    got = sorted(
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(
+            os.path.join(store.resolve(root), "codes")
+        ).collect()
+    )
+    assert got == want
