@@ -364,5 +364,13 @@ def maintain_signature_index(
             compact_signature_index,
         )
 
-        compact_signature_index(spark, index_path)
+        try:
+            compact_signature_index(spark, index_path)
+        except snapstore.CommitConflict:
+            # a concurrent fold won the snapshot CAS — the winner
+            # integrated the same live files (fold's idempotent-integrate
+            # contract), so the threshold's work is done; crashing the
+            # streaming trigger here would contradict exactly that
+            # contract (review finding, r11)
+            pass
     return SignatureIndexMaintenanceResult(len(files), nbytes, compacted)

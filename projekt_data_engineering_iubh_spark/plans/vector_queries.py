@@ -4362,6 +4362,35 @@ def emb_knn_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFR_ITERS = 2
 
 
+def routed_train_and_write(spark: SparkSession, e: DataFrame, data_dir: str) -> None:
+    """Train cells ∝ |e| (ranked-seed Lloyd, one cell per ~64
+    vectors, floor 8) plus the two-level router over a
+    (vec_id, qemb) frame and write the FOUR routed-root artifacts
+    (centroids, supers, cent_super, codes) into ``data_dir`` — the one
+    implementation behind every routed bootstrap (#157's build, #159's
+    v1, and streaming/ann_ingest_stream.bootstrap_routed_index): the
+    artifact layout, checkpoint discipline, and k formula must never
+    fork between them."""
+    n = e.count()
+    k = max(_IVFR_MIN_CELLS, n // _IVFR_TARGET_CELL)
+    cents = km.kmeans_train_ranked(
+        e, k, _IVFR_ITERS, EMB_DIM
+    ).localCheckpoint(eager=True)
+    router = km.train_router(cents, EMB_DIM)
+    router.supers = router.supers.localCheckpoint(eager=True)
+    router.cent_super = router.cent_super.localCheckpoint(eager=True)
+    cents.coalesce(1).write.parquet(os.path.join(data_dir, "centroids"))
+    router.supers.coalesce(1).write.parquet(
+        os.path.join(data_dir, "supers")
+    )
+    router.cent_super.coalesce(1).write.parquet(
+        os.path.join(data_dir, "cent_super")
+    )
+    km.route_top_cells(router, e, "vec_id", [], 1).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    ).write.parquet(os.path.join(data_dir, "codes"))
+
+
 def _ensure_ivfr_index(spark: SparkSession, sf_dir: str) -> str:
     """Committed store root for the ROUTED trained-IVF index:
     `centroids` (cell, cq — ranked-seed Lloyd, k = max(floor, n/64):
@@ -4378,24 +4407,7 @@ def _ensure_ivfr_index(spark: SparkSession, sf_dir: str) -> str:
         e = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", km.quantize(F.col("embedding")).alias("qemb")
         )
-        n = e.count()
-        k = max(_IVFR_MIN_CELLS, n // _IVFR_TARGET_CELL)
-        cents = km.kmeans_train_ranked(
-            e, k, _IVFR_ITERS, EMB_DIM
-        ).localCheckpoint(eager=True)
-        router = km.train_router(cents, EMB_DIM)
-        router.supers = router.supers.localCheckpoint(eager=True)
-        router.cent_super = router.cent_super.localCheckpoint(eager=True)
-        cents.coalesce(1).write.parquet(os.path.join(data_dir, "centroids"))
-        router.supers.coalesce(1).write.parquet(
-            os.path.join(data_dir, "supers")
-        )
-        router.cent_super.coalesce(1).write.parquet(
-            os.path.join(data_dir, "cent_super")
-        )
-        km.route_top_cells(router, e, "vec_id", [], 1).select(
-            "vec_id", F.col("cell").cast("int").alias("cell")
-        ).write.parquet(os.path.join(data_dir, "codes"))
+        routed_train_and_write(spark, e, data_dir)
 
     consts = (
         _IVFR_MIN_CELLS,
@@ -4516,11 +4528,25 @@ def emb_ivf_routed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — no training, no Lloyd lineage, no argmin over k on the
     serve path."""
     root = _ensure_ivfr_index(spark, sf_dir)
+
+    from projekt_data_engineering_iubh_spark.pipeline import store as _st
+
+    return _routed_serve_from_dir(spark, sf_dir, _st.resolve(root))
+
+
+def _routed_serve_from_dir(
+    spark: SparkSession, sf_dir: str, cur: str
+) -> DataFrame:
+    """The shared serve tail for every routed snapshot dir (#158 fresh
+    root, #159 grown root): reconstruct the TwoLevelRouter FROM THE
+    STORED artifacts, route the fixed query set through it, equi-join
+    the stored codes to the corpus, exact-cosine top-k. Collects
+    nothing; the router frames broadcast into the routing joins."""
     router = km.TwoLevelRouter(
-        ann_index.read_artifact(spark, root, "supers"),
-        ann_index.read_artifact(spark, root, "cent_super"),
+        spark.read.parquet(os.path.join(cur, "supers")),
+        spark.read.parquet(os.path.join(cur, "cent_super")),
     )
-    codes = ann_index.read_artifact(spark, root, "codes")
+    codes = spark.read.parquet(os.path.join(cur, "codes"))
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "embedding",
@@ -4658,24 +4684,7 @@ def _ensure_ivfr_appended_index(spark: SparkSession, sf_dir: str) -> str:
         e = load_table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") % 2 == 1
         ).select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
-        n = e.count()
-        k = max(_IVFR_MIN_CELLS, n // _IVFR_TARGET_CELL)
-        cents = km.kmeans_train_ranked(
-            e, k, _IVFR_ITERS, EMB_DIM
-        ).localCheckpoint(eager=True)
-        router = km.train_router(cents, EMB_DIM)
-        router.supers = router.supers.localCheckpoint(eager=True)
-        router.cent_super = router.cent_super.localCheckpoint(eager=True)
-        cents.coalesce(1).write.parquet(os.path.join(data_dir, "centroids"))
-        router.supers.coalesce(1).write.parquet(
-            os.path.join(data_dir, "supers")
-        )
-        router.cent_super.coalesce(1).write.parquet(
-            os.path.join(data_dir, "cent_super")
-        )
-        km.route_top_cells(router, e, "vec_id", [], 1).select(
-            "vec_id", F.col("cell").cast("int").alias("cell")
-        ).write.parquet(os.path.join(data_dir, "codes"))
+        routed_train_and_write(spark, e, data_dir)
 
     consts = (
         _IVFR_MIN_CELLS,
@@ -4782,49 +4791,7 @@ def emb_ivf_routed_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from projekt_data_engineering_iubh_spark.pipeline import store as _st
 
-    cur = _st.resolve(root)
-    router = km.TwoLevelRouter(
-        spark.read.parquet(os.path.join(cur, "supers")),
-        spark.read.parquet(os.path.join(cur, "cent_super")),
-    )
-    codes = spark.read.parquet(os.path.join(cur, "codes"))
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "embedding",
-        vx.norm(F.col("embedding")).alias("nrm"),
-        km.quantize(F.col("embedding")).alias("qemb"),
-    )
-    corp = e.select("vec_id", "embedding", "nrm").join(codes, "vec_id")
-    q = e.filter(F.col("vec_id") < _IVF_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qnrm"),
-        "qemb",
-    )
-    probes = km.route_top_cells(
-        router, q, "query_id", ["qe", "qnrm"], _IVFR_NPROBE
-    ).withColumnRenamed("cell", "pcell")
-    cand = corp.join(
-        F.broadcast(probes),
-        (F.col("cell") == F.col("pcell"))
-        & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        "cell",
-        (
-            vx.dot(F.col("qe"), F.col("embedding"))
-            / (F.col("qnrm") * F.col("nrm"))
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _IVF_K)
-        .select("query_id", "neighbor_id", "cell", "cos_sim", "rn")
-    )
+    return _routed_serve_from_dir(spark, sf_dir, _st.resolve(root))
 
 
 def ivfr_compact(spark: SparkSession, root: str) -> bool:

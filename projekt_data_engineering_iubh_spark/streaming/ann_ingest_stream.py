@@ -56,7 +56,16 @@ def bootstrap_codes_index(
     """Train codebooks on the BASE corpus and commit snapshot v1
     (coarse + books + base codes) — the one-off training job; every
     later vector arrives through the stream and is encoded against
-    these frozen books."""
+    these frozen books.
+
+    IDEMPOTENT on an existing root: a restarting app's natural
+    "bootstrap then start stream" sequence must NOT commit a fresh
+    base-only snapshot on top of v1..vN — that would publish a version
+    whose codes silently DROP every streamed append (the checkpointed
+    stream will never re-deliver them). An already-initialized root
+    returns untouched (review finding, r11)."""
+    if store.is_store(root):
+        return root
     qv = base.select(
         "vec_id", km.quantize_normalized(F.col("embedding")).alias("qemb")
     )
@@ -107,24 +116,21 @@ def bootstrap_codes_index(
     return root
 
 
-def make_codes_batch_processor(root: str, policy=None):
-    """foreachBatch hook: one append generation per non-empty trigger.
-
-    With a ``policy`` (pipeline/maintenance.AnnMaintenancePolicy) the
-    trigger path ALSO enforces the compaction thresholds after each
-    commit — the footprint check is O(#files) metadata, and compaction,
-    when it fires, publishes through the same store CAS every
-    generation uses, so a maintenance fold racing the next trigger is
-    just another lost-CAS retry. This is what keeps a long-running
-    ingest's file count bounded without an external cron
+def _make_append_processor(root: str, policy, generation_fn):
+    """Shared foreachBatch body for every append-generation tier: one
+    ``generation_fn(spark, None, root, vectors=batch)`` per non-empty
+    trigger, then (with a ``policy``) maintain_ann_root enforces the
+    compaction thresholds — the footprint check is O(#files) metadata,
+    and compaction, when it fires, publishes through the same store CAS
+    every generation uses, so a maintenance fold racing the next
+    trigger is just another lost-CAS retry. This is what keeps a
+    long-running ingest's file count bounded without an external cron
     (tests/test_ann_maintenance.py pins the bound)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        vq.ivfpq_append_generation(
-            batch_df.sparkSession, None, root, vectors=batch_df
-        )
+        generation_fn(batch_df.sparkSession, None, root, vectors=batch_df)
         if policy is not None:
             from projekt_data_engineering_iubh_spark.pipeline import (
                 maintenance,
@@ -135,6 +141,14 @@ def make_codes_batch_processor(root: str, policy=None):
             )
 
     return _process
+
+
+def make_codes_batch_processor(root: str, policy=None):
+    """foreachBatch hook: one IVF-PQ append generation per non-empty
+    trigger (see _make_append_processor for the shared contract)."""
+    return _make_append_processor(
+        root, policy, vq.ivfpq_append_generation
+    )
 
 
 def start_codes_ingest_stream(
@@ -208,33 +222,21 @@ def bootstrap_routed_index(
     router on the BASE corpus and commit snapshot v1 (centroids, supers,
     cent_super, codes) — the one-off training job; every later vector
     arrives through the stream and is routed by these frozen artifacts
-    (plans/vector_queries.ivfr_append_generation)."""
+    (plans/vector_queries.ivfr_append_generation).
+
+    IDEMPOTENT on an existing root — same restart contract (and same
+    review finding) as bootstrap_codes_index: never re-commit a
+    base-only snapshot over streamed appends."""
+    if store.is_store(root):
+        return root
     e = base.select(
         "vec_id", km.quantize(F.col("embedding")).alias("qemb")
     )
-    n = e.count()
-    k = max(vq._IVFR_MIN_CELLS, n // vq._IVFR_TARGET_CELL)
-    cents = km.kmeans_train_ranked(
-        e, k, vq._IVFR_ITERS, vq.EMB_DIM
-    ).localCheckpoint(eager=True)
-    router = km.train_router(cents, vq.EMB_DIM)
-    router.supers = router.supers.localCheckpoint(eager=True)
-    router.cent_super = router.cent_super.localCheckpoint(eager=True)
-
-    def build(data_dir: str) -> None:
-        cents.coalesce(1).write.parquet(os.path.join(data_dir, "centroids"))
-        router.supers.coalesce(1).write.parquet(
-            os.path.join(data_dir, "supers")
-        )
-        router.cent_super.coalesce(1).write.parquet(
-            os.path.join(data_dir, "cent_super")
-        )
-        km.route_top_cells(router, e, "vec_id", [], 1).select(
-            "vec_id", F.col("cell").cast("int").alias("cell")
-        ).write.parquet(os.path.join(data_dir, "codes"))
 
     try:
-        store.commit_snapshot(root, build)
+        store.commit_snapshot(
+            root, lambda d: vq.routed_train_and_write(spark, e, d)
+        )
     except store.CommitConflict:
         pass  # concurrent bootstrap won with the identical snapshot
     return root
@@ -245,26 +247,10 @@ def make_routed_batch_processor(root: str, policy=None):
     non-empty trigger (route batch through the FROZEN stored router,
     anti-join already-coded ids, O(delta) hardlink commit). Exactly-once
     under replay by the same empty-delta no-op contract as the IVF-PQ
-    tier. With a ``policy``, maintain_ann_root runs after each commit —
-    it detects the routed root from its artifacts and folds small codes
-    files through ivfr_compact on the file-count threshold."""
-
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        vq.ivfr_append_generation(
-            batch_df.sparkSession, None, root, vectors=batch_df
-        )
-        if policy is not None:
-            from projekt_data_engineering_iubh_spark.pipeline import (
-                maintenance,
-            )
-
-            maintenance.maintain_ann_root(
-                batch_df.sparkSession, root, policy
-            )
-
-    return _process
+    tier. With a ``policy``, maintain_ann_root detects the routed root
+    from its artifacts and folds small codes files through ivfr_compact
+    on the file-count threshold (shared body: _make_append_processor)."""
+    return _make_append_processor(root, policy, vq.ivfr_append_generation)
 
 
 def start_routed_ingest_stream(

@@ -301,3 +301,37 @@ def test_routed_ingest_stream_matches_one_pass_routing(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_bootstrap_is_idempotent_on_grown_roots(spark, tmp_path):
+    """Review fix (r11): a restarting app's natural 'bootstrap then
+    start stream' sequence must NOT re-commit a base-only snapshot over
+    streamed appends — for BOTH tiers, re-bootstrapping an existing
+    root is a no-op (appended vectors stay in the serving view)."""
+    embs = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    base = embs.filter(F.col("vec_id") < 100)
+    late = embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+
+    pq_root = str(tmp_path / "pq_root")
+    ais.bootstrap_codes_index(spark, base, pq_root)
+    assert vq.ivfpq_append_generation(spark, None, pq_root, vectors=late)
+    v = store.current_version(pq_root)
+    ais.bootstrap_codes_index(spark, base, pq_root)  # restart sequence
+    assert store.current_version(pq_root) == v
+    got = spark.read.parquet(
+        os.path.join(store.resolve(pq_root), "codes")
+    ).count()
+    assert got == 150  # appends survived the re-bootstrap
+
+    r_root = str(tmp_path / "r_root")
+    ais.bootstrap_routed_index(spark, base, r_root)
+    assert vq.ivfr_append_generation(spark, None, r_root, vectors=late)
+    v = store.current_version(r_root)
+    ais.bootstrap_routed_index(spark, base, r_root)
+    assert store.current_version(r_root) == v
+    got = spark.read.parquet(
+        os.path.join(store.resolve(r_root), "codes")
+    ).count()
+    assert got == 150

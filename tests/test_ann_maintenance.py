@@ -241,40 +241,33 @@ def test_signature_index_maintain_under_threshold_is_metadata_only(
     assert len(band_delta.live_files(idx)) == 1
 
 
-def test_maintain_routed_root_folds_on_file_count(spark, tmp_path):
+def test_maintain_routed_root_folds_on_file_count(
+    spark, tmp_path, monkeypatch
+):
     """maintain_ann_root on a ROUTED root (r11 #157-#159): the same
     policy object drives ivfr_compact when the codes file count crosses
     the threshold — kind detection from the artifacts present, no
     caller flag — and is a metadata-only no-op under it."""
-    import os as _os
-
-    from projekt_data_engineering_iubh_spark.catalog import load_table
-
-    _os.environ["SPARK_GRAFT_INDEX_DIR"] = str(tmp_path / "idx")
-    try:
-        root = vq._ensure_ivfr_appended_index(spark, SF)  # v1 + v2
-        emb = load_table(spark, SF, "embeddings")
-        top = emb.agg(F.max("vec_id")).collect()[0][0]
-        for i in range(2):
-            fresh = emb.limit(3).select(
-                (F.col("vec_id") + top + 1 + 10 * i).alias("vec_id"),
-                "embedding",
-            )
-            assert vq.ivfr_append_generation(
-                spark, SF, root, vectors=fresh
-            )
-        assert _codes_files(root) == 4  # v1 + three append deltas
-
-        res = maintenance.maintain_ann_root(
-            spark, root, maintenance.AnnMaintenancePolicy(max_codes_files=8)
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    root = vq._ensure_ivfr_appended_index(spark, SF)  # v1 + v2
+    emb = load_table(spark, SF, "embeddings")
+    top = emb.agg(F.max("vec_id")).collect()[0][0]
+    for i in range(2):
+        fresh = emb.limit(3).select(
+            (F.col("vec_id") + top + 1 + 10 * i).alias("vec_id"),
+            "embedding",
         )
-        assert res.compacted is None  # under threshold: no-op
-        assert _codes_files(root) == 4
+        assert vq.ivfr_append_generation(spark, SF, root, vectors=fresh)
+    assert _codes_files(root) == 4  # v1 + three append deltas
 
-        res = maintenance.maintain_ann_root(
-            spark, root, maintenance.AnnMaintenancePolicy(max_codes_files=3)
-        )
-        assert res.compacted == "codes_files"
-        assert _codes_files(root) == 1
-    finally:
-        _os.environ.pop("SPARK_GRAFT_INDEX_DIR", None)
+    res = maintenance.maintain_ann_root(
+        spark, root, maintenance.AnnMaintenancePolicy(max_codes_files=8)
+    )
+    assert res.compacted is None  # under threshold: no-op
+    assert _codes_files(root) == 4
+
+    res = maintenance.maintain_ann_root(
+        spark, root, maintenance.AnnMaintenancePolicy(max_codes_files=3)
+    )
+    assert res.compacted == "codes_files"
+    assert _codes_files(root) == 1

@@ -57,6 +57,15 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
+    # scratch index base: the tombstone arm below pushes EXTRA delete
+    # generations onto the lifecycle root, which is content-addressed by
+    # corpus + consts only — mutating the shared default base would make
+    # later oracle-compared runs on the same corpus serve from a root
+    # missing 40% of candidates (false MISMATCH; review finding, r11)
+    os.environ.setdefault(
+        "SPARK_GRAFT_INDEX_DIR", os.path.join(args.out, "_ann_index")
+    )
+
     from ann_scale_point import build_embeddings_replicas
 
     from projekt_data_engineering_iubh_spark.plans import all_queries
