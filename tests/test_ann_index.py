@@ -895,3 +895,48 @@ def test_routed_append_is_o_delta_with_frozen_router(
     assert (
         spark.read.parquet(os.path.join(cur, "codes")).count() == n
     )
+
+
+def test_routed_compact_folds_small_files_router_intact(
+    spark, tmp_path, monkeypatch
+):
+    """ivfr_compact: after a chain of O(delta) appends the codes dir
+    holds one file per trigger; compaction folds them into a BOUNDED
+    count (sized from bytes, not source file count), the router
+    artifacts stay hardlinked (immutable across the lineage), the
+    row set is unchanged, and an already-compact root is a no-op."""
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    root = vq._ensure_ivfr_appended_index(spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+    top = emb.agg(F.max("vec_id")).collect()[0][0]
+    for i in range(3):  # three more append generations
+        fresh = emb.limit(4).select(
+            (F.col("vec_id") + top + 1 + 10 * i).alias("vec_id"),
+            "embedding",
+        )
+        assert vq.ivfr_append_generation(spark, SF, root, vectors=fresh)
+    cur = store.resolve(root)
+    before_files = _part_files(os.path.join(cur, "codes"))
+    assert len(before_files) >= 4
+    before_rows = spark.read.parquet(os.path.join(cur, "codes")).count()
+    sup_ino = {
+        f: os.stat(os.path.join(cur, "supers", f)).st_ino
+        for f in _part_files(os.path.join(cur, "supers"))
+    }
+
+    assert vq.ivfr_compact(spark, root)
+    cur2 = store.resolve(root)
+    after_files = _part_files(os.path.join(cur2, "codes"))
+    assert len(after_files) == 1  # tiny corpus: one ~128 MiB bucket
+    assert (
+        spark.read.parquet(os.path.join(cur2, "codes")).count()
+        == before_rows
+    )
+    for f, ino in sup_ino.items():
+        assert os.stat(os.path.join(cur2, "supers", f)).st_ino == ino
+
+    assert not vq.ivfr_compact(spark, root)  # already compact: no-op
