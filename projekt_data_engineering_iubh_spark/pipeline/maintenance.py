@@ -243,9 +243,15 @@ def _artifact_footprint(snap_dir: str, name: str) -> tuple[int, int]:
     if not os.path.isdir(d):
         return 0, 0
     files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
-    return len(files), sum(
-        os.path.getsize(os.path.join(d, f)) for f in files
-    )
+    # tolerate files purged between listdir and stat by a concurrent
+    # fold — same grace-window reasoning as maintain_signature_index
+    nbytes = 0
+    for f in files:
+        try:
+            nbytes += os.path.getsize(os.path.join(d, f))
+        except OSError:
+            pass
+    return len(files), nbytes
 
 
 def maintain_ann_root(
@@ -333,7 +339,12 @@ class SignatureIndexMaintenancePolicy:
 class SignatureIndexMaintenanceResult:
     delta_files: int
     delta_bytes: int
-    compacted: str | None  # "delta_files" | "delta_bytes" | None
+    # "delta_files" | "delta_bytes" (this process folded), "lost_race"
+    # (threshold crossed but a concurrent fold won the snapshot CAS —
+    # the work happened, just not here), or None (below thresholds).
+    # Callers logging compaction cadence must not count "lost_race" as
+    # a fold this process performed (ADVICE r11).
+    compacted: str | None
 
 
 def maintain_signature_index(
@@ -353,24 +364,37 @@ def maintain_signature_index(
     from projekt_data_engineering_iubh_spark.pipeline import band_delta
 
     files = band_delta.live_files(index_path)
-    nbytes = sum(os.path.getsize(f) for f in files)
-    compacted = None
+    # a concurrent fold cycle may purge a previously-folded delta file
+    # between the listing and the stat — the fold protocol's grace
+    # window tolerates that for readers, so the byte census must too
+    # (ADVICE r11: a FileNotFoundError here crashed the streaming
+    # trigger it was supposed to keep cheap)
+    nbytes = 0
+    for f in files:
+        try:
+            nbytes += os.path.getsize(f)
+        except OSError:
+            pass
+    crossed = None
     if len(files) >= policy.max_delta_files:
-        compacted = "delta_files"
+        crossed = "delta_files"
     elif nbytes >= policy.max_delta_bytes:
-        compacted = "delta_bytes"
-    if compacted is not None:
+        crossed = "delta_bytes"
+    compacted = None
+    if crossed is not None:
         from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
             compact_signature_index,
         )
 
         try:
             compact_signature_index(spark, index_path)
+            compacted = crossed
         except snapstore.CommitConflict:
             # a concurrent fold won the snapshot CAS — the winner
             # integrated the same live files (fold's idempotent-integrate
             # contract), so the threshold's work is done; crashing the
             # streaming trigger here would contradict exactly that
-            # contract (review finding, r11)
-            pass
+            # contract (review finding, r11). Reported as a DISTINCT
+            # outcome so fold-cadence accounting stays honest.
+            compacted = "lost_race"
     return SignatureIndexMaintenanceResult(len(files), nbytes, compacted)

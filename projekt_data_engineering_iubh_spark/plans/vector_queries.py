@@ -4174,6 +4174,36 @@ def emb_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_adc_from_snapshot(spark, sf_dir, root)
 
 
+def _load_snapshot_client_state(
+    spark: SparkSession, cur: str
+) -> tuple[int, list, list, list]:
+    """Collect an IVF-PQ snapshot version's k×dim client state — the
+    FAISS-client analog of loading a trained index header: geometry from
+    the meta artifact (falling back to the cosine constants for legacy
+    roots), coarse centroids sorted by cell id, and the per-subspace
+    codebooks rebuilt as dense code-indexed tables. The fill-then-filter
+    over ``pq_codes`` slots keeps the tables correct when a codebook is
+    GAP-COMPACTED (codes trained but never assigned are absent from the
+    stored rows) — that subtlety must live in exactly one place
+    (ADVICE r11: it had been duplicated verbatim into the join serve).
+    Returns ``(pq_m, cells, cqs, books)``; nothing here is data-sized."""
+    meta = read_index_meta(spark, cur)
+    pq_m = meta.pq_m if meta is not None else _PQ_COS_M
+    pq_codes = meta.pq_codes if meta is not None else _PQ_CODES
+    coarse = sorted(
+        spark.read.parquet(os.path.join(cur, "coarse")).collect(),
+        key=lambda r: r.cell,
+    )
+    cells = [r.cell for r in coarse]
+    cqs = [list(r.cq) for r in coarse]
+    brows = spark.read.parquet(os.path.join(cur, "books")).collect()
+    books = [[None] * pq_codes for _ in range(pq_m)]
+    for r in brows:
+        books[r.m][r.code] = list(r.cq)
+    books = [[cq for cq in bk if cq is not None] for bk in books]
+    return pq_m, cells, cqs, books
+
+
 def _serve_adc_from_snapshot(
     spark: SparkSession, sf_dir: str, root: str
 ) -> DataFrame:
@@ -4187,20 +4217,9 @@ def _serve_adc_from_snapshot(
     from projekt_data_engineering_iubh_spark.pipeline import store as _st
 
     cur = _st.resolve(root)
-    meta = read_index_meta(spark, cur)
-    pq_m = meta.pq_m if meta is not None else _PQ_COS_M
-    pq_codes = meta.pq_codes if meta is not None else _PQ_CODES
-    coarse = sorted(
-        spark.read.parquet(os.path.join(cur, "coarse")).collect(),
-        key=lambda r: r.cell,
+    pq_m, coarse_cells, coarse_cqs, books = _load_snapshot_client_state(
+        spark, cur
     )
-    coarse_cells = [r.cell for r in coarse]
-    coarse_cqs = [list(r.cq) for r in coarse]
-    brows = spark.read.parquet(os.path.join(cur, "books")).collect()
-    books = [[None] * pq_codes for _ in range(pq_m)]
-    for r in brows:
-        books[r.m][r.code] = list(r.cq)
-    books = [[cq for cq in bk if cq is not None] for bk in books]
     qrows = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < _PQ_QUERIES)
@@ -4271,20 +4290,7 @@ def emb_knn_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _ensure_ivfpq_deleted_index(spark, sf_dir)
     cur = _st.resolve(root)
-    meta = read_index_meta(spark, cur)
-    pq_m = meta.pq_m if meta is not None else _PQ_COS_M
-    pq_codes = meta.pq_codes if meta is not None else _PQ_CODES
-    coarse = sorted(
-        spark.read.parquet(os.path.join(cur, "coarse")).collect(),
-        key=lambda r: r.cell,
-    )
-    cells = [r.cell for r in coarse]
-    cqs = [list(r.cq) for r in coarse]
-    brows = spark.read.parquet(os.path.join(cur, "books")).collect()
-    books = [[None] * pq_codes for _ in range(pq_m)]
-    for r in brows:
-        books[r.m][r.code] = list(r.cq)
-    books = [[cq for cq in bk if cq is not None] for bk in books]
+    pq_m, cells, cqs, books = _load_snapshot_client_state(spark, cur)
 
     emb = load_table(spark, sf_dir, "embeddings")
     qd = emb.filter(F.col("vec_id") % 2 == 0).select(

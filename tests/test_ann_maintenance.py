@@ -271,3 +271,65 @@ def test_maintain_routed_root_folds_on_file_count(
     )
     assert res.compacted == "codes_files"
     assert _codes_files(root) == 1
+
+
+def test_signature_maintain_reports_lost_race_distinctly(
+    spark, tmp_path, monkeypatch
+):
+    """A threshold crossing whose fold loses the snapshot CAS must not
+    be reported as a fold THIS process performed (r11 ADVICE: cadence
+    accounting over-counted) — and must not crash the trigger."""
+    from projekt_data_engineering_iubh_spark.streaming import (
+        neardup_stream as nd,
+    )
+
+    idx = str(tmp_path / "sigidx3")
+    nd.build_signature_index(
+        _uniq_docs(spark, 0, 10).select("doc_id", "text"), idx
+    )
+    proc = nd.make_batch_processor(str(tmp_path / "out3"), idx)
+    proc(_uniq_docs(spark, 10, 15), 0)
+
+    def _lose(*a, **k):
+        raise store.CommitConflict("concurrent fold won")
+
+    monkeypatch.setattr(
+        "projekt_data_engineering_iubh_spark.streaming."
+        "neardup_stream.compact_signature_index",
+        _lose,
+    )
+    res = maintenance.maintain_signature_index(
+        spark,
+        idx,
+        maintenance.SignatureIndexMaintenancePolicy(max_delta_files=1),
+    )
+    assert res.compacted == "lost_race"
+
+
+def test_signature_maintain_tolerates_purged_delta_file(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent fold may purge a delta file between live_files()
+    listing and the stat — the byte census must tolerate that like the
+    fold protocol's grace window tolerates it for readers (r11 ADVICE:
+    FileNotFoundError crashed the streaming trigger)."""
+    from projekt_data_engineering_iubh_spark.pipeline import band_delta
+    from projekt_data_engineering_iubh_spark.streaming import (
+        neardup_stream as nd,
+    )
+
+    idx = str(tmp_path / "sigidx4")
+    nd.build_signature_index(
+        _uniq_docs(spark, 0, 10).select("doc_id", "text"), idx
+    )
+    proc = nd.make_batch_processor(str(tmp_path / "out4"), idx)
+    proc(_uniq_docs(spark, 10, 15), 0)
+    real = band_delta.live_files(idx)
+    ghost = os.path.join(os.path.dirname(real[0]), "purged-by-fold.parquet")
+    monkeypatch.setattr(
+        "projekt_data_engineering_iubh_spark.pipeline.band_delta.live_files",
+        lambda p: list(real) + [ghost],
+    )
+    res = maintenance.maintain_signature_index(spark, idx)
+    assert res.delta_files == 2  # listing said 2; census survived the ghost
+    assert res.delta_bytes == os.path.getsize(real[0])

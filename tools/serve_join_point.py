@@ -61,9 +61,11 @@ def main() -> int:
     # generations onto the lifecycle root, which is content-addressed by
     # corpus + consts only — mutating the shared default base would make
     # later oracle-compared runs on the same corpus serve from a root
-    # missing 40% of candidates (false MISMATCH; review finding, r11)
-    os.environ.setdefault(
-        "SPARK_GRAFT_INDEX_DIR", os.path.join(args.out, "_ann_index")
+    # missing 40% of candidates (false MISMATCH; review finding, r11).
+    # Assigned UNCONDITIONALLY: a pre-set env var (e.g. the shared
+    # persistent base) would re-open exactly that hazard (ADVICE r11).
+    os.environ["SPARK_GRAFT_INDEX_DIR"] = os.path.join(
+        args.out, "_ann_index"
     )
 
     from ann_scale_point import build_embeddings_replicas
