@@ -122,6 +122,10 @@ def main() -> None:
         serve_timings[name] = round(min(rs), 3)
     serve_canary_post = _canary(spark, sf_dir)
 
+    canary_best = round(min(canary_pre + canary_post), 4)
+    serve_canary_best = round(
+        min(serve_canary_pre + serve_canary_post), 4
+    )
     print(
         json.dumps(
             {
@@ -129,6 +133,12 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # canary-normalized ratios (VERDICT r11 #7): query_min /
+                # canary_best — the cross-round comparable number. Raw
+                # seconds move with the box; these move with the plan.
+                "ratios": {
+                    n: round(t / canary_best, 3) for n, t in timings.items()
+                },
                 "sf": sf,
                 # per-query all-3 raw timings: spread within a triple is
                 # in-process interference; spread between rounds at equal
@@ -141,20 +151,22 @@ def main() -> None:
                     "task": "lineitem full-scan 4-agg",
                     "pre": canary_pre,
                     "post": canary_post,
-                    "best": round(min(canary_pre + canary_post), 4),
+                    "best": canary_best,
                 },
                 # production stored-index serve path (indexes pre-built
                 # in the untimed warm pass; see SERVE_LANE note above)
                 "serve_lane": {
                     "total": round(sum(serve_timings.values()), 3),
                     "queries": serve_timings,
+                    "ratios": {
+                        n: round(t / serve_canary_best, 3)
+                        for n, t in serve_timings.items()
+                    },
                     "runs": serve_runs,
                     "canary": {
                         "pre": serve_canary_pre,
                         "post": serve_canary_post,
-                        "best": round(
-                            min(serve_canary_pre + serve_canary_post), 4
-                        ),
+                        "best": serve_canary_best,
                     },
                 },
             }

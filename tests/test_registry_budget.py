@@ -191,6 +191,34 @@ def test_llm_pipeline_family_is_driver_checked():
     assert family and not missing, f"docs_*/emb_* outside driver window: {missing}"
 
 
+def test_never_driver_checked_backlog_is_bounded():
+    """Registry growth must not outrun driver rotation (VERDICT r11 #6):
+    entries born after a rotation's pre-flight stay local-only until the
+    next round, so the never-externally-checked pool regrows (11 -> 17
+    in r11). This ceiling makes that drift fail CI instead of waiting
+    for a verdict to notice: an entry counts against the backlog until
+    it has held a green hash row in some CORRECTNESS_r*.json. The bound
+    (20) leaves headroom for a round's worth of new entries on top of a
+    rotation that promotes the whole prior backlog."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    ever_green: set[str] = set()
+    history = sorted(repo.glob("CORRECTNESS_r*.json"))
+    assert history, "no CORRECTNESS_r*.json history found at repo root"
+    for p in history:
+        rows = json.loads(p.read_text())
+        ever_green |= {
+            name for name, row in rows.items() if row.get("hash_match")
+        }
+    backlog = sorted(set(all_queries()) - ever_green)
+    assert len(backlog) <= 20, (
+        f"{len(backlog)} registry entries have never held an external "
+        f"driver CORRECTNESS row — rotate before adding more: {backlog}"
+    )
+
+
 def test_driver_entries_have_oracles():
     # every driver entry except the documented rows-only ones must carry SQL
     rows_only = set()
