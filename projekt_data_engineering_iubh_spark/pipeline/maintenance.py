@@ -283,14 +283,18 @@ def maintain_ann_root(
     _, tomb_bytes = _artifact_footprint(cur, "tombstones")
     # root kind from the artifacts present, not an argument: an IVF-PQ
     # root carries PQ books; a routed root carries the router map. The
-    # policy fires the matching compactor (ivfr roots have no tombstone
-    # tier, so only the file-count trigger applies there).
-    routed = os.path.isdir(os.path.join(cur, "cent_super")) and not (
-        os.path.isdir(os.path.join(cur, "books"))
-    )
+    # policy fires the matching compactor — both tiers have a tombstone
+    # tier now (r12: ivfr_delete_generation), and both compactors fold
+    # tombstones away, so both triggers apply to both kinds.
+    routed = _vq._root_is_routed(cur)
     compacted = None
-    if not routed and tomb_bytes >= policy.max_tombstone_bytes:
-        if _vq.ivfpq_compact(spark, root):
+    if tomb_bytes >= policy.max_tombstone_bytes:
+        fold = (
+            _vq.ivfr_compact(spark, root)
+            if routed
+            else _vq.ivfpq_compact(spark, root)
+        )
+        if fold:
             compacted = "tombstone_bytes"
     elif codes_files >= policy.max_codes_files:
         fold = (

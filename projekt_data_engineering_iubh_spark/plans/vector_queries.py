@@ -3760,6 +3760,25 @@ def _link_frozen_artifacts(cur: str, data_dir: str) -> None:
             _link_or_copy_parquet(src, os.path.join(data_dir, name))
 
 
+def _link_routed_artifacts(cur: str, data_dir: str) -> None:
+    """The routed root's frozen tier: centroids + the two-level router
+    (supers, cent_super) are immutable across the root's whole lineage
+    (the r10 consistency law) — every generation links them."""
+    for name in ("centroids", "supers", "cent_super"):
+        src = os.path.join(cur, name)
+        if os.path.isdir(src):
+            _link_or_copy_parquet(src, os.path.join(data_dir, name))
+
+
+def _root_is_routed(cur: str) -> bool:
+    """Root kind from the artifacts present (same detection rule as
+    pipeline/maintenance.maintain_ann_root): a routed root carries the
+    persisted router map and no PQ books."""
+    return os.path.isdir(os.path.join(cur, "cent_super")) and not (
+        os.path.isdir(os.path.join(cur, "books"))
+    )
+
+
 def _read_tombstones(spark: SparkSession, snapshot_dir: str):
     """The snapshot's live tombstone key set (vec_id), or None if the
     version carries no deletes (absent artifact == empty set)."""
@@ -3969,6 +3988,51 @@ def ivfpq_delete_generation(
     /root/reference/src/daily_aggregator.py) has no vector tier; this is
     north-star training-data-pipeline surface alongside the append
     lifecycle (#150)."""
+    return _delete_generation(spark, root, keys, _link_frozen_artifacts)
+
+
+def ivfr_delete_generation(
+    spark: SparkSession, root: str, keys: DataFrame
+) -> bool:
+    """Commit ONE delete generation to a ROUTED index root (r12): the
+    takedown face the routed tier was missing — before this, a GDPR
+    erasure or moderation takedown against a routed root meant a full
+    rebuild (VERDICT r11 #2). Identical contract and commit shape as
+    ivfpq_delete_generation: tombstone the given vec_ids without
+    rewriting or re-routing any code row (O(|keys|) key-set write, the
+    router + centroids + codes all hardlinked), idempotent for unknown
+    or already-dead keys, CAS-retried against concurrent generations.
+    Serving reads go through read_live_codes (shared with the IVF-PQ
+    tier — the tombstone artifact layout is deliberately identical), so
+    deletes take effect at commit while in-flight readers keep their
+    snapshot; ivfr_compact folds tombstones into a clean rewrite."""
+    return _delete_generation(spark, root, keys, _link_routed_artifacts)
+
+
+def delete_generation(
+    spark: SparkSession, root: str, keys: DataFrame
+) -> bool:
+    """Kind-dispatching delete: detect the root's tier from its stored
+    artifacts (books ⇒ IVF-PQ, cent_super ⇒ routed — the same rule the
+    maintenance policy uses) and commit the matching tombstone
+    generation. This is the entry point the takedown STREAM uses, so one
+    delete-stream wiring serves both index kinds."""
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    routed = _root_is_routed(store.resolve(root))
+    fn = ivfr_delete_generation if routed else ivfpq_delete_generation
+    return fn(spark, root, keys)
+
+
+def _delete_generation(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    link_frozen,
+) -> bool:
+    """Shared tombstone-generation core for both index tiers — the only
+    per-tier difference is WHICH artifacts are frozen (coarse/books/meta
+    vs centroids/supers/cent_super), injected as ``link_frozen``."""
     from projekt_data_engineering_iubh_spark.pipeline import store
 
     dedup_keys = keys.select("vec_id").dropDuplicates(["vec_id"])
@@ -3990,7 +4054,7 @@ def ivfpq_delete_generation(
             # delete touches NO code row: the whole commit is links
             # (O(#files) metadata ops) plus the new tombstone keys —
             # O(|keys|) regardless of index size
-            _link_frozen_artifacts(cur, data_dir)
+            link_frozen(cur, data_dir)
             _link_or_copy_parquet(
                 os.path.join(cur, "codes"), os.path.join(data_dir, "codes")
             )
@@ -4544,15 +4608,19 @@ def _routed_serve_from_dir(
     spark: SparkSession, sf_dir: str, cur: str
 ) -> DataFrame:
     """The shared serve tail for every routed snapshot dir (#158 fresh
-    root, #159 grown root): reconstruct the TwoLevelRouter FROM THE
-    STORED artifacts, route the fixed query set through it, equi-join
-    the stored codes to the corpus, exact-cosine top-k. Collects
-    nothing; the router frames broadcast into the routing joins."""
+    root, #159 grown root, #160 tombstoned root): reconstruct the
+    TwoLevelRouter FROM THE STORED artifacts, route the fixed query set
+    through it, equi-join the stored LIVE codes to the corpus,
+    exact-cosine top-k. Collects nothing; the router frames broadcast
+    into the routing joins. Codes read through read_live_codes: a bare
+    scan when the version carries no tombstones (zero cost on the
+    undeleted path — #158/#159 plans unchanged), one anti-join against
+    the broadcast-sized key set when it does (r12 delete tier)."""
     router = km.TwoLevelRouter(
         spark.read.parquet(os.path.join(cur, "supers")),
         spark.read.parquet(os.path.join(cur, "cent_super")),
     )
-    codes = spark.read.parquet(os.path.join(cur, "codes"))
+    codes = read_live_codes(spark, cur)
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "embedding",
@@ -4646,12 +4714,17 @@ def ivfr_append_generation(
         late = late.select(
             "vec_id", km.quantize(F.col("embedding")).alias("qemb")
         ).dropDuplicates(["vec_id"])
-        old_ids = spark.read.parquet(os.path.join(cur, "codes")).select(
-            "vec_id"
-        )
+        old_codes = spark.read.parquet(os.path.join(cur, "codes"))
+        tomb = _read_tombstones(spark, cur)
+        # anti-join against LIVE ids (same rule as the IVF-PQ tier): a
+        # tombstoned vec_id arriving again is a RE-ADD — it survives the
+        # anti-join; its stale code row and tombstone are dropped below
+        live_ids = old_codes.select("vec_id")
+        if tomb is not None:
+            live_ids = live_ids.join(tomb, "vec_id", "left_anti")
         delta = (
             km.route_top_cells(
-                router, late.join(old_ids, "vec_id", "left_anti"),
+                router, late.join(live_ids, "vec_id", "left_anti"),
                 "vec_id", [], 1,
             )
             .select("vec_id", F.col("cell").cast("int").alias("cell"))
@@ -4660,14 +4733,37 @@ def ivfr_append_generation(
         if delta.isEmpty():
             return False  # replayed batch / nothing new: exactly-once no-op
 
+        # resurrection (a tombstoned id arriving again) is the ONE case
+        # that must touch existing rows — same contract as the IVF-PQ
+        # append: replace the dead code row, drop its tombstone
+        resurrect = tomb is not None and not (
+            delta.select("vec_id")
+            .join(tomb, "vec_id", "left_semi")
+            .isEmpty()
+        )
+
         def append(data_dir: str) -> None:
-            for art in ("centroids", "supers", "cent_super"):
-                _link_or_copy_parquet(
-                    os.path.join(cur, art), os.path.join(data_dir, art)
-                )
+            _link_routed_artifacts(cur, data_dir)
             codes_dir = os.path.join(data_dir, "codes")
-            _link_or_copy_parquet(os.path.join(cur, "codes"), codes_dir)
-            delta.coalesce(1).write.mode("append").parquet(codes_dir)
+            if not resurrect:
+                _link_or_copy_parquet(os.path.join(cur, "codes"), codes_dir)
+                delta.coalesce(1).write.mode("append").parquet(codes_dir)
+                if tomb is not None:
+                    _link_or_copy_parquet(
+                        os.path.join(cur, "tombstones"),
+                        os.path.join(data_dir, "tombstones"),
+                    )
+                return
+            delta_ids = delta.select("vec_id")
+            codes_out = old_codes.join(
+                delta_ids, "vec_id", "left_anti"
+            ).unionByName(delta)
+            live_tomb = tomb.join(delta_ids, "vec_id", "left_anti")
+            if not live_tomb.isEmpty():
+                live_tomb.coalesce(1).write.parquet(
+                    os.path.join(data_dir, "tombstones")
+                )
+            codes_out.write.parquet(codes_dir)
 
         try:
             store.commit_snapshot(root, append)
@@ -4715,13 +4811,20 @@ def _ensure_ivfr_appended_index(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-def _ivfr_app_sql() -> str:
+def _ivfr_app_sql(delete_where: str | None = None) -> str:
     """Oracle for serve-after-routed-append: train centroids + router on
     the ODD half only (data-dependent k from the odd count), route the
     FULL table through that router, search. Per-row routing is
     independent and the router frozen, so route(odd) ∪ route(even) ==
     route(all) — the hash certifies the frozen-router append produced
-    byte-identical cells to a one-pass routing of the grown corpus."""
+    byte-identical cells to a one-pass routing of the grown corpus.
+
+    With ``delete_where`` (a predicate over the candidate alias ``c``,
+    e.g. ``c.vec_id % 10 != 3``), deleted ids are EXCLUDED from the
+    candidate corpus — the oracle face of the r12 routed tombstone tier
+    (#160): routing is per-row independent, so exclude-after-route ==
+    route-survivors-only, exactly the argument the IVF-PQ delete oracle
+    makes for exclude-after-encode."""
     src = (
         f"SELECT vec_id, {km.quantize_sql('embedding')} AS qemb"
         f" FROM embeddings WHERE vec_id % 2 = 1"
@@ -4759,6 +4862,7 @@ racand AS (
          {vx.cosine_sql('qq.embedding', 'ee.embedding')} AS cos_sim
   FROM {q_cells} p
   JOIN {corp_cells} c ON c.cell = p.cell AND c.vec_id != p.query_id
+       {f'AND ({delete_where})' if delete_where else ''}
   JOIN embeddings ee ON ee.vec_id = c.vec_id
   JOIN embeddings qq ON qq.vec_id = p.query_id
 ), rarank AS (
@@ -4800,19 +4904,108 @@ def emb_ivf_routed_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _routed_serve_from_dir(spark, sf_dir, _st.resolve(root))
 
 
+def _ensure_ivfr_deleted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Three-version ROUTED root proving the routed grow-then-shrink
+    lifecycle (the routed analog of _ensure_ivfpq_deleted_index): v1 =
+    router + cells trained on the ODD corpus half, odd half routed and
+    committed; v2 = every EVEN vector routed through the FROZEN router
+    and appended; v3 = tombstones for vec_id % {_DELETE_MOD} ==
+    {_DELETE_RES} — deletes spanning BOTH generations, no code row
+    rewritten or re-routed. Its OWN store root (distinct consts tag):
+    pushing the delete generation onto #159's shared root would shrink
+    that entry's serving view and false-MISMATCH its oracle."""
+
+    def build(data_dir: str) -> None:
+        e = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 2 == 1
+        ).select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
+        routed_train_and_write(spark, e, data_dir)
+
+    consts = (
+        _IVFR_MIN_CELLS,
+        _IVFR_TARGET_CELL,
+        _IVFR_ITERS,
+        EMB_DIM,
+        km.FIXED_SCALE,
+        km.ROUTER_SUPER_PROBES,
+        "oddtrain",
+        _DELETE_MOD,
+        _DELETE_RES,
+        "del",
+    )
+    root = ann_index.ensure(
+        sf_dir, "embeddings.parquet", "ivfr_del", consts, build
+    )
+
+    from projekt_data_engineering_iubh_spark.pipeline import store
+
+    if store.current_version(root) < 2:
+        late = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 2 == 0
+        )
+        ivfr_append_generation(spark, sf_dir, root, vectors=late)
+    if store.current_version(root) < 3:
+        keys = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % _DELETE_MOD == _DELETE_RES
+        )
+        ivfr_delete_generation(spark, root, keys)
+    return root
+
+
+@register(
+    "emb_ivf_routed_delete_serve",
+    oracle=_ivfr_app_sql(
+        delete_where=f"c.vec_id % {_DELETE_MOD} != {_DELETE_RES}"
+    ),
+    driver=False,
+)
+def emb_ivf_routed_delete_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Serve from a routed index that GREW and then SHRANK without
+    retraining (r12, completing VERDICT r11 #2): after the #159 append
+    lifecycle (router + cells trained on the odd half, evens appended
+    through the frozen router), every vec_id % {_DELETE_MOD} ==
+    {_DELETE_RES} was tombstoned as a delete generation
+    (ivfr_delete_generation — FAISS ``remove_ids`` on the router tier).
+    No code row was rewritten at delete time: the commit is an
+    O(|keys|) key-set write plus hardlinks of router + centroids +
+    codes, and the serve plan is #158's verbatim plus ONE anti-join
+    against the broadcast-sized tombstone key set (read_live_codes —
+    the SAME artifact layout and read path as the IVF-PQ tier, so every
+    serve face of both tiers shares one tombstone discipline).
+
+    The ORACLE re-derives train-on-odd + route-full from raw data with
+    the deleted ids EXCLUDED from the candidate corpus (routing is
+    per-row independent: exclude-after-route == route-survivors-only),
+    so one hash certifies frozen-router append parity AND tombstone
+    exclusion. Lifecycle pins (delete → replay idempotency → re-add
+    resurrection → compact folds tombstones) live in
+    tests/test_ann_index.py; the takedown STREAM reaches routed roots
+    through the kind-dispatching delete_generation
+    (streaming/ann_ingest_stream.start_codes_delete_stream)."""
+    root = _ensure_ivfr_deleted_index(spark, sf_dir)
+
+    from projekt_data_engineering_iubh_spark.pipeline import store as _st
+
+    return _routed_serve_from_dir(spark, sf_dir, _st.resolve(root))
+
+
 def ivfr_compact(spark: SparkSession, root: str) -> bool:
-    """Small-file compaction for a ROUTED index root: O(delta) appends
-    grow the codes artifact by one part-file per trigger (by design —
-    see ivfr_append_generation), so a long-running ingest periodically
-    folds them into ~128 MiB files. Commits a new version whose codes
-    are a clean rewrite (repartitioned from the source FOOTPRINT, not
-    the source file count — a parquet scan keeps ~one partition per
-    small file, so an unsized rewrite re-emits what it was folding:
-    the r11 lesson ivfpq_compact already encodes) with the router
-    artifacts hardlinked — the router is immutable across the root's
-    whole lineage, compaction included. Returns False when the codes
-    dir is already a single generation (one part-file): nothing to
-    fold. Readers of prior versions keep their snapshot."""
+    """Compaction for a ROUTED index root, folding BOTH accumulated
+    shapes: O(delta) appends grow the codes artifact by one part-file
+    per trigger, and delete generations (ivfr_delete_generation, r12)
+    accumulate a tombstone key set — either warrants the one real codes
+    rewrite. Commits a version whose codes are exactly the LIVE rows
+    (read_live_codes: tombstones anti-joined away) repartitioned from
+    the source FOOTPRINT, not the source file count (a parquet scan
+    keeps ~one partition per small file, so an unsized rewrite re-emits
+    what it was folding: the r11 lesson ivfpq_compact already encodes),
+    carrying NO tombstones artifact, with the router artifacts
+    hardlinked — the router is immutable across the root's whole
+    lineage, compaction included. Returns False when there is nothing
+    to fold (single codes part-file AND no tombstones). Readers of
+    prior versions keep their snapshot."""
     from projekt_data_engineering_iubh_spark.pipeline import store
 
     for _ in range(_APPEND_RETRIES):
@@ -4822,20 +5015,18 @@ def ivfr_compact(spark: SparkSession, root: str) -> bool:
             f for f in os.listdir(src_codes)
             if not f.startswith(("_", "."))
         ]
-        if len(parts) <= 1:
+        has_tomb = _read_tombstones(spark, cur) is not None
+        if len(parts) <= 1 and not has_tomb:
             return False  # already compact
         codes_bytes = sum(
             os.path.getsize(os.path.join(src_codes, f)) for f in parts
         )
         n_out = max(1, -(-codes_bytes // _COMPACT_TARGET_BYTES))
-        codes = spark.read.parquet(src_codes)
+        live = read_live_codes(spark, cur)
 
         def build(data_dir: str) -> None:
-            for art in ("centroids", "supers", "cent_super"):
-                _link_or_copy_parquet(
-                    os.path.join(cur, art), os.path.join(data_dir, art)
-                )
-            codes.repartition(n_out).write.parquet(
+            _link_routed_artifacts(cur, data_dir)
+            live.repartition(n_out).write.parquet(
                 os.path.join(data_dir, "codes")
             )
 

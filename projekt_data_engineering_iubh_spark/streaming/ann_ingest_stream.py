@@ -165,17 +165,18 @@ def start_codes_ingest_stream(
 
 def make_delete_batch_processor(root: str, policy=None):
     """foreachBatch hook for the DELETE stream: one tombstone
-    generation per non-empty trigger (plans/vector_queries.
-    ivfpq_delete_generation). Exactly-once falls out of the delete's
-    own idempotency — keys that are unknown or already dead commit
-    NOTHING, so a replayed trigger (crash between commit and
-    checkpoint) is a no-op; a lost CAS against a concurrent
-    appender/deleter retries inside the call."""
+    generation per non-empty trigger, dispatched by root kind
+    (plans/vector_queries.delete_generation: books ⇒ IVF-PQ,
+    cent_super ⇒ routed — r12 extends takedowns to routed roots).
+    Exactly-once falls out of the delete's own idempotency — keys that
+    are unknown or already dead commit NOTHING, so a replayed trigger
+    (crash between commit and checkpoint) is a no-op; a lost CAS
+    against a concurrent appender/deleter retries inside the call."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        vq.ivfpq_delete_generation(batch_df.sparkSession, root, batch_df)
+        vq.delete_generation(batch_df.sparkSession, root, batch_df)
         if policy is not None:
             from projekt_data_engineering_iubh_spark.pipeline import (
                 maintenance,

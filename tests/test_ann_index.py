@@ -940,3 +940,109 @@ def test_routed_compact_folds_small_files_router_intact(
         assert os.stat(os.path.join(cur2, "supers", f)).st_ino == ino
 
     assert not vq.ivfr_compact(spark, root)  # already compact: no-op
+
+
+def test_routed_delete_readd_compact_lifecycle(spark, tmp_path, monkeypatch):
+    """The FAISS remove_ids lifecycle on the ROUTED tier (r12 — before
+    this, a takedown against a routed root meant a full rebuild):
+    (1) ivfr_delete_generation tombstones keys WITHOUT touching any code
+    row (codes byte-identical across the commit, tombstones artifact
+    appears, router artifacts hardlinked); (2) the routed serving view
+    (read_live_codes) excludes tombstoned ids the moment the version
+    commits while a reader holding the PRIOR version still sees them;
+    (3) re-appending a tombstoned id RESURRECTS it through the FROZEN
+    router (tombstone dropped, code row identical to its original
+    routing); (4) ivfr_compact folds tombstones into a clean snapshot
+    with an unchanged serving view; (5) unknown/already-dead keys
+    commit NOTHING (idempotent under replay)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    root = vq._ensure_ivfr_appended_index(spark, SF)  # v1 + v2 (all codes)
+    v2 = store.resolve(root)
+
+    def codes_rows(snap):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(_os.path.join(snap, "codes")).collect()
+        )
+
+    def live_ids(snap):
+        return {r.vec_id for r in vq.read_live_codes(spark, snap).collect()}
+
+    all_rows = codes_rows(v2)
+    all_ids = {r[0] for r in all_rows}
+    dead = sorted(all_ids)[40:120:2]  # spans trained + appended halves
+
+    # (1) delete generation: codes untouched, tombstones appear,
+    # router artifacts inode-identical (nothing rewritten)
+    keys = spark.createDataFrame([(i,) for i in dead], "vec_id long")
+    assert vq.ivfr_delete_generation(spark, root, keys) is True
+    v3 = store.resolve(root)
+    assert v3 != v2
+    assert codes_rows(v3) == all_rows  # no code row rewritten
+    assert live_ids(v3) == all_ids - set(dead)
+    for art in ("supers", "cent_super", "centroids", "codes"):
+        assert _inodes(_os.path.join(v2, art)) <= _inodes(
+            _os.path.join(v3, art)
+        ), art
+    # (2) snapshot isolation: the in-flight v2 reader still sees them
+    assert live_ids(v2) == all_ids
+
+    # (5) idempotency: unknown + already-dead keys commit nothing
+    again = spark.createDataFrame([(dead[0],), (10_000_000,)], "vec_id long")
+    assert vq.ivfr_delete_generation(spark, root, again) is False
+    assert store.resolve(root) == v3
+
+    # (3) re-add resurrects through the frozen router
+    readd = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id").isin([int(i) for i in dead[:5]]))
+        .select("vec_id", "embedding")
+    )
+    assert vq.ivfr_append_generation(spark, None, root, vectors=readd) is True
+    v4 = store.resolve(root)
+    assert live_ids(v4) == all_ids - set(dead[5:])
+    orig = {r[0]: r for r in all_rows}
+    for r in codes_rows(v4):
+        if r[0] in set(dead[:5]):
+            assert r == orig[r[0]]  # frozen router: same cell as before
+    v4_ids = [r[0] for r in codes_rows(v4)]
+    assert len(v4_ids) == len(set(v4_ids))  # no duplicate rows
+
+    # (4) compact: tombstones folded away, serving view unchanged
+    before = live_ids(v4)
+    assert vq.ivfr_compact(spark, root) is True
+    v5 = store.resolve(root)
+    assert not _os.path.isdir(_os.path.join(v5, "tombstones"))
+    assert {r[0] for r in codes_rows(v5)} == before
+    assert live_ids(v5) == before
+    # compacting a compact root is a no-op
+    assert vq.ivfr_compact(spark, root) is False
+    assert store.resolve(root) == v5
+
+
+def test_delete_generation_dispatches_by_root_kind(
+    spark, tmp_path, monkeypatch
+):
+    """vq.delete_generation (the takedown stream's entry point) must
+    pick the tier from the stored artifacts: a routed root gets a
+    tombstone generation with its router hardlinked; the same call
+    shape works against an IVF-PQ root (covered live by the delete
+    stream test) — here we pin the routed branch specifically."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    root = vq._ensure_ivfr_appended_index(spark, SF)
+    cur = store.resolve(root)
+    some = spark.read.parquet(os.path.join(cur, "codes")).limit(7)
+    assert vq.delete_generation(spark, root, some.select("vec_id")) is True
+    cur2 = store.resolve(root)
+    assert os.path.isdir(os.path.join(cur2, "tombstones"))
+    dead = {r.vec_id for r in some.collect()}
+    live = {
+        r.vec_id for r in vq.read_live_codes(spark, cur2).collect()
+    }
+    assert dead.isdisjoint(live)

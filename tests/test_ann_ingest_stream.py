@@ -335,3 +335,89 @@ def test_bootstrap_is_idempotent_on_grown_roots(spark, tmp_path):
         os.path.join(store.resolve(r_root), "codes")
     ).count()
     assert got == 150
+
+
+def test_routed_delete_stream_grow_takedown_replay_compact(spark, tmp_path):
+    """The takedown stream against a ROUTED root (r12): the SAME
+    start_codes_delete_stream wiring dispatches to the routed tombstone
+    generation (vq.delete_generation kind-detects from the artifacts),
+    so one delete-stream deployment serves both index tiers. Drive the
+    full streaming lifecycle live: grow through the routed ingest,
+    takedown keys spanning both generations, replay the drop (commits
+    nothing), then the maintenance policy's tombstone-bytes trigger
+    folds the tombstones away through ivfr_compact from INSIDE a
+    trigger."""
+    from projekt_data_engineering_iubh_spark.pipeline import maintenance
+
+    root = str(tmp_path / "routed_del_index")
+    ingest_src = tmp_path / "rdi_src"
+    delete_src = tmp_path / "rdd_src"
+    ingest_src.mkdir()
+    delete_src.mkdir()
+
+    embs = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    ais.bootstrap_routed_index(
+        spark, embs.filter(F.col("vec_id") < 200), root
+    )
+
+    qi = ais.start_routed_ingest_stream(
+        spark.readStream.schema(SCHEMA).parquet(str(ingest_src)),
+        str(tmp_path / "rdi_ckpt"),
+        root,
+    )
+    # tombstone-bytes threshold of 1: ANY tombstone footprint folds on
+    # the next delete trigger — proves the routed tombstone trigger
+    # fires from the stream path (r12 maintenance wiring)
+    fold_policy = maintenance.AnnMaintenancePolicy(max_tombstone_bytes=1)
+    qd = ais.start_codes_delete_stream(
+        spark.readStream.schema("vec_id long").parquet(str(delete_src)),
+        str(tmp_path / "rdd_ckpt"),
+        root,
+    )
+
+    def live_ids():
+        return {
+            r.vec_id
+            for r in vq.read_live_codes(spark, store.resolve(root)).collect()
+        }
+
+    try:
+        _drop(spark, ingest_src, tmp_path, "rg1",
+              embs.filter(F.col("vec_id") >= 200))
+        qi.processAllAvailable()
+        grown = live_ids()
+        assert grown == {r.vec_id for r in embs.select("vec_id").collect()}
+
+        dead = sorted(grown)[100:260:4]  # spans base + streamed
+        _drop(
+            spark, delete_src, tmp_path, "rd1",
+            spark.createDataFrame([(int(i),) for i in dead], "vec_id long"),
+        )
+        qd.processAllAvailable()
+        after = live_ids()
+        assert after == grown - set(dead)
+        v_after = store._committed_versions(root)
+
+        # replay: same keys again commit nothing
+        _drop(
+            spark, delete_src, tmp_path, "rd1_replay",
+            spark.createDataFrame([(int(i),) for i in dead], "vec_id long"),
+        )
+        qd.processAllAvailable()
+        assert store._committed_versions(root) == v_after
+        assert live_ids() == after
+    finally:
+        qi.stop()
+        qd.stop()
+
+    # maintenance folds the routed tombstones away (the trigger-path
+    # call is maintain_ann_root — run it exactly as the processor does)
+    res = maintenance.maintain_ann_root(spark, root, fold_policy)
+    assert res.compacted == "tombstone_bytes"
+    cur = store.resolve(root)
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(cur, "tombstones"))
+    assert live_ids() == after

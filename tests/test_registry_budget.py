@@ -174,6 +174,10 @@ LOCAL_ONLY_FAMILY = {
     # routed index without retraining the router (frozen-router routing
     # of late vectors, O(delta) hardlink commit); rotation-#9 candidate
     "emb_ivf_routed_append_serve",
+    # round 12 addition (#160): routed-tier delete lifecycle (tombstone
+    # generation + tombstone-aware routed serve) — born mid-round,
+    # local-only until a rotation window opens; rotation candidate
+    "emb_ivf_routed_delete_serve",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
