@@ -3012,6 +3012,153 @@ def emb_knn_join_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# kNN-join recall harness: the joins' approximation quality as a measured
+# number (the join-family analog of emb_ann_recall / emb_ann_recall_trained)
+# ---------------------------------------------------------------------------
+
+# sampled query set: even vec_ids below the cap (~cap/2 queries at any
+# sf). Exact ground truth costs |sample| × |odd corpus| cosines — linear
+# in the corpus because the sample is FIXED, which is exactly how a
+# 100 TB deployment measures recall (you never brute-force the full
+# corpus-sized query side; you certify a sampled panel).
+_KJR_QUERY_CAP = 100
+
+
+def _kjr_sql() -> str:
+    """Oracle for the join recall rows: exact cosine top-k ground truth
+    over the sampled queries, both approximate joins re-derived by their
+    own full oracles (embedded as derived tables — CTE scopes are
+    isolated, so the two training chains cannot collide), LEFT JOIN +
+    COUNT per query. recall = n_hits / k is exact in binary (count over
+    a power-of-two-free denominator is fine: n/10.0 is the same double
+    on both engines for n in 0..10)."""
+    return f"""
+WITH kjr_q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id % 2 = 0 AND vec_id < {_KJR_QUERY_CAP}
+),
+kjr_c AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {vx.cosine_sql('qe', 'embedding')} AS cos_sim
+  FROM kjr_q q JOIN embeddings e ON e.vec_id % 2 = 1
+),
+kjr_truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM kjr_c
+  ) WHERE rn <= {_ADCJ_K}
+),
+kjr_tj AS (
+  SELECT query_id, neighbor_id FROM ({_kjt_sql()})
+  WHERE query_id < {_KJR_QUERY_CAP}
+),
+kjr_adc AS (
+  SELECT query_id, neighbor_id FROM ({_ADCJ_SQL})
+  WHERE query_id < {_KJR_QUERY_CAP}
+)
+SELECT 'join_trained_nprobe{_KJT_NPROBE}' AS variant, t.query_id,
+       CAST(COUNT(j.neighbor_id) AS INTEGER) AS n_hits,
+       COUNT(j.neighbor_id) / {float(_ADCJ_K)} AS recall
+FROM kjr_truth t LEFT JOIN kjr_tj j
+  ON j.query_id = t.query_id AND j.neighbor_id = t.neighbor_id
+GROUP BY 2
+UNION ALL
+SELECT 'join_adc_short{_ADCJ_SHORTLIST}', t.query_id,
+       CAST(COUNT(j.neighbor_id) AS INTEGER),
+       COUNT(j.neighbor_id) / {float(_ADCJ_K)}
+FROM kjr_truth t LEFT JOIN kjr_adc j
+  ON j.query_id = t.query_id AND j.neighbor_id = t.neighbor_id
+GROUP BY 2
+"""
+
+
+@register("emb_knn_join_recall", oracle=_kjr_sql(), driver=False)
+def emb_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the two production kNN JOINS against exact ground
+    truth on a sampled query panel (r12, VERDICT r11 #4): the trained
+    join (#153 — every candidate pays a full exact cosine) and the ADC
+    join (#155 — candidates cost M table lookups, exact refine of the
+    top-{_ADCJ_SHORTLIST} shortlist only) were certified correct-as-
+    constructed, but their end-to-end recall was only IMPLIED by the
+    construction. This entry makes the recall/compute trade a measured,
+    oracle-certified number per query — the row the nprobe/shortlist
+    dials get tuned against (BASELINE.md r12 records the panel means).
+
+    Ground truth: exact cosine top-{_ADCJ_K} over the odd-id corpus for
+    every even vec_id < {_KJR_QUERY_CAP} — a FIXED sampled panel, which
+    is how recall is certified at any scale (the truth cost is |panel| ×
+    corpus, linear in the corpus; a full corpus-sized truth would be the
+    quadratic join the family exists to avoid). The approximate sides
+    COMPOSE the registered entries directly (filtered to the panel — a
+    predicate on the window partition key, so Catalyst pushes it below
+    each join's top-k window and the query side shrinks to the panel),
+    measuring exactly what users run. Recall joins cost queries×k rows.
+
+    The ORACLE re-derives the panel truth plus BOTH joins' full
+    constructions (their own oracle SQL embedded as derived tables), so
+    the hash certifies the recall numbers themselves."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", vx.norm(F.col("embedding"))
+    )
+    q = e.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < _KJR_QUERY_CAP)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = e.filter(F.col("vec_id") % 2 == 1).crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            vx.dot(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    tw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    truth = (
+        pairs.withColumn("rn", F.row_number().over(tw))
+        .filter(F.col("rn") <= _ADCJ_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    def hits(approx: DataFrame, tag: str) -> DataFrame:
+        a = approx.filter(F.col("query_id") < _KJR_QUERY_CAP).select(
+            "query_id", F.col("neighbor_id").alias("a_neighbor")
+        )
+        return (
+            truth.join(
+                a,
+                (truth.query_id == a.query_id)
+                & (truth.neighbor_id == a.a_neighbor),
+                "left",
+            )
+            .drop(a.query_id)
+            .groupBy("query_id")
+            .agg(
+                F.count("a_neighbor").cast("int").alias("n_hits"),
+                (F.count("a_neighbor") / F.lit(float(_ADCJ_K))).alias(
+                    "recall"
+                ),
+            )
+            .select(
+                F.lit(tag).alias("variant"), "query_id", "n_hits", "recall"
+            )
+        )
+
+    return hits(
+        emb_knn_join_trained(spark, sf_dir),
+        f"join_trained_nprobe{_KJT_NPROBE}",
+    ).unionByName(
+        hits(emb_knn_join_adc(spark, sf_dir), f"join_adc_short{_ADCJ_SHORTLIST}")
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Build/serve split for the trained indexes (registry queries #143-#146)

@@ -178,6 +178,10 @@ LOCAL_ONLY_FAMILY = {
     # generation + tombstone-aware routed serve) — born mid-round,
     # local-only until a rotation window opens; rotation candidate
     "emb_ivf_routed_delete_serve",
+    # round 12 addition (#161): the kNN-join recall harness (panel
+    # truth vs the trained + ADC joins) — same mid-round local-only
+    # status; rotation candidate
+    "emb_knn_join_recall",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
