@@ -351,20 +351,22 @@ class SignatureIndexMaintenanceResult:
     compacted: str | None
 
 
-def maintain_signature_index(
+def _maintain_band_delta_index(
     spark: SparkSession,
     index_path: str,
-    policy: SignatureIndexMaintenancePolicy = (
-        SignatureIndexMaintenancePolicy()
-    ),
+    policy: SignatureIndexMaintenancePolicy,
+    compact_fn,
 ) -> SignatureIndexMaintenanceResult:
-    """Enforce ``policy`` on a band-row signature index: measure the
-    LIVE delta footprint (metadata-only on the happy path) and fold it
-    into the base snapshot when a threshold is crossed. Same calling
-    contract as maintain_ann_root: streaming processors call this at
-    the end of every trigger when a policy is passed; concurrent folds
-    serialize through the store's CommitConflict and a lost race just
-    means the winner already folded."""
+    """Shared policy core for every band-delta-maintained index (r12
+    VERDICT #5 unification — the text signature tier and the semantic
+    vector tier differ only in WHICH fold integrates the delta,
+    injected as ``compact_fn``): measure the LIVE delta footprint
+    (metadata-only on the happy path) and fold when a threshold is
+    crossed. Same calling contract as maintain_ann_root: streaming
+    processors call this at the end of every trigger when a policy is
+    passed; concurrent folds serialize through the store's
+    CommitConflict and a lost race just means the winner already
+    folded."""
     from projekt_data_engineering_iubh_spark.pipeline import band_delta
 
     files = band_delta.live_files(index_path)
@@ -386,12 +388,8 @@ def maintain_signature_index(
         crossed = "delta_bytes"
     compacted = None
     if crossed is not None:
-        from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
-            compact_signature_index,
-        )
-
         try:
-            compact_signature_index(spark, index_path)
+            compact_fn(spark, index_path)
             compacted = crossed
         except snapstore.CommitConflict:
             # a concurrent fold won the snapshot CAS — the winner
@@ -402,3 +400,42 @@ def maintain_signature_index(
             # outcome so fold-cadence accounting stays honest.
             compacted = "lost_race"
     return SignatureIndexMaintenanceResult(len(files), nbytes, compacted)
+
+
+def maintain_signature_index(
+    spark: SparkSession,
+    index_path: str,
+    policy: SignatureIndexMaintenancePolicy = (
+        SignatureIndexMaintenancePolicy()
+    ),
+) -> SignatureIndexMaintenanceResult:
+    """Enforce ``policy`` on a band-row signature index (text near-dup
+    tier): the shared band-delta core with this tier's fold."""
+    from projekt_data_engineering_iubh_spark.streaming.neardup_stream import (
+        compact_signature_index,
+    )
+
+    return _maintain_band_delta_index(
+        spark, index_path, policy, compact_signature_index
+    )
+
+
+def maintain_vector_index(
+    spark: SparkSession,
+    index_path: str,
+    policy: SignatureIndexMaintenancePolicy = (
+        SignatureIndexMaintenancePolicy()
+    ),
+) -> SignatureIndexMaintenanceResult:
+    """Enforce ``policy`` on a hyperplane-bucketed vector index
+    (semantic near-dup tier, streaming/vector_stream.py): the shared
+    band-delta core with this tier's fold — closing the gap where the
+    vector tier's delta grew one file per trigger with no automated
+    fold at all (r12 VERDICT #5)."""
+    from projekt_data_engineering_iubh_spark.streaming.vector_stream import (
+        compact_vector_index,
+    )
+
+    return _maintain_band_delta_index(
+        spark, index_path, policy, compact_vector_index
+    )

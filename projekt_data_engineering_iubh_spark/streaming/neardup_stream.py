@@ -97,25 +97,13 @@ def build_signature_index(docs: DataFrame, index_path: str) -> None:
     until vacuum), and it REFUSES while live delta files exist — those
     appends are not part of ``docs`` and would be silently orphaned;
     run :func:`compact_signature_index` first."""
-    from projekt_data_engineering_iubh_spark.pipeline import store
+    from projekt_data_engineering_iubh_spark.pipeline import delta_index
 
-    rows = band_rows(signatures_from(docs))
-    if store.is_store(index_path):
-        # the module's own liveness definition: ledger-folded files kept
-        # for the one-cycle reader grace window are NOT live — a raw glob
-        # would spuriously refuse a rebuild right after a compaction
-        live = _append_files(index_path)
-        if live:
-            raise RuntimeError(
-                f"{index_path} has {len(live)} live append delta file(s); "
-                "rebuilding now would orphan them — run "
-                "compact_signature_index() first"
-            )
-        store.commit_snapshot(
-            index_path, lambda d: rows.write.mode("overwrite").parquet(d)
-        )
-        return
-    rows.write.mode("overwrite").parquet(index_path)
+    delta_index.rebuild_index(
+        band_rows(signatures_from(docs)),
+        index_path,
+        compact_hint="compact_signature_index()",
+    )
 
 
 def neardup_filter_batch(
@@ -196,54 +184,25 @@ def _append_files(index_path: str, *, include_folded: bool = False) -> list[str]
 
 def load_index(spark, index_path: str) -> DataFrame:
     """The full index view: current snapshot (manifest-resolved) plus the
-    streaming delta area."""
-    from projekt_data_engineering_iubh_spark.pipeline import store
+    streaming delta area (shared wiring: pipeline/delta_index.py)."""
+    from projekt_data_engineering_iubh_spark.pipeline import delta_index
 
-    base = spark.read.parquet(store.resolve(index_path))
-    delta = _delta.read_delta(spark, index_path)
-    return base if delta is None else base.unionByName(delta)
+    return delta_index.load_index(spark, index_path)
 
 
 def compact_signature_index(spark, index_path: str, *, _on_listed=None):
     """Fold the streaming delta into the next index snapshot (the batch
-    tier's maintenance job) via the shared fold protocol
-    (pipeline/band_delta.py::fold — live-file listing, one-cycle folded
-    grace window, racing appends stay live). This flavor's integration
-    commits snapshot+listed-delta as a new store version; concurrent
-    compactions serialize through the store's CommitConflict.
-    ``_on_listed`` is a test seam fired between listing and folding."""
-    from projekt_data_engineering_iubh_spark.pipeline import store
+    tier's maintenance job). One shared implementation for every
+    band-delta tier (pipeline/delta_index.py::fold_index — r12 VERDICT
+    #5 unification); this tier's row key is ``(doc_id, band_no)``, which
+    is what makes re-integration of re-listed files from a crashed fold
+    cycle add zero rows. ``_on_listed`` is a test seam fired between
+    listing and folding."""
+    from projekt_data_engineering_iubh_spark.pipeline import delta_index
 
-    store.init_store(index_path)  # no-op when already a manifest store
-
-    def integrate(listed: list[str]) -> None:
-        base = spark.read.parquet(store.resolve(index_path))
-        if listed:
-            # idempotent by construction (band_delta.fold crash
-            # contract): re-listed files from a crashed cycle — whose
-            # rows are already in the snapshot — anti-join away on the
-            # (doc_id, band_no) row key, so re-integration (and
-            # retry-duplicate advisory files) adds zero rows.
-            delta = (
-                spark.read.parquet(*listed)
-                .dropDuplicates(["doc_id", "band_no"])
-                .join(
-                    base.select("doc_id", "band_no"),
-                    ["doc_id", "band_no"],
-                    "left_anti",
-                )
-            )
-            merged = base.unionByName(delta)
-        else:
-            merged = base
-        # snapshot the fold before files move
-        merged = merged.localCheckpoint(eager=True)
-        store.commit_snapshot(
-            index_path,
-            lambda d: merged.write.mode("overwrite").parquet(d),
-        )
-
-    _delta.fold(spark, index_path, integrate, _on_listed=_on_listed)
+    delta_index.fold_index(
+        spark, index_path, ("doc_id", "band_no"), _on_listed=_on_listed
+    )
 
 
 def start_neardup_corpus_stream(

@@ -73,32 +73,19 @@ def build_vector_index(embs: DataFrame, index_path: str) -> None:
     store the rebuild commits a snapshot (refusing while live delta
     files exist — those appends are not part of ``embs`` and would be
     orphaned); on a plain path it's a parquet overwrite."""
-    from projekt_data_engineering_iubh_spark.pipeline import store
+    from projekt_data_engineering_iubh_spark.pipeline import delta_index
 
-    rows = bucket_rows(embs)
-    if store.is_store(index_path):
-        live = _delta.live_files(index_path)
-        if live:
-            raise RuntimeError(
-                f"{index_path} has {len(live)} live append delta file(s); "
-                "rebuilding now would orphan them — run "
-                "compact_vector_index() first"
-            )
-        store.commit_snapshot(
-            index_path, lambda d: rows.write.mode("overwrite").parquet(d)
-        )
-        return
-    rows.write.mode("overwrite").parquet(index_path)
+    delta_index.rebuild_index(
+        bucket_rows(embs), index_path, compact_hint="compact_vector_index()"
+    )
 
 
 def load_index(spark: SparkSession, index_path: str) -> DataFrame:
     """The full index view: current snapshot (manifest-resolved) plus
-    the streaming delta area."""
-    from projekt_data_engineering_iubh_spark.pipeline import store
+    the streaming delta area (shared wiring: pipeline/delta_index.py)."""
+    from projekt_data_engineering_iubh_spark.pipeline import delta_index
 
-    base = spark.read.parquet(store.resolve(index_path))
-    delta = _delta.read_delta(spark, index_path)
-    return base if delta is None else base.unionByName(delta)
+    return delta_index.load_index(spark, index_path)
 
 
 def semdedup_filter_batch(
@@ -157,37 +144,20 @@ def semdedup_filter_batch(
 
 
 def compact_vector_index(spark: SparkSession, index_path: str, *, _on_listed=None):
-    """Fold the streaming delta into the next index snapshot via the
-    shared fold protocol (band_delta.fold). Idempotent under the crash
-    contract: delta rows anti-join the base on ``vec_id`` (one bucket
-    row per vector), so re-listed files from a crashed cycle add zero
-    rows."""
-    from projekt_data_engineering_iubh_spark.pipeline import store
+    """Fold the streaming delta into the next index snapshot. One shared
+    implementation for every band-delta tier
+    (pipeline/delta_index.py::fold_index — r12 VERDICT #5 unification);
+    this tier's row key is ``vec_id`` (one bucket row per vector), so
+    re-listed files from a crashed fold cycle add zero rows."""
+    from projekt_data_engineering_iubh_spark.pipeline import delta_index
 
-    store.init_store(index_path)
-
-    def integrate(listed: list[str]) -> None:
-        base = spark.read.parquet(store.resolve(index_path))
-        if listed:
-            delta = (
-                spark.read.parquet(*listed)
-                .dropDuplicates(["vec_id"])
-                .join(base.select("vec_id"), ["vec_id"], "left_anti")
-            )
-            merged = base.unionByName(delta)
-        else:
-            merged = base
-        merged = merged.localCheckpoint(eager=True)
-        store.commit_snapshot(
-            index_path,
-            lambda d: merged.write.mode("overwrite").parquet(d),
-        )
-
-    return _delta.fold(spark, index_path, integrate, _on_listed=_on_listed)
+    return delta_index.fold_index(
+        spark, index_path, ("vec_id",), _on_listed=_on_listed
+    )
 
 
 def make_batch_processor(
-    out_path: str, index_path: str, *, tau: float = SEM_TAU
+    out_path: str, index_path: str, *, tau: float = SEM_TAU, policy=None
 ):
     """The foreachBatch body, exposed for direct (retry-semantics) tests.
 
@@ -196,7 +166,13 @@ def make_batch_processor(
     the write is a DYNAMIC partition overwrite — a retried trigger
     rewrites exactly its own batch leaf dir. Index delta appends stay
     at-least-once — bucket rows are advisory candidates (duplicates cost
-    bytes, never correctness; compaction dedups on vec_id)."""
+    bytes, never correctness; compaction dedups on vec_id).
+
+    ``policy`` (pipeline/maintenance.SignatureIndexMaintenancePolicy):
+    opt-in delta-fold enforcement at trigger end, after this trigger's
+    append landed — the same wiring the text tier and both ANN ingest
+    tiers carry (r12 VERDICT #5: without it this tier's delta grew one
+    file per trigger with no automated fold)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -221,6 +197,12 @@ def make_batch_processor(
         ).select(*INDEX_COLS)
         if kept_rows.limit(1).count():
             _delta.append_one(kept_rows, index_path)
+        if policy is not None:
+            from projekt_data_engineering_iubh_spark.pipeline import (
+                maintenance,
+            )
+
+            maintenance.maintain_vector_index(spark, index_path, policy)
 
     return _process
 
@@ -232,9 +214,12 @@ def start_vector_ingest_stream(
     index_path: str,
     *,
     tau: float = SEM_TAU,
+    policy=None,
 ):
     """Wire the streaming vector ingest and return the StreamingQuery."""
-    processor = make_batch_processor(out_path, index_path, tau=tau)
+    processor = make_batch_processor(
+        out_path, index_path, tau=tau, policy=policy
+    )
     return (
         embs.writeStream.outputMode("append")
         .foreachBatch(processor)
