@@ -143,7 +143,7 @@ UNION ALL SELECT * FROM thresh
 """
 
 
-@register("docs_sample", oracle=_SAMPLE_SQL, driver=False)
+@register("docs_sample", oracle=_SAMPLE_SQL)
 def docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling, three variants tag-unioned (registry
     curation): exact stratified (keep ceil(20%) of each language by hash
@@ -219,7 +219,7 @@ FROM starts
 """
 
 
-@register("docs_chunk", oracle=_CHUNK_SQL, driver=False)
+@register("docs_chunk", oracle=_CHUNK_SQL)
 def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking: 32-token chunks every 24 tokens (8-token
     overlap), the context-window prep step before tokenizer sharding.
@@ -1384,7 +1384,7 @@ FROM documents
 """
 
 
-@register("docs_binary_payloads", oracle=_BINARY_SQL)
+@register("docs_binary_payloads", oracle=_BINARY_SQL, driver=False)
 def docs_binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing, oracle-verified (round 7): the multimodal
     tier treats media as opaque `binary` columns
@@ -1543,7 +1543,7 @@ FROM dims
 """
 
 
-@register("docs_media_dims", oracle=_MEDIA_DIMS_SQL)
+@register("docs_media_dims", oracle=_MEDIA_DIMS_SQL, driver=False)
 def docs_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal plumbing's layout arithmetic as engine-side columns,
     oracle-checked cross-engine (#109; second oracle row of the family
@@ -2335,7 +2335,7 @@ FROM meta, unnest(range(0, duration_ms + 1, {_FS_EVERY_MS}))
 """
 
 
-@register("docs_media_framesample", oracle=_FRAMESAMPLE_SQL)
+@register("docs_media_framesample", oracle=_FRAMESAMPLE_SQL, driver=False)
 def docs_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing, oracle-checked end to end (#137;
     third oracle row of the multimodal family): synthesizes per-asset

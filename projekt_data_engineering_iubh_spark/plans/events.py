@@ -447,7 +447,7 @@ ASOF LEFT JOIN (
 """
 
 
-@register("events_asof_join", oracle=_ASOF_SQL)
+@register("events_asof_join", oracle=_ASOF_SQL, driver=False)
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each purchase gets the most recent
     signup at-or-before it per user — union-and-carry composition, one
@@ -480,7 +480,7 @@ FROM events
 """
 
 
-@register("events_window_range_frame", oracle=_RANGE_FRAME_SQL)
+@register("events_window_range_frame", oracle=_RANGE_FRAME_SQL, driver=False)
 def events_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based (RANGE) window frame: events per user in the trailing
     5 minutes, ordered by integer-µs event time."""
@@ -731,7 +731,7 @@ FROM v JOIN p ON v.user_id = p.user_id
 """
 
 
-@register("events_attribution_join", oracle=_ATTRIBUTION_SQL)
+@register("events_attribution_join", oracle=_ATTRIBUTION_SQL, driver=False)
 def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion attribution as a batch interval join: every purchase
     matched to the same user's views within the preceding 30 minutes —
@@ -854,7 +854,7 @@ FROM agg JOIN top USING (event_type)
 """
 
 
-@register("events_key_skew_profile", oracle=_SKEW_PROFILE_SQL, driver=False)
+@register("events_key_skew_profile", oracle=_SKEW_PROFILE_SQL)
 def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-distribution skew profiler — the diagnostic that DECIDES the
     salting question events_salted_agg answers: per grouping key
@@ -1357,7 +1357,7 @@ GROUP BY 1
 """
 
 
-@register("events_anomaly_mad", oracle=_MAD_SQL)
+@register("events_anomaly_mad", oracle=_MAD_SQL, driver=False)
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier detection: median + MAD (median absolute
     deviation) in EXACT integer cents, flagging |x - median| > 3*MAD —
@@ -1475,7 +1475,7 @@ GROUP BY 1
 """
 
 
-@register("events_rolling_wau", oracle=_WAU_SQL, driver=False)
+@register("events_rolling_wau", oracle=_WAU_SQL)
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling engagement: per day, the exact trailing-7-day distinct
     actives (WAU), same-day actives (DAU), and the DAU/WAU stickiness
@@ -1569,7 +1569,7 @@ FROM r WHERE rn = 1
 """
 
 
-@register("events_cusum_shift", oracle=_CUSUM_SQL)
+@register("events_cusum_shift", oracle=_CUSUM_SQL, driver=False)
 def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection over each type's daily count series:
     the day where the cumulative deviation from the series mean peaks —
@@ -1907,7 +1907,7 @@ GROUP BY 1
 """
 
 
-@register("events_linear_attribution", oracle=_LINEAR_ATTR_SQL)
+@register("events_linear_attribution", oracle=_LINEAR_ATTR_SQL, driver=False)
 def events_linear_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

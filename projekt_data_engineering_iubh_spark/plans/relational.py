@@ -352,7 +352,7 @@ GROUP BY c_custkey, c_name
 """
 
 
-@register("join_left_customer_orders", oracle=_JOIN_LEFT_SQL)
+@register("join_left_customer_orders", oracle=_JOIN_LEFT_SQL, driver=False)
 def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left join (J1/J2 semantics): unmatched left rows survive with zeroed
     aggregates — COUNT(col) skips the NULLs the join introduces."""
@@ -385,7 +385,7 @@ FROM od FULL OUTER JOIN sd ON od.d = sd.d
 """
 
 
-@register("join_outer_daily_activity", oracle=_JOIN_OUTER_SQL)
+@register("join_outer_daily_activity", oracle=_JOIN_OUTER_SQL, driver=False)
 def join_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join + zero-fill — the reference's J3+P15 pattern
     (daily_aggregator.py:234-243) on order/ship date activity."""
@@ -1093,7 +1093,7 @@ WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
 """
 
 
-@register("orders_month_slice", oracle=_MONTH_SLICE_SQL, driver=False)
+@register("orders_month_slice", oracle=_MONTH_SLICE_SQL)
 def orders_month_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: time-slice scan — prunes to one partition when the table is
     stored partitioned by month. Locally verified only: the driver entry
@@ -1209,7 +1209,7 @@ WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
 """
 
 
-@register("q19_disjunctive_revenue", oracle=_Q19_SQL)
+@register("q19_disjunctive_revenue", oracle=_Q19_SQL, driver=False)
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunctive mixed-table predicate over an
     equi-join. Catalyst extracts the common p_partkey equi-condition so
@@ -1271,7 +1271,7 @@ FROM dormant GROUP BY c_nationkey
 """
 
 
-@register("q22_dormant_customers", oracle=_Q22_SQL)
+@register("q22_dormant_customers", oracle=_Q22_SQL, driver=False)
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar aggregate subquery (above-average account
     balance, computed with exact decimal sums so the boundary comparison
@@ -1714,7 +1714,7 @@ SELECT 'referential:o_custkey->c_custkey', v_ref, v_ref = 0 FROM ref
 """
 
 
-@register("orders_expectations", oracle=_EXPECTATIONS_SQL)
+@register("orders_expectations", oracle=_EXPECTATIONS_SQL, driver=False)
 def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate over `orders`
     (operators/expectations.py; registry #107): five row-level /

@@ -1067,7 +1067,7 @@ FROM comp
 """
 
 
-@register("docs_dedup_clusters", oracle=_DEDUP_CLUSTERS_SQL, driver=False)
+@register("docs_dedup_clusters", oracle=_DEDUP_CLUSTERS_SQL)
 def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diagnostic view of the transitive dedup: every document's near-dup
     cluster (min-doc_id representative) and the cluster's size — the
@@ -1138,7 +1138,7 @@ GROUP BY d.source
 """
 
 
-@register("docs_dedup_rate_by_source", oracle=_DEDUP_RATE_SQL, driver=False)
+@register("docs_dedup_rate_by_source", oracle=_DEDUP_RATE_SQL)
 def docs_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication rate — the corpus-datasheet provenance
     metric (which crawl/source contributes the duplicate mass): docs per
@@ -1287,7 +1287,7 @@ FROM documents
 """
 
 
-@register("docs_train_test_split", oracle=_SPLIT_SQL, driver=False)
+@register("docs_train_test_split", oracle=_SPLIT_SQL)
 def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/test split (80/20).
 
@@ -1422,7 +1422,7 @@ _QUAL_MODEL_CTES = (
 _CORPUS_MODEL_SQL = _corpus_sql(_QUAL_MODEL_CTES)
 
 
-@register("docs_corpus_curated_model", oracle=_CORPUS_MODEL_SQL, driver=False)
+@register("docs_corpus_curated_model", oracle=_CORPUS_MODEL_SQL)
 def docs_corpus_curated_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_corpus_curated with the TRAINED quality lane
     (operators/quality_model.py) instead of the heuristic threshold —
@@ -1507,7 +1507,7 @@ WHERE r1.w = 1
 """
 
 
-@register("docs_repetition_stats", oracle=_REPETITION_SQL, driver=False)
+@register("docs_repetition_stats", oracle=_REPETITION_SQL)
 def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signals (Gopher-style quality filters:
     most-frequent-token fraction, duplicated-token fraction, and the
@@ -1653,7 +1653,7 @@ FROM documents"""
 )
 
 
-@register("docs_profile", oracle=_PROFILE_SQL, driver=False)
+@register("docs_profile", oracle=_PROFILE_SQL)
 def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column corpus profile (row/null/distinct counts) — the ingest
     monitoring every production load runs. One aggregation pass + an
@@ -1796,7 +1796,7 @@ FROM per_doc
 """
 
 
-@register("docs_char_entropy", oracle=_ENTROPY_SQL)
+@register("docs_char_entropy", oracle=_ENTROPY_SQL, driver=False)
 def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon character entropy per document (#110) — the fourth quality
     signal next to the heuristic (docs_text_stats), the trained NB

@@ -1442,7 +1442,7 @@ WHERE rn <= {_IVF_K}
 """
 
 
-@register("emb_ivf_ann_routed", oracle=_ivfr_sql(), driver=False)
+@register("emb_ivf_ann_routed", oracle=_ivfr_sql())
 def emb_ivf_ann_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with the two-level router on the ASYMMETRIC serve
     path (r11, closing the r10 caveat): emb_ivf_ann_trained assigns by
@@ -2927,7 +2927,7 @@ _ADCJ_SQL = _ivfpq_sql(
 )
 
 
-@register("emb_knn_join_adc", oracle=_ADCJ_SQL, driver=False)
+@register("emb_knn_join_adc", oracle=_ADCJ_SQL)
 def emb_knn_join_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kNN JOIN with PQ/ADC candidate scoring + exact refine (r11) —
     the third member of the join family and the COMPUTE answer to the
@@ -3075,7 +3075,7 @@ GROUP BY 2
 """
 
 
-@register("emb_knn_join_recall", oracle=_kjr_sql(), driver=False)
+@register("emb_knn_join_recall", oracle=_kjr_sql())
 def emb_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the two production kNN JOINS against exact ground
     truth on a sampled query panel (r12, VERDICT r11 #4): the trained
@@ -3251,7 +3251,7 @@ def emb_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_ivf_serve", oracle=_IVFT_SQL)
+@register("emb_ivf_serve", oracle=_IVFT_SQL, driver=False)
 def emb_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVE half of the trained-IVF split: read the persisted
     cell codes (vec_id, cell) from the snapshot store — building first
@@ -3499,7 +3499,7 @@ def _client_cache_put(key: tuple, state: tuple) -> None:
     _IVFPQ_CLIENT_CACHE[key] = state
 
 
-@register("emb_ivfpq_serve_lean", oracle=_IVFPQ_LEAN_SQL)
+@register("emb_ivfpq_serve_lean", oracle=_IVFPQ_LEAN_SQL, driver=False)
 def emb_ivfpq_serve_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION-mode IVF-PQ serve: answers come from the stored 2-byte
     codes alone — no corpus join, no exact-distance verification column
@@ -3627,7 +3627,7 @@ SELECT query_id, neighbor_id, cell, adc_dist, rn FROM ({_IVFPQ_NORM_SQL})
 """
 
 
-@register("emb_ivfpq_serve_lean_cos", oracle=_IVFPQ_LEAN_COS_SQL)
+@register("emb_ivfpq_serve_lean_cos", oracle=_IVFPQ_LEAN_COS_SQL, driver=False)
 def emb_ivfpq_serve_lean_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COSINE-FAITHFUL codes-only IVF-PQ serve (r9): identical plan to
     emb_ivfpq_serve_lean, but the index is built over UNIT-NORMALIZED
@@ -4363,7 +4363,7 @@ def emb_ivfpq_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_adc_from_snapshot(spark, sf_dir, root)
 
 
-@register("emb_ivfpq_append_serve", oracle=_IVFPQ_APPEND_SQL)
+@register("emb_ivfpq_append_serve", oracle=_IVFPQ_APPEND_SQL, driver=False)
 def emb_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve from an index GROWN WITHOUT RETRAIN (r9): codebooks were
     trained once on the frozen vec_id < {_APPEND_CUT} corpus (index v1);
@@ -4461,7 +4461,7 @@ _KJSERVE_SQL = _ivfpq_sql(
 )
 
 
-@register("emb_knn_join_serve", oracle=_KJSERVE_SQL, driver=False)
+@register("emb_knn_join_serve", oracle=_KJSERVE_SQL)
 def emb_knn_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The large-to-large kNN JOIN executed AGAINST THE STORED LIVE INDEX
     (r11) — the missing face that connects the two flagship structures:
@@ -4672,7 +4672,7 @@ FROM {cs} m LEFT JOIN rbn n USING (cell), range(1, {EMB_DIM} + 1) t(i)
 """
 
 
-@register("emb_ivf_routed_build", oracle=_ivfr_build_sql(), driver=False)
+@register("emb_ivf_routed_build", oracle=_ivfr_build_sql())
 def emb_ivf_routed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BUILD half of the stored ROUTED index (r11): train cells ∝ n
     (ranked-seed Lloyd, one cell per ~64 vectors), train the two-level
@@ -4725,7 +4725,7 @@ def emb_ivf_routed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_ivf_routed_serve", oracle=_ivfr_sql(), driver=False)
+@register("emb_ivf_routed_serve", oracle=_ivfr_sql())
 def emb_ivf_routed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVE half of the stored ROUTED index (r11): read centroids'
     router (supers + cent_super) and the routed codes from the snapshot
@@ -5023,9 +5023,7 @@ WHERE rn <= {_IVF_K}
 """
 
 
-@register(
-    "emb_ivf_routed_append_serve", oracle=_ivfr_app_sql(), driver=False
-)
+@register("emb_ivf_routed_append_serve", oracle=_ivfr_app_sql())
 def emb_ivf_routed_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve from a routed index GROWN WITHOUT RETRAINING THE ROUTER
     (r11): router + cells were trained once on the odd corpus half
@@ -5104,7 +5102,6 @@ def _ensure_ivfr_deleted_index(spark: SparkSession, sf_dir: str) -> str:
     oracle=_ivfr_app_sql(
         delete_where=f"c.vec_id % {_DELETE_MOD} != {_DELETE_RES}"
     ),
-    driver=False,
 )
 def emb_ivf_routed_delete_serve(
     spark: SparkSession, sf_dir: str

@@ -29,15 +29,8 @@ def test_driver_set_fits_budget():
 # they get external CORRECTNESS rows; demoted entries stay oracle-green on
 # every local test run.
 LOCAL_ONLY_FAMILY = {
-    "docs_train_test_split",
-    "docs_dedup_clusters",
     # round 3
-    "docs_repetition_stats",
-    "docs_profile",
-    "docs_sample",
-    "docs_chunk",
     # round 4
-    "docs_corpus_curated_model",
     # round 5 rotation (demoted after four green rounds)
     "docs_word_count",
     # round 5 additions that stay local
@@ -52,7 +45,6 @@ LOCAL_ONLY_FAMILY = {
     "emb_array_funcs",
     # round 6 additions (driver set at budget): the per-source dup-rate
     # datasheet rollup (#100) and the BPE tokenizer-training kernel (#101)
-    "docs_dedup_rate_by_source",
     # round 7 rotation: ten never-driver-checked entries promoted
     # (docs_dedup_clusters_star, emb_semantic_dedup, emb_quantize_int8,
     # docs_bloom_membership, docs_decontaminate, docs_mixture_epochs,
@@ -133,6 +125,25 @@ LOCAL_ONLY_FAMILY = {
     "docs_boilerplate_prune",
     "emb_hamming_ann",
     "emb_ivfpq_residual",
+    # round 12 rotation #9: NINETEEN entries promoted — the whole
+    # never-externally-checked backlog (docs_dedup_clusters,
+    # docs_dedup_rate_by_source, docs_train_test_split,
+    # docs_corpus_curated_model, docs_repetition_stats, docs_profile,
+    # docs_sample, docs_chunk, events_key_skew_profile,
+    # events_rolling_wau, orders_month_slice, and the r11 ANN six
+    # #154-#159) plus the two r12-born entries (#160
+    # emb_ivf_routed_delete_serve, #161 emb_knn_join_recall); these
+    # two-round-green (r10+r11) entries demoted — semantics covered by
+    # surviving driver entries or dedicated tests, oracle-green on
+    # every local run
+    "docs_char_entropy",
+    "docs_binary_payloads",
+    "docs_media_dims",
+    "docs_media_framesample",
+    "emb_ivf_serve",
+    "emb_ivfpq_serve_lean",
+    "emb_ivfpq_serve_lean_cos",
+    "emb_ivfpq_append_serve",
     # round 11 rotation #8: sixteen never-driver-checked entries
     # promoted (emb_knn_join_shuffled #152 leading, the new
     # emb_knn_join_trained #153, the BPE family docs_bpe_pair_counts /
@@ -148,40 +159,8 @@ LOCAL_ONLY_FAMILY = {
     "docs_weighted_sample",
     "emb_top_pc_power",
     "emb_pc_outliers",
-    # round 11 mid-round addition (#154): born AFTER rotation #8's
-    # 50/50 pre-flight, so it stays local-only this round (full oracle
-    # replicating the shared-router asymmetric-serve construction,
-    # driver-contract pre-flight green at sf0.001/sf0.01); lead
-    # rotation-#9 promotion candidate
-    "emb_ivf_ann_routed",
-    # round 11 mid-round addition (#155): the ADC-candidate kNN join
-    # (PQ-scored candidates + exact shortlist refine) — same local-only
-    # status and rationale as #154; rotation-#9 candidate
-    "emb_knn_join_adc",
-    # round 11 mid-round addition (#156): the kNN join AGAINST THE
-    # STORED LIVE INDEX (appends + tombstones honored, ADC candidates
-    # from the 2-byte codes, exact shortlist refine) — same local-only
-    # status and rationale as #154/#155; rotation-#9 candidate
-    "emb_knn_join_serve",
-    # round 11 mid-round additions (#157/#158): the stored ROUTED index
-    # (cells ∝ n + the two-level router persisted as versioned
-    # artifacts; build face certifies the stored bytes, serve face
-    # reuses #154's oracle) — same local-only status; rotation-#9
-    # candidates
-    "emb_ivf_routed_build",
-    "emb_ivf_routed_serve",
-    # round 11 mid-round addition (#159): routed-root append — grow the
-    # routed index without retraining the router (frozen-router routing
-    # of late vectors, O(delta) hardlink commit); rotation-#9 candidate
-    "emb_ivf_routed_append_serve",
-    # round 12 addition (#160): routed-tier delete lifecycle (tombstone
-    # generation + tombstone-aware routed serve) — born mid-round,
-    # local-only until a rotation window opens; rotation candidate
-    "emb_ivf_routed_delete_serve",
-    # round 12 addition (#161): the kNN-join recall harness (panel
-    # truth vs the trained + ADC joins) — same mid-round local-only
-    # status; rotation candidate
-    "emb_knn_join_recall",
+    # (the r11 mid-round ANN additions #154-#159 and the r12-born #160/
+    # #161 were all promoted INTO the driver set by rotation #9 above)
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
