@@ -207,6 +207,60 @@ def kmeans_train_ranked(
     return centroids
 
 
+def kmeans_train_ranked_routed(
+    vectors: DataFrame,
+    k: int,
+    iters: int,
+    dim: int,
+    *,
+    n_probe_super: int | None = None,  # default ROUTER_SUPER_PROBES
+) -> DataFrame:
+    """:func:`kmeans_train_ranked` with ROUTER-ASSISTED Lloyd assignment
+    (r12): exact Lloyd's per-iteration assignment is O(n·k) folds, which
+    at production geometry (cells ∝ n, so k = n/64) makes TRAINING the
+    quadratic term — at 1M vectors / 15.6k cells that is ~47B folds,
+    hours on this box and unpayable at 100 TB. Here each iteration
+    trains the two-level router over the CURRENT centroids (√k supers —
+    a k-row job) and assigns through it (~(√k + 2k/√k) folds/vector, the
+    measured 6.7× fold cut), then updates means as usual. This is
+    exactly how FAISS trains large-k IVF (assignment via the coarse
+    quantizer HNSW/IVF itself), and the r10 consistency result says
+    approximate-but-consistent assignment is what matters downstream.
+
+    NOT a drop-in replacement for the certified exact trainer: routed
+    assignment can disagree with exact argmin near cell boundaries, so
+    centroids differ from exact Lloyd's — registry oracles that
+    replicate exact Lloyd (#153, #157-#159) keep using
+    :func:`kmeans_train_ranked`. A routed-training oracle is renderable
+    (router_sql_ctes + route_top_cells_sql compose per iteration) when
+    an entry wants it. Per-iteration centroid frames are pinned
+    (localCheckpoint) — the Lloyd-chain lineage trap."""
+    seeds = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .withColumn(
+            "cell",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int"),
+        )
+        .select("cell", F.col("qemb").alias("cq"))
+    )
+    centroids = seeds.localCheckpoint(eager=True)
+    if n_probe_super is None:
+        n_probe_super = ROUTER_SUPER_PROBES
+    # route_top_cells CONSUMES qemb; the mean update still needs the
+    # vector, so it rides the routing aggregates under a second name
+    # (cheaper than joining the assignment back on vec_id)
+    carried = vectors.withColumn("_kept", F.col("qemb"))
+    for _ in range(iters):
+        router = train_router(centroids, dim)
+        asg = route_top_cells(
+            router, carried, "vec_id", ["_kept"], 1,
+            n_probe_super=n_probe_super,
+        ).withColumnRenamed("_kept", "qemb")
+        centroids = update_centroids(asg, dim).localCheckpoint(eager=True)
+    return centroids
+
+
 def kmeans_fixed_point(
     emb: DataFrame, k: int, iters: int, dim: int
 ) -> DataFrame:

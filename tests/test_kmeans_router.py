@@ -157,3 +157,39 @@ def test_wide_super_probing_recovers_exact_argmin(spark):
     for r in rows:
         per_vec.setdefault(r.vec_id, set()).add(sup_of[r.cell])
     assert all(len(s) <= 3 for s in per_vec.values())
+
+
+def test_routed_trainer_equals_exact_when_probes_cover_all_supers(spark):
+    """kmeans_train_ranked_routed (r12 — router-assisted Lloyd, the
+    trainer that makes cells ∝ n affordable at 1M+ vectors): when the
+    per-iteration router's probes cover EVERY super (k small enough
+    that n_super == n_probe_super == 2), routed assignment degenerates
+    to exact argmin, so the routed trainer must reproduce the exact
+    trainer BIT-FOR-BIT — the degenerate-case consistency pin that
+    anchors what 'approximate' means at larger k (assignment may then
+    differ near cell boundaries, centroids drift, and that is the
+    documented trade)."""
+    v = _vectors(spark)
+    k = 4  # isqrt(4) = 2 supers; 2 probes cover both
+    exact = {
+        r.cell: list(r.cq)
+        for r in km.kmeans_train_ranked(v, k, 2, DIM).collect()
+    }
+    routed = {
+        r.cell: list(r.cq)
+        for r in km.kmeans_train_ranked_routed(v, k, 2, DIM).collect()
+    }
+    assert routed == exact
+
+
+def test_routed_trainer_output_shape_at_production_k(spark):
+    """At a k where routing is genuinely approximate: the routed
+    trainer still emits <= k cells (Lloyd drops emptied cells), every
+    centroid is dim-length, and cell ids come from the seed rank space
+    [0, k)."""
+    v = _vectors(spark)
+    k = 24
+    cents = km.kmeans_train_ranked_routed(v, k, 2, DIM).collect()
+    assert 0 < len(cents) <= k
+    assert all(len(r.cq) == DIM for r in cents)
+    assert all(0 <= r.cell < k for r in cents)
