@@ -71,6 +71,9 @@ SERVE_LANE = (
     # additive lane member; earlier rounds' per-query values stay
     # comparable, the lane total gains this row from r11 on
     "emb_ivf_routed_serve",
+    # r12: the routed tier's tombstone-aware serve (grow-then-shrink
+    # lifecycle root) — additive from r12 on, same comparability note
+    "emb_ivf_routed_delete_serve",
 )
 
 
