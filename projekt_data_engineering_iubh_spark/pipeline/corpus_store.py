@@ -23,11 +23,25 @@ carry it. Tables land in the session's warehouse dir.
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from projekt_data_engineering_iubh_spark.pipeline import band_delta
 
 DEFAULT_BUCKETS = 16  # sized for tests; production sizes to ~executor count
+
+# Takedown sidecar for the BUCKETED band index (r13, VERDICT r12 #2):
+# ``<table location>/_tombstones/*.parquet`` — doc_id key files landed by
+# the same atomic-rename protocol as the ``_appends`` delta (underscore
+# prefix ⇒ invisible to table scans). A delete is O(|keys|): one small
+# file, no catalog write, no bucket shuffle; reads anti-join the live
+# key set (bare scan when none), and compact_band_index applies the keys
+# physically on the maintenance cadence.
+TOMBSTONES_SUBDIR = "_tombstones"
 
 
 def table_location(spark: SparkSession, table: str) -> str:
@@ -113,6 +127,143 @@ def append_band_index(
     band_delta.append_one(rows, table_location(spark, table))
 
 
+def _tombstones_dir(spark: SparkSession, table: str) -> str:
+    return os.path.join(table_location(spark, table), TOMBSTONES_SUBDIR)
+
+
+def _tombstone_files(spark: SparkSession, table: str) -> list[str]:
+    return sorted(
+        f
+        for f in glob.glob(
+            os.path.join(_tombstones_dir(spark, table), "*.parquet")
+        )
+        if os.path.isfile(f)
+    )
+
+
+def band_tombstones(
+    spark: SparkSession, table: str, *, files: list[str] | None = None
+) -> DataFrame | None:
+    """The index's live tombstoned doc_ids, or None when there are no
+    delete files (absent sidecar == empty set — the bare-scan fast
+    path). ``ignoreMissingFiles``: a file applied-and-purged by a
+    concurrent compaction after this listing degrades to fewer dead
+    keys in THIS plan, and those rows are gone from the base anyway."""
+    fs = _tombstone_files(spark, table) if files is None else files
+    if not fs:
+        return None
+    return (
+        spark.read.option("ignoreMissingFiles", "true")
+        .parquet(*fs)
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+
+
+def delete_band_docs(
+    spark: SparkSession, table: str, doc_ids: DataFrame
+) -> None:
+    """Tombstone documents in the bucketed band index (r13 — the batch
+    tier's takedown face, mirroring the streaming tiers' delete
+    generations): land the doc_id key set as ONE sidecar file by atomic
+    rename, O(|keys|) with no catalog write and no bucket shuffle. From
+    the rename on, the erased docs' band rows stop matching as near-dup
+    anchors (near_matches reads through the anti-join); the rows leave
+    the table physically at the next compact_band_index. Idempotent
+    under retry: a duplicate key file changes nothing (keys dedup at
+    read). A legitimate RE-ADD of an erased doc_id must call
+    resurrect_band_docs first (the same rule the streaming processors
+    apply automatically) — until then the id stays dead, including its
+    not-yet-compacted delta rows."""
+    band_delta._require_local(table_location(spark, table))
+    tomb_dir = _tombstones_dir(spark, table)
+    os.makedirs(tomb_dir, exist_ok=True)
+    tmp = os.path.join(tomb_dir, f".tmp-{uuid.uuid4().hex}")
+    doc_ids.select("doc_id").dropDuplicates(["doc_id"]).coalesce(
+        1
+    ).write.parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    if part:
+        os.replace(
+            part[0], os.path.join(tomb_dir, f"{uuid.uuid4().hex}.parquet")
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _overwrite_bands_preserving_sidecars(
+    spark: SparkSession, table: str, live: DataFrame, buckets: int
+) -> None:
+    """A managed-table overwrite DELETES the table location wholesale —
+    including the ``_appends`` delta (ledger and all) and the
+    ``_tombstones`` sidecar, which live under it (probed empirically:
+    Spark drops and recreates the dir). Snapshot every sidecar FILE as
+    hardlinks into a temp dir next to the warehouse before the rewrite
+    and restore them after (inodes survive the unlink; same-filesystem
+    renames on restore). An append racing the overwrite window itself
+    can be lost — the tier's documented single-maintainer /
+    non-crash-atomic legacy caveat; the streaming tiers' manifest
+    stores are the transactional path."""
+    loc = table_location(spark, table)
+    kept: dict[str, str] = {}
+    parent = os.path.dirname(loc.rstrip("/"))
+    for name in (band_delta.APPENDS_SUBDIR, TOMBSTONES_SUBDIR):
+        src = os.path.join(loc, name)
+        if not os.path.isdir(src):
+            continue
+        tmp = os.path.join(parent, f".{name}.keep-{uuid.uuid4().hex}")
+        os.makedirs(tmp)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if os.path.isfile(p):  # includes the .folded.json ledger
+                try:
+                    os.link(p, os.path.join(tmp, f))
+                except OSError:
+                    shutil.copy2(p, os.path.join(tmp, f))
+        kept[name] = tmp
+    _write_bands(live, table, "overwrite", buckets)
+    loc2 = table_location(spark, table)
+    for name, tmp in kept.items():
+        dst = os.path.join(loc2, name)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(tmp):
+            try:
+                os.replace(os.path.join(tmp, f), os.path.join(dst, f))
+            except OSError:
+                shutil.copy2(os.path.join(tmp, f), os.path.join(dst, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def resurrect_band_docs(
+    spark: SparkSession, table: str, doc_ids: DataFrame
+) -> bool:
+    """Drop tombstones for doc_ids being legitimately RE-ADDED: rewrite
+    the live key set minus ``doc_ids`` as one fresh sidecar file and
+    remove the files it replaces (no-op returning False when nothing is
+    tombstoned or nothing matches). Single-maintainer assumption, same
+    as the tier's other maintenance: a delete file landing AFTER the
+    listing survives untouched; two concurrent resurrects may leave a
+    doc dead until the next resurrect call — never the reverse."""
+    listed = _tombstone_files(spark, table)
+    tomb = band_tombstones(spark, table, files=listed)
+    if tomb is None:
+        return False
+    back = doc_ids.select("doc_id").dropDuplicates(["doc_id"])
+    hit = not tomb.join(back, "doc_id", "left_semi").isEmpty()
+    if not hit:
+        return False
+    remaining = tomb.join(back, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    if not remaining.isEmpty():
+        delete_band_docs(spark, table, remaining)
+    for f in listed:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    return True
+
+
 def band_index_frames(
     spark: SparkSession, table: str
 ) -> tuple[DataFrame, DataFrame | None]:
@@ -121,11 +272,22 @@ def band_index_frames(
     output partitioning and force the full corpus side through an
     exchange — consumers join each branch and union the RESULTS, so the
     base branch stays zero-exchange and only the (small) delta branch
-    shuffles."""
-    return (
-        spark.table(table),
-        band_delta.read_delta(spark, table_location(spark, table)),
-    )
+    shuffles.
+
+    Tombstones (r13): with live delete files both branches read through
+    ONE anti-join against the (tiny, broadcast) doc_id key set — erased
+    docs stop matching as near-dup anchors the moment the delete file
+    lands. With none (the overwhelmingly common case) the plans are
+    untouched, preserving the base branch's plan-pinned zero-exchange
+    join: a broadcast anti-join adds no exchange on the probe side."""
+    base = spark.table(table)
+    delta = band_delta.read_delta(spark, table_location(spark, table))
+    tomb = band_tombstones(spark, table)
+    if tomb is not None:
+        base = base.join(tomb, "doc_id", "left_anti")
+        if delta is not None:
+            delta = delta.join(tomb, "doc_id", "left_anti")
+    return base, delta
 
 
 def compact_band_index(
@@ -139,10 +301,22 @@ def compact_band_index(
     tier's flavor of the shared fold protocol — spec-restating catalog
     append; one-cycle folded grace window, racing appends stay live).
     Returns the number of files folded. ``_on_listed`` is the shared
-    protocol's test seam (fired between listing and integrating)."""
+    protocol's test seam (fired between listing and integrating).
+
+    Tombstones (r13): when delete files are live at cycle start, the
+    fold becomes the one real rewrite — base minus dead docs plus fresh
+    delta rows, overwritten with the spec restated — and exactly the
+    applied delete files are then removed (a delete landing mid-cycle
+    keeps its file, stays honored at read, and applies next cycle; a
+    crash before the removal re-applies idempotently). The overwrite
+    carries this tier's documented legacy caveat: a catalog-table
+    overwrite is not crash-atomic — the streaming tiers' manifest
+    stores are the transactional path."""
+    tomb_listed = _tombstone_files(spark, table)
+    tomb = band_tombstones(spark, table, files=tomb_listed)
 
     def integrate(listed: list[str]) -> None:
-        if not listed:
+        if not listed and tomb is None:
             return
         # idempotent by construction (band_delta.fold crash contract):
         # a crash after a previous cycle's integrate but before its
@@ -151,19 +325,40 @@ def compact_band_index(
         # the re-integration (and retry-duplicate advisory files) append
         # zero rows. The base side is the bucketed table (small delta
         # side shuffles to it; base stays scan-only).
-        rows = spark.read.parquet(*listed).dropDuplicates(
-            ["doc_id", "band_no"]
-        )
-        base_keys = spark.table(table).select("doc_id", "band_no")
-        fresh = rows.join(base_keys, ["doc_id", "band_no"], "left_anti")
-        _write_bands(fresh, table, "append", buckets)
+        if listed:
+            rows = spark.read.parquet(*listed).dropDuplicates(
+                ["doc_id", "band_no"]
+            )
+            base_keys = spark.table(table).select("doc_id", "band_no")
+            fresh = rows.join(base_keys, ["doc_id", "band_no"], "left_anti")
+        else:
+            fresh = None
+        if tomb is None:
+            _write_bands(fresh, table, "append", buckets)
+            return
+        live = spark.table(table).join(tomb, "doc_id", "left_anti")
+        if fresh is not None:
+            live = live.unionByName(
+                fresh.join(tomb, "doc_id", "left_anti")
+            )
+        # materialize before the overwrite: the plan reads the table it
+        # is about to replace (same pattern as delta_index.fold_index)
+        live = live.localCheckpoint(eager=True)
+        _overwrite_bands_preserving_sidecars(spark, table, live, buckets)
 
-    return len(
+    folded = len(
         band_delta.fold(
             spark, table_location(spark, table), integrate,
             _on_listed=_on_listed,
         )
     )
+    if tomb is not None:
+        for f in tomb_listed:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+    return folded
 
 
 def write_band_index(

@@ -143,6 +143,11 @@ def ingest(
     # dropped near-dup still belongs to its match's cluster, which is
     # exactly the bridge-merge information the map exists to carry.
     cluster_index.ingest_batch(spark, batch, cluster_root, tau=tau, bands=bb)
+    # resurrection (r13): a kept doc whose id was tombstoned by a
+    # takedown is a legitimate re-add — drop its tombstone so its band
+    # rows match again (no-op when the index carries no tombstones, the
+    # overwhelmingly common batch)
+    corpus_store.resurrect_band_docs(spark, band_table, kept_ids)
     corpus_store.append_band_index(
         kept, band_table, bands=bb.join(kept_ids, "doc_id", "left_semi")
     )

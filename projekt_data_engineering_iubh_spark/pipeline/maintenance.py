@@ -235,7 +235,14 @@ class AnnMaintenancePolicy:
 class AnnMaintenanceResult:
     codes_files: int
     tombstone_bytes: int
-    compacted: str | None  # "tombstone_bytes" | "codes_files" | None
+    # "tombstone_bytes" | "codes_files" (this process folded),
+    # "lost_race" (threshold crossed but a concurrent compactor won —
+    # the compactor re-resolved and found nothing left to fold, or lost
+    # the snapshot CAS on every retry; either way the work happened,
+    # just not here), or None (below thresholds). Same semantics as
+    # SignatureIndexMaintenanceResult so cross-store fold-cadence
+    # accounting reads one contract over all four stores (ADVICE r12).
+    compacted: str | None
 
 
 def _artifact_footprint(snap_dir: str, name: str) -> tuple[int, int]:
@@ -266,8 +273,10 @@ def maintain_ann_root(
     (the tombstone fold also rewrites codes, so it resets both).
     Handles BOTH root kinds by inspecting the artifacts present: IVF-PQ
     roots (books + meta) compact via ivfpq_compact; routed roots
-    (cent_super, no books — r11 #157-#159) via ivfr_compact, where only
-    the file-count trigger applies (no tombstone tier).
+    (cent_super, no books — r11 #157-#159) via ivfr_compact. Since r12
+    (ivfr_delete_generation) both kinds carry a tombstone tier, so BOTH
+    triggers apply to BOTH kinds — each compactor folds its tombstones
+    away.
 
     Compaction publishes a NEW snapshot version through the store CAS —
     in-flight readers keep their version, a concurrent trigger that
@@ -287,23 +296,32 @@ def maintain_ann_root(
     # tier now (r12: ivfr_delete_generation), and both compactors fold
     # tombstones away, so both triggers apply to both kinds.
     routed = _vq._root_is_routed(cur)
-    compacted = None
+    crossed = None
     if tomb_bytes >= policy.max_tombstone_bytes:
-        fold = (
-            _vq.ivfr_compact(spark, root)
-            if routed
-            else _vq.ivfpq_compact(spark, root)
-        )
-        if fold:
-            compacted = "tombstone_bytes"
+        crossed = "tombstone_bytes"
     elif codes_files >= policy.max_codes_files:
-        fold = (
-            _vq.ivfr_compact(spark, root)
-            if routed
-            else _vq.ivfpq_compact(spark, root, force=True)
-        )
-        if fold:
-            compacted = "codes_files"
+        crossed = "codes_files"
+    compacted = None
+    if crossed is not None:
+        try:
+            if routed:
+                fold = _vq.ivfr_compact(spark, root)
+            else:
+                fold = _vq.ivfpq_compact(
+                    spark, root, force=(crossed == "codes_files")
+                )
+            # a threshold we measured was crossed, but the compactor's
+            # own re-resolve found nothing left to fold: a concurrent
+            # winner folded between our footprint census and the
+            # compactor's resolve. Report it as a lost race, same as
+            # the band-delta tiers (ADVICE r12) — NOT as a fold this
+            # process performed and NOT as a silent None.
+            compacted = crossed if fold else "lost_race"
+        except snapstore.CommitConflict:
+            # the compactor lost the snapshot CAS on every retry — a
+            # concurrent generation/compaction stream won; the next
+            # trigger re-measures (same grace as the band-delta core)
+            compacted = "lost_race"
     return AnnMaintenanceResult(codes_files, tomb_bytes, compacted)
 
 
@@ -329,21 +347,30 @@ class SignatureIndexMaintenancePolicy:
       matter at trigger-sized deltas.
     * ``max_delta_bytes`` — a byte backstop for fat triggers, so a few
       large deltas can't hide behind a low file count.
+    * ``max_tombstone_bytes`` (r13) — the snapshot's tombstone key set
+      is the read path's anti-join build side (delta_index delete
+      generations); crossing it runs the fold, which applies the
+      deletes physically and retires every key not still exposed to the
+      crash-replay window — the band-delta analog of the ANN policy's
+      tombstone trigger.
 
-    Both checks are O(#files) local-filesystem metadata (the delta is
+    All checks are O(#files) local-filesystem metadata (the delta is
     local-FS by band_delta's contract), cheap enough for EVERY trigger.
-    Crossing either runs ``compact_signature_index`` — the snapshot-CAS
+    Crossing any runs ``compact_signature_index`` — the snapshot-CAS
     fold whose one-cycle grace window keeps in-flight readers safe."""
 
     max_delta_files: int = 16
     max_delta_bytes: int = 64 * 1024 * 1024
+    max_tombstone_bytes: int = 8 * 1024 * 1024
 
 
 @dataclass
 class SignatureIndexMaintenanceResult:
     delta_files: int
     delta_bytes: int
-    # "delta_files" | "delta_bytes" (this process folded), "lost_race"
+    tombstone_bytes: int
+    # "delta_files" | "delta_bytes" | "tombstone_bytes" (this process
+    # folded), "lost_race"
     # (threshold crossed but a concurrent fold won the snapshot CAS —
     # the work happened, just not here), or None (below thresholds).
     # Callers logging compaction cadence must not count "lost_race" as
@@ -367,7 +394,10 @@ def _maintain_band_delta_index(
     passed; concurrent folds serialize through the store's
     CommitConflict and a lost race just means the winner already
     folded."""
-    from projekt_data_engineering_iubh_spark.pipeline import band_delta
+    from projekt_data_engineering_iubh_spark.pipeline import (
+        band_delta,
+        delta_index,
+    )
 
     files = band_delta.live_files(index_path)
     # a concurrent fold cycle may purge a previously-folded delta file
@@ -381,8 +411,13 @@ def _maintain_band_delta_index(
             nbytes += os.path.getsize(f)
         except OSError:
             pass
+    _, tomb_bytes = _artifact_footprint(
+        snapstore.resolve(index_path), delta_index.TOMBSTONES_SUBDIR
+    )
     crossed = None
-    if len(files) >= policy.max_delta_files:
+    if tomb_bytes >= policy.max_tombstone_bytes:
+        crossed = "tombstone_bytes"
+    elif len(files) >= policy.max_delta_files:
         crossed = "delta_files"
     elif nbytes >= policy.max_delta_bytes:
         crossed = "delta_bytes"
@@ -399,7 +434,9 @@ def _maintain_band_delta_index(
             # contract (review finding, r11). Reported as a DISTINCT
             # outcome so fold-cadence accounting stays honest.
             compacted = "lost_race"
-    return SignatureIndexMaintenanceResult(len(files), nbytes, compacted)
+    return SignatureIndexMaintenanceResult(
+        len(files), nbytes, tomb_bytes, compacted
+    )
 
 
 def maintain_signature_index(
@@ -417,6 +454,25 @@ def maintain_signature_index(
 
     return _maintain_band_delta_index(
         spark, index_path, policy, compact_signature_index
+    )
+
+
+def maintain_band_index(
+    spark: SparkSession,
+    index_path: str,
+    policy: SignatureIndexMaintenancePolicy = (
+        SignatureIndexMaintenancePolicy()
+    ),
+) -> SignatureIndexMaintenanceResult:
+    """Kind-agnostic band-delta maintenance (r13): detect the tier from
+    the stored schema (delta_index.detect_key_cols) and enforce
+    ``policy`` through the generic fold — what the takedown stream uses
+    when it only holds a root path (the band analog of
+    maintain_ann_root's artifact-sniffing dispatch)."""
+    from projekt_data_engineering_iubh_spark.pipeline import delta_index
+
+    return _maintain_band_delta_index(
+        spark, index_path, policy, delta_index.compact_index
     )
 
 

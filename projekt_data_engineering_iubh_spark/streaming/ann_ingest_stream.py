@@ -167,24 +167,47 @@ def make_delete_batch_processor(root: str, policy=None):
     """foreachBatch hook for the DELETE stream: one tombstone
     generation per non-empty trigger, dispatched by root kind
     (plans/vector_queries.delete_generation: books ⇒ IVF-PQ,
-    cent_super ⇒ routed — r12 extends takedowns to routed roots).
-    Exactly-once falls out of the delete's own idempotency — keys that
-    are unknown or already dead commit NOTHING, so a replayed trigger
-    (crash between commit and checkpoint) is a no-op; a lost CAS
-    against a concurrent appender/deleter retries inside the call."""
+    cent_super ⇒ routed — r12 extends takedowns to routed roots; a root
+    with NO codes artifact is a band-delta dedup index — signature or
+    vector tier — and takes its tombstones through
+    pipeline/delta_index.delete_index_keys, r13 closing the last index
+    family without a takedown face). Exactly-once falls out of the
+    delete's own idempotency — keys that are unknown or already dead
+    commit NOTHING, so a replayed trigger (crash between commit and
+    checkpoint) is a no-op; a lost CAS against a concurrent
+    appender/deleter retries inside the call.
+
+    ``policy``: pipeline/maintenance.AnnMaintenancePolicy for ANN
+    roots, SignatureIndexMaintenancePolicy for band-delta roots — the
+    dispatch routes it to the matching maintainer."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        vq.delete_generation(batch_df.sparkSession, root, batch_df)
+        spark = batch_df.sparkSession
+        from projekt_data_engineering_iubh_spark.pipeline import store
+
+        ann = os.path.isdir(os.path.join(store.resolve(root), "codes"))
+        if ann:
+            vq.delete_generation(spark, root, batch_df)
+        else:
+            from projekt_data_engineering_iubh_spark.pipeline import (
+                delta_index,
+            )
+
+            key = delta_index.doc_key_col(spark, root)
+            delta_index.delete_index_keys(
+                spark, root, batch_df.select(key)
+            )
         if policy is not None:
             from projekt_data_engineering_iubh_spark.pipeline import (
                 maintenance,
             )
 
-            maintenance.maintain_ann_root(
-                batch_df.sparkSession, root, policy
-            )
+            if ann:
+                maintenance.maintain_ann_root(spark, root, policy)
+            else:
+                maintenance.maintain_band_index(spark, root, policy)
 
     return _process
 
@@ -192,15 +215,18 @@ def make_delete_batch_processor(root: str, policy=None):
 def start_codes_delete_stream(
     keys: DataFrame, checkpoint: str, root: str, *, policy=None
 ):
-    """Wire a takedown-key stream (vec_id rows — GDPR erasure requests,
-    moderation takedowns, dedup re-run verdicts) into tombstone
-    generations on the serving index: the streaming face of FAISS
-    ``remove_ids``, pairing with the codes ingest above so the index
-    both grows AND shrinks continuously without retraining. Serving
-    reads go through read_live_codes, so a delete takes effect the
-    moment its generation commits while in-flight readers keep their
-    snapshot; ivfpq_compact folds accumulated tombstones away on the
-    maintenance cadence."""
+    """Wire a takedown-key stream (vec_id / doc_id rows — GDPR erasure
+    requests, moderation takedowns, dedup re-run verdicts) into
+    tombstone generations on the target index: the streaming face of
+    FAISS ``remove_ids``, pairing with the codes ingest above so an
+    index both grows AND shrinks continuously without retraining. The
+    processor dispatches on the root's kind (IVF-PQ / routed / either
+    band-delta dedup tier — r13), so ONE delete-stream wiring serves
+    every index family. Serving reads go through read_live_codes (ANN)
+    or the load_index anti-join (band tiers), so a delete takes effect
+    the moment its generation commits while in-flight readers keep
+    their snapshot; the matching compaction folds accumulated
+    tombstones away on the maintenance cadence."""
     return (
         keys.writeStream.outputMode("append")
         .foreachBatch(make_delete_batch_processor(root, policy))

@@ -196,12 +196,30 @@ def compact_signature_index(spark, index_path: str, *, _on_listed=None):
     band-delta tier (pipeline/delta_index.py::fold_index — r12 VERDICT
     #5 unification); this tier's row key is ``(doc_id, band_no)``, which
     is what makes re-integration of re-listed files from a crashed fold
-    cycle add zero rows. ``_on_listed`` is a test seam fired between
-    listing and folding."""
+    cycle add zero rows. Tombstoned docs' band rows leave the index
+    files here (r13 — until the fold they are suppressed at read).
+    ``_on_listed`` is a test seam fired between listing and folding."""
     from projekt_data_engineering_iubh_spark.pipeline import delta_index
 
     delta_index.fold_index(
         spark, index_path, ("doc_id", "band_no"), _on_listed=_on_listed
+    )
+
+
+def delete_docs(spark, index_path: str, doc_ids: DataFrame) -> bool:
+    """Tombstone documents in the signature index (r13, VERDICT r12 #2
+    — GDPR erasure / moderation takedown for the NEAR-DUP tier): an
+    O(|keys|) delete generation through the shared band-delta tombstone
+    core (pipeline/delta_index.py::delete_index_keys). From the commit
+    on, the erased docs' band rows stop matching as near-dup anchors in
+    every read path (load_index anti-join — bare scan when undeleted);
+    compact_signature_index folds the rows away physically; a
+    re-ingested doc resurrects via the processor's resurrect call.
+    ``doc_ids``: any frame with a doc_id column."""
+    from projekt_data_engineering_iubh_spark.pipeline import delta_index
+
+    return delta_index.delete_index_keys(
+        spark, index_path, doc_ids.select("doc_id")
     )
 
 
@@ -301,6 +319,15 @@ def make_batch_processor(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("split", "lang", "_ingest_batch")
             .parquet(out_path)
+        )
+        # resurrection (r13): a surviving doc whose id is tombstoned is
+        # a legitimate RE-ADD — drop its tombstone so it matches again
+        # (metadata-only when the snapshot carries no tombstones, the
+        # overwhelmingly common trigger)
+        from projekt_data_engineering_iubh_spark.pipeline import delta_index
+
+        delta_index.resurrect_index_keys(
+            spark, index_path, kept.select("doc_id")
         )
         # one delta file per trigger, landed atomically by the shared
         # append protocol (band_delta.append_one — unique names, retry

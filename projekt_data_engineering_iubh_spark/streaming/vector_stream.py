@@ -156,6 +156,24 @@ def compact_vector_index(spark: SparkSession, index_path: str, *, _on_listed=Non
     )
 
 
+def delete_vectors(
+    spark: SparkSession, index_path: str, vec_ids: DataFrame
+) -> bool:
+    """Tombstone vectors in the semantic near-dup index (r13, VERDICT
+    r12 #2): the vector twin of neardup_stream.delete_docs — an
+    O(|keys|) delete generation through the shared band-delta tombstone
+    core. From the commit on, the erased vectors' bucket rows stop
+    suppressing future semantic near-dups in every read path
+    (load_index anti-join — bare scan when undeleted);
+    compact_vector_index folds the rows away physically; a re-ingested
+    vector resurrects via the processor's resurrect call."""
+    from projekt_data_engineering_iubh_spark.pipeline import delta_index
+
+    return delta_index.delete_index_keys(
+        spark, index_path, vec_ids.select("vec_id")
+    )
+
+
 def make_batch_processor(
     out_path: str, index_path: str, *, tau: float = SEM_TAU, policy=None
 ):
@@ -191,6 +209,14 @@ def make_batch_processor(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_ingest_batch")
             .parquet(out_path)
+        )
+        # resurrection (r13): a surviving vector whose id is tombstoned
+        # is a legitimate RE-ADD — drop its tombstone so it suppresses
+        # dups again (metadata-only when the snapshot carries none)
+        from projekt_data_engineering_iubh_spark.pipeline import delta_index
+
+        delta_index.resurrect_index_keys(
+            spark, index_path, kept.select("vec_id")
         )
         kept_rows = bb.join(
             kept.select("vec_id"), "vec_id", "left_semi"

@@ -18,7 +18,14 @@ four hand-rolled copies. Pins, per store:
    REFUSE while live delta exists (rebuilding would orphan appends),
    snapshot tiers NO-OP on an existing root (the r11 bug class);
 4. after the final fold the view's keys are exactly the one-delivery
-   expectation, with no duplicates.
+   expectation, with no duplicates;
+5. (r13, VERDICT r12 #2) the DELETE leg: tombstoning the last trigger's
+   doc-level ids removes exactly their keys from the view; replaying
+   the delete commits nothing new; re-ingesting the same batch
+   RESURRECTS the ids (the processors' resurrect path on band tiers,
+   the append re-add rule on ANN tiers); the final fold returns the
+   view to the one-delivery keys with no duplicates — all four stores,
+   one contract.
 """
 
 from __future__ import annotations
@@ -82,6 +89,7 @@ class Adapter:
     view_keys: Callable = None  # (spark, ctx) -> list of key tuples
     rebootstrap: Callable = None  # (spark, ctx) -> "refused" | "noop"
     fold: Callable = None  # (spark, ctx)
+    delete: Callable = None  # (spark, ctx, ids) -> bool (tombstone ids)
     band: bool = False  # band-delta tier (advisory at-least-once delta)
 
 
@@ -135,6 +143,10 @@ def _neardup_adapter():
     ad.fold = lambda spark, ctx: nd.compact_signature_index(
         spark, ctx["idx"]
     )
+    ad.delete = lambda spark, ctx, ids: nd.delete_docs(
+        spark, ctx["idx"],
+        spark.createDataFrame([(i,) for i in ids], "doc_id bigint"),
+    )
     return ad
 
 
@@ -173,6 +185,10 @@ def _vector_adapter():
         for r in vs.load_index(spark, ctx["idx"]).select("vec_id").collect()
     ]
     ad.fold = lambda spark, ctx: vs.compact_vector_index(spark, ctx["idx"])
+    ad.delete = lambda spark, ctx, ids: vs.delete_vectors(
+        spark, ctx["idx"],
+        spark.createDataFrame([(i,) for i in ids], "vec_id bigint"),
+    )
     return ad
 
 
@@ -218,6 +234,10 @@ def _ann_adapter(name, bootstrap_fn, proc_factory, compact_fn):
         .collect()
     ]
     ad.fold = lambda spark, ctx: compact_fn(spark, ctx["root"])
+    ad.delete = lambda spark, ctx, ids: vq.delete_generation(
+        spark, ctx["root"],
+        spark.createDataFrame([(i,) for i in ids], "vec_id bigint"),
+    )
     return ad
 
 
@@ -286,3 +306,32 @@ def test_stream_store_lifecycle_matrix(ad, spark, tmp_path, monkeypatch):
     keys = ad.view_keys(spark, ctx)
     assert set(keys) == expected
     assert len(keys) == len(set(keys)), f"{ad.name}: duplicate keys"
+
+    # (5) delete leg (r13): tombstone the last batch's ids — exactly
+    # their keys leave the view, O(|keys|) commit, no index rewrite
+    last_df, last_ids = ad.batch(spark, N_TRIGGERS)
+    assert ad.delete(spark, ctx, sorted(last_ids)) is True
+    after_del = set(ad.view_keys(spark, ctx))
+    assert after_del == {k for k in expected if k[0] not in last_ids}, (
+        f"{ad.name}: delete removed the wrong keys"
+    )
+
+    # replaying the delete (foreachBatch at-least-once) commits nothing:
+    # every key is already dead — the idempotent no-op contract
+    assert ad.delete(spark, ctx, sorted(last_ids)) is False
+    assert set(ad.view_keys(spark, ctx)) == after_del
+
+    # re-ingesting the same batch RESURRECTS the ids: band processors
+    # drop the tombstones before appending, ANN appends re-add a dead
+    # id and drop its tombstone (the FAISS remove_ids-then-add shape)
+    ad.trigger(spark, ctx, last_df, N_TRIGGERS + 1)
+    assert set(ad.view_keys(spark, ctx)) == expected, (
+        f"{ad.name}: re-ingest after delete did not resurrect"
+    )
+
+    # final fold: deletes/resurrections collapse to the one-delivery
+    # keys with no duplicate rows left behind
+    ad.fold(spark, ctx)
+    keys = ad.view_keys(spark, ctx)
+    assert set(keys) == expected
+    assert len(keys) == len(set(keys)), f"{ad.name}: duplicates post-delete"
