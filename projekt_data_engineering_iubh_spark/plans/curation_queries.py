@@ -1100,7 +1100,7 @@ LIMIT 50
 """
 
 
-@register("docs_bpe_pair_counts", oracle=_BPE_PAIRS_SQL)
+@register("docs_bpe_pair_counts", oracle=_BPE_PAIRS_SQL, driver=False)
 def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-round BPE pair statistics — the per-round kernel of
     tokenizer training (operators/bpe.py; Sennrich et al. 2016): corpus
@@ -1157,7 +1157,7 @@ FROM segs s CROSS JOIN top t
 """
 
 
-@register("docs_bpe_one_round", oracle=_BPE_ONE_ROUND_SQL)
+@register("docs_bpe_one_round", oracle=_BPE_ONE_ROUND_SQL, driver=False)
 def docs_bpe_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One COMPLETE BPE training round, SQL-expressible end-to-end so the
     merge-APPLICATION semantics get cross-engine hash verification (the
@@ -1256,7 +1256,7 @@ FROM segs3
 )
 
 
-@register("docs_bpe_train3", oracle=_BPE_TRAIN3_SQL)
+@register("docs_bpe_train3", oracle=_BPE_TRAIN3_SQL, driver=False)
 def docs_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THREE chained BPE training rounds, SQL-expressible end-to-end
     (r6 VERDICT #4 — the iterated trainer cross-engine verified, not
@@ -1338,7 +1338,7 @@ GROUP BY d.doc_id
 )
 
 
-@register("docs_bpe_tokenize", oracle=_BPE_TOKENIZE_SQL)
+@register("docs_bpe_tokenize", oracle=_BPE_TOKENIZE_SQL, driver=False)
 def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale BPE INFERENCE with the 3-round trained vocabulary —
     the other half of the tokenizer tier (train = docs_bpe_train3): every

@@ -92,7 +92,7 @@ FROM g
 """
 
 
-@register("events_sessionize", oracle=_SESSIONIZE_BOTH_SQL)
+@register("events_sessionize", oracle=_SESSIONIZE_BOTH_SQL, driver=False)
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: running-count marker sessionization with a stable tiebreaker,
     plus the idle-timeout (gap > 30 min) variant in the same plan — both
@@ -123,7 +123,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_session_stats", oracle=_BOUNDS_SQL)
+@register("events_session_stats", oracle=_BOUNDS_SQL, driver=False)
 def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 + P11: per-session boundaries, counts, exact integer-µs duration."""
     return session_bounds(
@@ -217,7 +217,7 @@ def _hourly_rollup(ev: DataFrame) -> DataFrame:
     )
 
 
-@register("events_hourly_rollup", oracle=_HOURLY_SQL)
+@register("events_hourly_rollup", oracle=_HOURLY_SQL, driver=False)
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3: hourly conditional (long→wide) aggregation, the reference's
     13-aggregate pivot (daily_aggregator.py:216-232) on events columns."""
@@ -320,7 +320,7 @@ def events_flagship_session_rollup(spark: SparkSession, sf_dir: str) -> DataFram
 _DATES_SQL = "SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events"
 
 
-@register("events_distinct_dates", oracle=_DATES_SQL, driver=False)
+@register("events_distinct_dates", oracle=_DATES_SQL)
 def events_distinct_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: DISTINCT projection (dashboard available-dates query)."""
     ev = load_table(spark, sf_dir, "events")
@@ -334,7 +334,7 @@ WHERE CAST(ts AS DATE) = DATE '2024-01-15'
 """
 
 
-@register("events_day_slice", oracle=_DAY_SLICE_SQL, driver=False)
+@register("events_day_slice", oracle=_DAY_SLICE_SQL)
 def events_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: parameterized day-slice scan (dashboard), partition-prunable when
     the summary is stored partitioned by date."""
@@ -353,7 +353,7 @@ HAVING COUNT(*) >= 15
 """
 
 
-@register("agg_having", oracle=_HAVING_SQL, driver=False)
+@register("agg_having", oracle=_HAVING_SQL)
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-aggregation filter (HAVING): heavy-hitter customers."""
     o = load_table(spark, sf_dir, "orders")
@@ -379,7 +379,7 @@ FROM events
 """
 
 
-@register("events_map_funcs", oracle=_MAP_FUNCS_SQL, driver=False)
+@register("events_map_funcs", oracle=_MAP_FUNCS_SQL)
 def events_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: from_json → map, map_keys, element access
     (keys stringified for cross-engine comparison), plus path-based JSON

@@ -411,7 +411,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
-@register("join_semi_anti", oracle=_JOIN_SEMI_ANTI_SQL, driver=False)
+@register("join_semi_anti", oracle=_JOIN_SEMI_ANTI_SQL)
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi (EXISTS) + left-anti (NOT EXISTS) joins, tag-unioned into
     one driver entry (registry curation): the semi branch probes 'F'
@@ -436,7 +436,7 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_CROSS_SQL = "SELECT n_name, r_name FROM nation CROSS JOIN region"
 
 
-@register("join_cross_nation_region", oracle=_JOIN_CROSS_SQL, driver=False)
+@register("join_cross_nation_region", oracle=_JOIN_CROSS_SQL)
 def join_cross_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product (tiny × tiny only — never on facts)."""
     n = load_table(spark, sf_dir, "nation")
@@ -515,7 +515,7 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """
 
 
-@register("window_distribution_funcs", oracle=_WINDOW_DIST_SQL, driver=False)
+@register("window_distribution_funcs", oracle=_WINDOW_DIST_SQL)
 def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
     cume_dist — exact rational formulas, identical across engines."""
@@ -568,7 +568,7 @@ LIMIT 20
 """
 
 
-@register("top20_lineitems", oracle=_TOP20_SQL, driver=False)
+@register("top20_lineitems", oracle=_TOP20_SQL)
 def top20_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global deterministic top-k (Spark plans TakeOrderedAndProject —
     no full sort materialization). Locally verified only: the driver entry
@@ -669,7 +669,7 @@ FROM s
 """
 
 
-@register("agg_stats_percentiles", oracle=_STATS_SQL, driver=False)
+@register("agg_stats_percentiles", oracle=_STATS_SQL)
 def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Descriptive statistics + exact interpolated percentiles in one
     groupBy (registry curation). The stddev is order-exact: both moments
@@ -828,7 +828,7 @@ SELECT 'except', custkey, NULL FROM (
 """
 
 
-@register("set_ops", oracle=_SET_OPS_SQL, driver=False)
+@register("set_ops", oracle=_SET_OPS_SQL)
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full set-operation surface tag-unioned into one driver entry
     (registry curation): UNION ALL (bag union + agg), UNION (distinct),
@@ -908,7 +908,7 @@ FROM part
 """
 
 
-@register("scalar_string_funcs", oracle=_STRING_SQL, driver=False)
+@register("scalar_string_funcs", oracle=_STRING_SQL)
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function surface over part, one driver entry (registry
     curation): string (case/length/substring/concat/replace/LIKE/padding),
@@ -959,7 +959,7 @@ FROM orders
 """
 
 
-@register("scalar_date_funcs", oracle=_DATE_SQL, driver=False)
+@register("scalar_date_funcs", oracle=_DATE_SQL)
 def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time function surface. DuckDB's dayofweek is 0=Sunday vs
     Spark's 1=Sunday; the oracle shifts by one."""
@@ -990,7 +990,7 @@ FROM lineitem
 """
 
 
-@register("scalar_math_funcs", oracle=_MATH_SQL, driver=False)
+@register("scalar_math_funcs", oracle=_MATH_SQL)
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function surface; transcendentals rounded to 6dp (libm vs JVM
     StrictMath can differ in the last ulp)."""

@@ -551,7 +551,7 @@ def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("doc_id", packed.alias("simhash"))
 
 
-@register("docs_simhash", oracle=_SIMHASH_SQL, driver=False)
+@register("docs_simhash", oracle=_SIMHASH_SQL)
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (token-level, md5-based, portable)."""
     return _simhashes(spark, sf_dir)
@@ -686,7 +686,7 @@ WHERE len(sa.shset) > 0 AND len(sb.shset) > 0
 )
 
 
-@register("docs_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL, driver=False)
+@register("docs_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-word shingle set) Jaccard over the MinHash-LSH
     candidate pairs — the verification stage of the near-dup pipeline.
@@ -862,7 +862,7 @@ FROM documents
 """
 
 
-@register("docs_fingerprint", oracle=_FINGERPRINT_SQL, driver=False)
+@register("docs_fingerprint", oracle=_FINGERPRINT_SQL)
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical content fingerprint (md5 of normalized text + 60-bit int)."""
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -885,7 +885,7 @@ HAVING COUNT(*) >= 5
 """
 
 
-@register("docs_word_count", oracle=_WORD_COUNT_SQL, driver=False)
+@register("docs_word_count", oracle=_WORD_COUNT_SQL)
 def docs_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode + aggregate: corpus term frequencies (words seen ≥5 times).
     The explode is map-side; the only shuffle carries (word, partial
@@ -1192,7 +1192,7 @@ FROM documents
 """
 
 
-@register("docs_token_count", oracle=_TOKEN_COUNT_SQL, driver=False)
+@register("docs_token_count", oracle=_TOKEN_COUNT_SQL)
 def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace/alnum tokens + a BPE-ish regex count
     (letter runs | digit runs | single punctuation)."""
@@ -1235,7 +1235,7 @@ SELECT doc_id, word, score, rnk FROM r WHERE rnk <= {_TFIDF_TOP}
 """
 
 
-@register("docs_tfidf_top_terms", oracle=_TFIDF_SQL)
+@register("docs_tfidf_top_terms", oracle=_TFIDF_SQL, driver=False)
 def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document, TF-IDF family scoring.
 
@@ -1621,7 +1621,7 @@ def scrub_pii(d: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@register("docs_pii_scrub", oracle=_PII_SQL)
+@register("docs_pii_scrub", oracle=_PII_SQL, driver=False)
 def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the corpus (emails, IPv4, long digit runs) —
     the mandatory scrub step of a training-data pipeline. The synthetic

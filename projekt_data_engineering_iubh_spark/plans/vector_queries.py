@@ -257,7 +257,7 @@ FROM embeddings
 """
 
 
-@register("emb_array_funcs", oracle=_ARRAY_FUNCS_SQL, driver=False)
+@register("emb_array_funcs", oracle=_ARRAY_FUNCS_SQL)
 def emb_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector derived-feature surface, one driver entry (registry
     curation): array functions (size, element access, min/max, L2 norm)
@@ -513,7 +513,7 @@ SELECT query_id, neighbor_id, cell, cos_sim, rn FROM r WHERE rn <= {_IVF_K}
 """
 
 
-@register("emb_ivf_ann", oracle=_IVF_SQL)
+@register("emb_ivf_ann", oracle=_IVF_SQL, driver=False)
 def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: coarse-quantize every vector to its nearest centroid,
     then search only the query's own cell (nprobe=1) with exact cosine +
@@ -595,7 +595,7 @@ SELECT query_id, neighbor_id, cell, cos_sim, rn FROM r WHERE rn <= {_IVF_K}
 """
 
 
-@register("emb_ivf_ann_multiprobe", oracle=_IVF_MP_SQL)
+@register("emb_ivf_ann_multiprobe", oracle=_IVF_MP_SQL, driver=False)
 def emb_ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with nprobe={_IVF_NPROBE}: each query searches its
     nprobe NEAREST cells instead of only its own — the standard recall
@@ -697,7 +697,7 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= {_KJ_K}
 """
 
 
-@register("emb_knn_join_shuffled", oracle=_KJ_SQL)
+@register("emb_knn_join_shuffled", oracle=_KJ_SQL, driver=False)
 def emb_knn_join_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN JOIN of two corpus-sized tables (offline batch inference: every
     even vec_id queries the odd-vec_id corpus for its top-k neighbors).
@@ -843,7 +843,7 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM tjrank WHERE rn <= {_KJT_K}
 """
 
 
-@register("emb_knn_join_trained", oracle=_kjt_sql())
+@register("emb_knn_join_trained", oracle=_kjt_sql(), driver=False)
 def emb_knn_join_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kNN JOIN in its PRODUCTION geometry (r11): emb_knn_join_shuffled
     proved the shuffled sort-merge shape but kept the oracle-dictated
@@ -1309,6 +1309,94 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = spread(load_table(spark, sf_dir, "embeddings"))
     return km.kmeans_fixed_point(e, _KM_K, _KM_ITERS, EMB_DIM)
+
+
+# ---------------------------------------------------------------------------
+# Router-assisted Lloyd training, oracle-certified (#162, r13 VERDICT #3)
+# ---------------------------------------------------------------------------
+
+_KMR_K = 16
+_KMR_ITERS = 2
+
+
+def _kmr_sql() -> str:
+    """Oracle for the ROUTED trainer: per iteration, (a) the two-level
+    router trained over the current centroids (router_sql_ctes — its own
+    nested ranked-Lloyd chain), (b) every vector routed to its single
+    nearest cell AS SEEN THROUGH the router (route_top_cells_sql,
+    n_cells=1 — the same windows the Spark side's min_by reproduces, the
+    equivalence tests/test_kmeans_router.py pins), (c) the fixed-point
+    mean update. One exact assignment against the final centroids
+    scalarizes the result: any bit of divergence anywhere in the routed
+    training chain moves some vector's (cell, dist). All centroid/router
+    CTEs MATERIALIZED per the r11 OOM lesson."""
+    parts = [
+        f"kmrqv AS MATERIALIZED (SELECT vec_id, "
+        f"{km.quantize_sql('embedding')} AS qemb FROM embeddings)",
+        f"kmrc0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS cell,"
+        f" qemb AS cq FROM (SELECT qemb,"
+        f" ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM kmrqv)"
+        f" WHERE rn <= {_KMR_K})",
+        # the routed assignment consumes qemb; the mean update still
+        # needs the vector, so it rides under a second name — the same
+        # carry the Spark trainer uses
+        "kmrsrc AS (SELECT vec_id, qemb AS kept, qemb FROM kmrqv)",
+    ]
+    cent = "kmrc0"
+    for r in range(1, _KMR_ITERS + 1):
+        rchain, sup, cs = km.router_sql_ctes(cent, EMB_DIM, f"kmr{r}")
+        parts.append(rchain)
+        cchain, cells = km.route_top_cells_sql(
+            "kmrsrc", "vec_id", ["kept"], 1, sup, cs, EMB_DIM, f"kmr{r}"
+        )
+        parts.append(cchain)
+        parts.append(f"kmra{r} AS (SELECT cell, kept AS qemb FROM {cells})")
+        parts.append(
+            f"kmrc{r} AS MATERIALIZED"
+            f" ({km._update_sql(f'kmra{r}', EMB_DIM)})"
+        )
+        cent = f"kmrc{r}"
+    parts.append(f"kmrfin AS ({km._assign_sql('kmrqv', cent, EMB_DIM)})")
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT vec_id, cell, dist FROM kmrfin"
+    )
+
+
+@register("emb_kmeans_routed_train", oracle=_kmr_sql())
+def emb_kmeans_routed_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The router-assisted Lloyd trainer, oracle-certified (#162 — r13,
+    closing VERDICT r12 #3: the operator that makes 100 TB-scale index
+    BUILDS affordable was engine-side + tool-measured only). Exact
+    Lloyd's assignment is O(n·k) folds per iteration; at production
+    geometry (cells ∝ n, k = n/64) that makes TRAINING the quadratic
+    term — ~47B folds at 1M vectors. kmeans_train_ranked_routed
+    (operators/kmeans.py:210) re-trains the two-level router over each
+    iteration's centroids and assigns through it — ~(√k + 2k/√k)
+    folds/vector, the measured 6.7× cut that turned the 1M/15.6k-cell
+    build into ~6 min (BASELINE.md r12).
+
+    This entry certifies the routed chain itself at a small geometry
+    (k=16, 2 iterations): the ORACLE re-derives every
+    nested piece — per-iteration router training (itself a ranked-Lloyd
+    chain over the centroid table), two-super routing windows, routed
+    argmin, fixed-point mean update — and the returned frame is one
+    EXACT assignment against the final centroids, so the hash certifies
+    every routed-training bit, not just the output shape. The certified
+    EXACT trainer remains the oracle path for the index entries
+    (#153/#157-#159 replicate exact Lloyd); the degenerate-case pin
+    (probes covering all supers ⇒ routed == exact bit-for-bit) lives in
+    tests/test_kmeans_router.py.
+
+    Scale shape per iteration: router training is k-row work; routing
+    is two broadcast joins (√k supers, then ~2k/√k cells) with map-side
+    min_by argmins; the mean update shuffles k×dim fragments. Nothing
+    data-sized hits the driver (per-iteration localCheckpoint pins the
+    Lloyd chain — plan state, not data)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = e.select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
+    cents = km.kmeans_train_ranked_routed(qv, _KMR_K, _KMR_ITERS, EMB_DIM)
+    return km.assign_cells(qv, cents).select("vec_id", "cell", "dist")
 
 
 # ---------------------------------------------------------------------------
@@ -1802,7 +1890,7 @@ GROUP BY 2
 """
 
 
-@register("emb_ann_recall", oracle=_RECALL_SQL)
+@register("emb_ann_recall", oracle=_RECALL_SQL, driver=False)
 def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF approximate searches against the brute-force
     ground truth, per query and per variant — the evaluation harness that
@@ -1855,7 +1943,7 @@ GROUP BY 2
 """
 
 
-@register("emb_ann_recall_trained", oracle=_RECALL_TRAINED_SQL)
+@register("emb_ann_recall_trained", oracle=_RECALL_TRAINED_SQL, driver=False)
 def emb_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the TRAINED-cell IVF search (emb_ivf_ann_trained)
     against the brute-force ground truth — extends the recall harness to
@@ -1904,7 +1992,7 @@ GROUP BY 1
 """
 
 
-@register("emb_cluster_stats", oracle=_CSTATS_SQL)
+@register("emb_cluster_stats", oracle=_CSTATS_SQL, driver=False)
 def emb_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster health stats over the trained k-means assignment: member
     count, min/max squared distance (radius), and inertia (sum of squared
@@ -3214,7 +3302,7 @@ FROM c{_KM_ITERS} c JOIN bcounts b USING (cell),
 """
 
 
-@register("emb_ivf_build", oracle=_IVF_BUILD_SQL)
+@register("emb_ivf_build", oracle=_IVF_BUILD_SQL, driver=False)
 def emb_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BUILD half of the trained-IVF split (r7 VERDICT #2): train
     the coarse quantizer (exact fixed-point Lloyd, 3 rounds — the same
@@ -3369,7 +3457,7 @@ def _ivfpq_build_sql() -> str:
 _IVFPQ_BUILD_SQL = _ivfpq_build_sql()
 
 
-@register("emb_ivfpq_build", oracle=_IVFPQ_BUILD_SQL)
+@register("emb_ivfpq_build", oracle=_IVFPQ_BUILD_SQL, driver=False)
 def emb_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BUILD half of the IVF-PQ residual split: train coarse quantizer
     + four residual codebooks (emb_ivfpq_residual's exact fixed-point
@@ -3405,7 +3493,7 @@ def emb_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_ivfpq_serve", oracle=_IVFPQ_SQL)
+@register("emb_ivfpq_serve", oracle=_IVFPQ_SQL, driver=False)
 def emb_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERVE half of the IVF-PQ residual split: read coarse centroids +
     residual codebooks (k×dim literal-sized collects, same budget as
@@ -3679,7 +3767,7 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM (
 """
 
 
-@register("emb_ivfpq_serve_rerank", oracle=_IVFPQ_RERANK_SQL)
+@register("emb_ivfpq_serve_rerank", oracle=_IVFPQ_RERANK_SQL, driver=False)
 def emb_ivfpq_serve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lean IVF-PQ serve + EXACT re-rank (the FAISS refine stage): the
     codes-only cosine-faithful plan produces an ADC top-{_RR_SHORTLIST}

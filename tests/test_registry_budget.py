@@ -32,17 +32,16 @@ LOCAL_ONLY_FAMILY = {
     # round 3
     # round 4
     # round 5 rotation (demoted after four green rounds)
-    "docs_word_count",
     # round 5 additions that stay local
     # round 6 rotation: demoted after two green rounds (r4+r5) to free
     # slots for the never-driver-checked r5 families (docs_dedup_incremental,
     # emb_ivf/pq trained, corpus_lm, vocab_coverage, filter_audit, funnel,
     # cohort, q9, q18 all promoted)
-    "docs_simhash",
-    "docs_ngram_jaccard",
-    "docs_fingerprint",
-    "docs_token_count",
-    "emb_array_funcs",
+    # (r13 rotation #10 re-promoted the stale r5/r6 demotes
+    # docs_word_count / docs_simhash / docs_ngram_jaccard /
+    # docs_fingerprint / docs_token_count / emb_array_funcs — their
+    # implementation modules changed across 7-8 rounds since their last
+    # external row; see test_stale_changed_entries_are_bounded)
     # round 6 additions (driver set at budget): the per-source dup-rate
     # datasheet rollup (#100) and the BPE tokenizer-training kernel (#101)
     # round 7 rotation: ten never-driver-checked entries promoted
@@ -161,6 +160,34 @@ LOCAL_ONLY_FAMILY = {
     "emb_pc_outliers",
     # (the r11 mid-round ANN additions #154-#159 and the r12-born #160/
     # #161 were all promoted INTO the driver set by rotation #9 above)
+    # round 13 rotation #10 — the STALENESS rotation: with the
+    # never-checked backlog at zero, the promotes are the stalest
+    # entries whose implementation modules changed since their last
+    # external row (tools/rotation_staleness.py: top20_lineitems at 11
+    # rounds stale, the whole staleness-8 scalar/join/window group, the
+    # staleness-7 docs fingerprint/ngram/simhash/token family,
+    # emb_array_funcs, agg_having, agg_stats_percentiles,
+    # events_map_funcs, plus the r13-born #162 emb_kmeans_routed_train);
+    # these two-round-green (r11+r12) entries demoted — semantics
+    # covered by surviving driver entries or dedicated tests,
+    # oracle-green on every local run
+    "docs_tfidf_top_terms",
+    "docs_pii_scrub",
+    "docs_bpe_pair_counts",
+    "docs_bpe_one_round",
+    "docs_bpe_train3",
+    "docs_bpe_tokenize",
+    "emb_ivf_ann",
+    "emb_ivf_ann_multiprobe",
+    "emb_knn_join_shuffled",
+    "emb_knn_join_trained",
+    "emb_ann_recall",
+    "emb_ann_recall_trained",
+    "emb_cluster_stats",
+    "emb_ivf_build",
+    "emb_ivfpq_build",
+    "emb_ivfpq_serve",
+    "emb_ivfpq_serve_rerank",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
@@ -203,6 +230,50 @@ def test_never_driver_checked_backlog_is_bounded():
     assert len(backlog) <= 20, (
         f"{len(backlog)} registry entries have never held an external "
         f"driver CORRECTNESS row — rotate before adding more: {backlog}"
+    )
+
+
+def test_stale_changed_entries_are_bounded():
+    """The staleness clock (r13, VERDICT r12 #5): with the
+    never-checked backlog at zero, the risk shifts to entries whose
+    external row is many rounds old while their implementation moved
+    underneath — a refactor bug there would hide until a verdict
+    spot-run. Ceiling: no local-only (driver=False) entry may sit more
+    than MAX_STALE_ROUNDS rounds past its last external green row when
+    its import closure changed since that round's tree. Rotation must
+    promote the stalest-and-changed entries every round to stay under
+    it (tools/rotation_staleness.py prints the shortlist)."""
+    import importlib.util
+    from pathlib import Path
+
+    import pytest
+
+    tool = (
+        Path(__file__).resolve().parent.parent
+        / "tools"
+        / "rotation_staleness.py"
+    )
+    spec = importlib.util.spec_from_file_location("rotation_staleness", tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    try:
+        rows = mod.staleness_table()
+    except Exception as e:  # pragma: no cover — e.g. git history absent
+        pytest.skip(f"staleness table unavailable: {e}")
+
+    MAX_STALE_ROUNDS = 8
+    offenders = [
+        (r["entry"], r["staleness"])
+        for r in rows
+        if not r["driver"]
+        and r["changed_since_checked"]
+        and r["staleness"] is not None
+        and r["staleness"] > MAX_STALE_ROUNDS
+    ]
+    assert not offenders, (
+        f"local-only entries stale > {MAX_STALE_ROUNDS} rounds with "
+        f"changed modules — promote them in the next rotation: "
+        f"{offenders}"
     )
 
 
