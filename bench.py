@@ -30,6 +30,35 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _shuffle_canary(spark) -> list[float]:
+    """Second canary CLASS (r13, VERDICT r12 #1): a constant synthetic
+    shuffle+window micro-task — 200k rows over 1k keys, per-key
+    row_number window then groupBy — exercising the shuffle write/read
+    path and the scheduler, which the scan-agg canary (CPU + page
+    cache) does not. The r12→r13 adjudication showed the scan canary
+    alone under-models box state for shuffle-heavy queries; regression
+    calls should check the query against the MATCHING canary class.
+    No repo plan code is touched, so drift measures the box."""
+    from pyspark.sql import Window, functions as F
+
+    out = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df = spark.range(200_000).select(
+            (F.col("id") % 1000).alias("k"),
+            (F.col("id") * 2654435761 % 1_000_003).alias("v"),
+        )
+        w = Window.partitionBy("k").orderBy("v")
+        _force(
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .groupBy("k")
+            .agg(F.sum("v"), F.count(F.lit(1)))
+        )
+        out.append(round(time.perf_counter() - t0, 4))
+    return out
+
+
 def _canary(spark, sf_dir: str) -> list[float]:
     """Fixed box-state micro-task (r6 VERDICT #3): a constant full-column
     aggregation scan of lineitem — no joins, no windows, no Python, and
@@ -77,6 +106,230 @@ SERVE_LANE = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Streaming micro-lane (r13, VERDICT r12 #6): ten streaming modules were
+# correctness-pinned but performance-invisible — no BENCH row ever
+# tracked trigger latency/throughput, so a 2x ingest regression would
+# ship silently. Three representative tiers run a fixed N-trigger drive
+# each: the stateful sessionizer (applyInPandasWithState — the Python
+# state path), the watermarked hourly rollup (SQL-native streaming agg
+# + idempotent sink), and the IVF-PQ codes ingest (the ANN append
+# lifecycle). Sizes are CONSTANT (not sf-scaled) so round-over-round
+# numbers compare; the lane is canary-bracketed like the others.
+# ---------------------------------------------------------------------------
+
+STREAM_TRIGGERS = 4
+
+
+def _trigger_stats(q) -> dict:
+    """rows/s + per-trigger walls from the query's own progress events
+    (data-carrying triggers only; staging cost excluded)."""
+    rows, walls = 0, []
+    for p in q.recentProgress:
+        n = p.get("numInputRows") or 0
+        if not n:
+            continue
+        ms = (p.get("durationMs") or {}).get("triggerExecution") or 0
+        rows += n
+        walls.append(ms)
+    walls.sort()
+    secs = sum(walls) / 1000.0
+    return {
+        "input_rows": rows,
+        "triggers": len(walls),
+        "trigger_exec_sec": round(secs, 3),
+        "p50_trigger_ms": walls[len(walls) // 2] if walls else None,
+        "rows_per_sec": round(rows / secs) if secs else None,
+    }
+
+
+def _stage_drop(df, src_dir: str, name: str) -> None:
+    """Land one parquet drop file atomically (stage + rename)."""
+    import glob
+    import shutil
+
+    staging = os.path.join(src_dir, f".stage_{name}")
+    df.coalesce(1).write.parquet(staging)
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    os.replace(part, os.path.join(src_dir, f"{name}.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _bench_sessionize(spark, work: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.streaming.sessionize_stream import (
+        sessionize_stream,
+    )
+
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    per, machines = 40, 256  # 40 events x 256 machines = 10,240 rows/trigger
+
+    def batch(t: int):
+        return spark.range(machines * per).select(
+            F.format_string("M%03d", (F.col("id") % machines).cast("int")).alias(
+                "machine_id"
+            ),
+            (
+                F.to_timestamp(F.lit("2024-08-01 00:00:00"))
+                + F.make_interval(
+                    secs=(t * per + F.col("id") / machines).cast("int")
+                )
+            ).alias("event_timestamp"),
+            F.when(
+                (F.col("id") / machines).cast("int") % 2 == 0, "Cycle_Start"
+            )
+            .otherwise("Cycle_End")
+            .alias("event_name"),
+        )
+
+    stream = spark.readStream.schema(
+        "machine_id string, event_timestamp timestamp, event_name string"
+    ).parquet(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    try:
+        for t in range(STREAM_TRIGGERS):
+            _stage_drop(batch(t), src, f"b{t}")
+            q.processAllAvailable()
+        stats = _trigger_stats(q)
+    finally:
+        q.stop()
+    return {"tier": "sessionize_stream", **stats}
+
+
+def _bench_hourly(spark, work: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from projekt_data_engineering_iubh_spark.streaming.hourly_stream import (
+        hourly_rollup_stream,
+        write_idempotent_hourly,
+    )
+
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    rows = 10_000  # per trigger; ts advances 2h/trigger so windows close
+
+    def batch(t: int):
+        return spark.range(rows).select(
+            (
+                F.to_timestamp(F.lit("2024-08-01 00:00:00"))
+                + F.make_interval(
+                    secs=(t * 7200 + F.col("id") % 7200).cast("int")
+                )
+            ).alias("ts"),
+            (F.col("id") % 500).cast("int").alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("purchase"), F.lit("error")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("event_type"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        )
+
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id int, event_type string, value double"
+    ).parquet(src)
+    out_dir = os.path.join(work, "out")
+    q = (
+        hourly_rollup_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: write_idempotent_hourly(df, bid, out_dir)
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    try:
+        for t in range(STREAM_TRIGGERS):
+            _stage_drop(batch(t), src, f"b{t}")
+            q.processAllAvailable()
+        stats = _trigger_stats(q)
+    finally:
+        q.stop()
+    return {"tier": "hourly_stream", **stats}
+
+
+def _bench_codes_ingest(spark, work: str) -> dict:
+    """IVF-PQ codes ingest over the sf0.001 corpus: bootstrap trains on
+    the first half (untimed one-off), then each trigger commits one
+    O(delta) append generation. numInputRows counts both source scans
+    the processor performs (empty pre-check + encode), so rows/s here is
+    a consistent round-over-round index, not absolute delivered rows."""
+    from pyspark.sql import Window, functions as F
+
+    from projekt_data_engineering_iubh_spark.catalog import load_table
+    from projekt_data_engineering_iubh_spark.streaming.ann_ingest_stream import (
+        bootstrap_codes_index,
+        start_codes_ingest_stream,
+    )
+
+    embs = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .withColumn("rk", F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .select("vec_id", "embedding", "rk")
+        .localCheckpoint(eager=True)
+    )
+    n = embs.count()
+    half = n // 2
+    root = os.path.join(work, "root")
+    bootstrap_codes_index(
+        spark,
+        embs.filter(F.col("rk") < half).select("vec_id", "embedding"),
+        root,
+    )
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    q = start_codes_ingest_stream(
+        stream, os.path.join(work, "ckpt"), root
+    )
+    step = (n - half) // STREAM_TRIGGERS or 1
+    try:
+        lo = half
+        for t in range(STREAM_TRIGGERS):
+            hi = n if t == STREAM_TRIGGERS - 1 else min(lo + step, n)
+            _stage_drop(
+                embs.filter(
+                    (F.col("rk") >= lo) & (F.col("rk") < hi)
+                ).select("vec_id", "embedding"),
+                src,
+                f"b{t}",
+            )
+            lo = hi
+            q.processAllAvailable()
+        stats = _trigger_stats(q)
+    finally:
+        q.stop()
+    return {"tier": "codes_ingest_stream", **stats}
+
+
+def _stream_lane(spark) -> dict:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    lane = {}
+    try:
+        for name, fn in (
+            ("sessionize", _bench_sessionize),
+            ("hourly", _bench_hourly),
+            ("codes_ingest", _bench_codes_ingest),
+        ):
+            sub = os.path.join(work, name)
+            os.makedirs(sub)
+            lane[name] = fn(spark, sub)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return lane
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -93,6 +346,7 @@ def main() -> None:
         _force(q.fn(spark, "/root/testdata/sf0.001"))
 
     canary_pre = _canary(spark, sf_dir)
+    shuffle_pre = _shuffle_canary(spark)
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -105,6 +359,7 @@ def main() -> None:
         runs[name] = rs
         timings[name] = round(min(rs), 3)
 
+    shuffle_post = _shuffle_canary(spark)
     canary_post = _canary(spark, sf_dir)
 
     # serve lane: pre-build the stored indexes at THIS sf (one untimed
@@ -124,6 +379,15 @@ def main() -> None:
         serve_runs[name] = rs
         serve_timings[name] = round(min(rs), 3)
     serve_canary_post = _canary(spark, sf_dir)
+
+    # streaming micro-lane, bracketed by BOTH canary classes (the
+    # stream tiers are shuffle/scheduler-bound, so the shuffle canary
+    # is their matching class)
+    stream_shuf_pre = _shuffle_canary(spark)
+    stream_scan_pre = _canary(spark, sf_dir)
+    stream_lane = _stream_lane(spark)
+    stream_shuf_post = _shuffle_canary(spark)
+    stream_scan_post = _canary(spark, sf_dir)
 
     canary_best = round(min(canary_pre + canary_post), 4)
     serve_canary_best = round(
@@ -155,6 +419,16 @@ def main() -> None:
                     "pre": canary_pre,
                     "post": canary_post,
                     "best": canary_best,
+                    # second canary class (r13): shuffle+window micro-
+                    # task — normalize shuffle-heavy queries against
+                    # THIS one (the r12→r13 adjudication found the
+                    # scan canary alone under-models box state)
+                    "shuffle_task": "200k-row window+groupBy shuffle",
+                    "shuffle_pre": shuffle_pre,
+                    "shuffle_post": shuffle_post,
+                    "shuffle_best": round(
+                        min(shuffle_pre + shuffle_post), 4
+                    ),
                 },
                 # production stored-index serve path (indexes pre-built
                 # in the untimed warm pass; see SERVE_LANE note above)
@@ -170,6 +444,24 @@ def main() -> None:
                         "pre": serve_canary_pre,
                         "post": serve_canary_post,
                         "best": serve_canary_best,
+                    },
+                },
+                # streaming micro-lane (r13): fixed-size N-trigger
+                # drives; compare rows_per_sec / p50_trigger_ms against
+                # the shuffle-canary-normalized band across rounds
+                "stream_lane": {
+                    **stream_lane,
+                    "canary": {
+                        "scan_pre": stream_scan_pre,
+                        "scan_post": stream_scan_post,
+                        "shuffle_pre": stream_shuf_pre,
+                        "shuffle_post": stream_shuf_post,
+                        "scan_best": round(
+                            min(stream_scan_pre + stream_scan_post), 4
+                        ),
+                        "shuffle_best": round(
+                            min(stream_shuf_pre + stream_shuf_post), 4
+                        ),
                     },
                 },
             }
