@@ -85,21 +85,34 @@ def main() -> int:
         return round(time.perf_counter() - t0, 4)
 
     def recall_of(join_df) -> tuple[float, float]:
+        # per-query n_hits/k averaged over the panel — the SAME
+        # definition emb_knn_join_recall (#161) certifies, so rows from
+        # this sweep and from the registry entry are directly comparable
+        # in BASELINE.md. (The two definitions disagree whenever a panel
+        # query has fewer than k exact neighbors: pooled total-hits /
+        # total-truth-rows weighs those queries less — ADVICE r12.)
         a = join_df.filter(F.col("query_id") < vq._KJR_QUERY_CAP).select(
             "query_id", F.col("neighbor_id").alias("a_neighbor")
         )
         t0 = time.perf_counter()
-        hit, tot = (
+        rec = (
             truth.join(
                 a,
                 (truth.query_id == a.query_id)
                 & (truth.neighbor_id == a.a_neighbor),
                 "left",
             )
-            .agg(F.count("a_neighbor"), F.count(F.lit(1)))
-            .collect()[0]
+            .drop(a.query_id)
+            .groupBy("query_id")
+            .agg(
+                (F.count("a_neighbor") / F.lit(float(vq._ADCJ_K))).alias(
+                    "recall"
+                )
+            )
+            .agg(F.avg("recall"))
+            .collect()[0][0]
         )
-        return round(hit / tot, 4), round(time.perf_counter() - t0, 3)
+        return round(rec, 4), round(time.perf_counter() - t0, 3)
 
     rows = []
     arms = [("trained_nprobe", int(x)) for x in args.nprobes.split(",")] + [
@@ -123,7 +136,9 @@ def main() -> int:
             row = {
                 "dial": dial,
                 "value": val,
+                # mean over panel of per-query n_hits/k (matches #161)
                 "recall_at_10": rec,
+                "recall_def": "mean_per_query_hits_over_k",
                 "wall_min_sec": min(walls),
                 "walls": walls,
                 "canary": canary(),
