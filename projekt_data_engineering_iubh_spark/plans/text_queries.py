@@ -493,6 +493,132 @@ def docs_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Takedown-aware near-dup filter (#163, r13) — the GDPR semantics of the
+# streaming tier's delete face as an oracle-certified batch query
+# ---------------------------------------------------------------------------
+
+_TKD_TAU = 0.5  # == streaming/neardup_stream.NEAR_TAU
+_TKD_ERASED_MOD, _TKD_ERASED_RES = 10, 4  # erased ⊂ even-id corpus
+
+_TKD_BANDS_CTE = (
+    _SIG_CTE + ", bandsmh AS (\n" + _bands_branches_sql("sig", True) + "\n)"
+)
+
+_TKD_AGREE = (
+    f"len(list_filter(range(1, {_MINHASH_K + 1}),"
+    f" i -> b.minhash[i] = c.c_minhash[i])) / {float(_MINHASH_K)}"
+)
+
+_TKD_SQL = (
+    _TKD_BANDS_CTE
+    + f"""
+, tkd_corp AS (
+  SELECT doc_id AS c_doc, minhash AS c_minhash, band_no, band_key
+  FROM bandsmh
+  WHERE doc_id % 2 = 0
+    AND doc_id % {_TKD_ERASED_MOD} != {_TKD_ERASED_RES}
+), tkd_hits AS (
+  SELECT b.doc_id, MIN(c.c_doc) AS match_doc_id,
+         MAX({_TKD_AGREE}) AS max_est
+  FROM bandsmh b
+  JOIN tkd_corp c USING (band_no, band_key)
+  WHERE b.doc_id % 2 = 1 AND {_TKD_AGREE} >= {_TKD_TAU}
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN h.match_doc_id IS NOT NULL THEN 'dropped' ELSE 'kept' END
+         AS status,
+       h.match_doc_id, h.max_est
+FROM documents d LEFT JOIN tkd_hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+)
+
+
+@register("docs_neardup_takedown_filter", oracle=_TKD_SQL, driver=False)
+def docs_neardup_takedown_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming near-dup tier's TAKEDOWN semantics as a certified
+    batch query (#163, r13 — companion to the delete face VERDICT r12 #2
+    shipped this round): the corpus index is the even-id docs MINUS the
+    erased set (doc_id % 10 == 4 — tombstoned, exactly what
+    delta_index.load_index's anti-join removes from the signature
+    index), the batch is the odd-id docs, and each batch doc is dropped
+    iff some LIVE corpus doc shares an LSH band with signature agreement
+    ≥ 0.5 (streaming/neardup_stream.NEAR_TAU, same estimator —
+    functions/hashing.signature_agreement). Output: one row per batch
+    doc with (status, lowest matching live corpus doc, max agreement).
+    The hash therefore certifies the user-visible GDPR contract — an
+    erased document no longer suppresses near-duplicates of itself,
+    while live anchors keep matching — not just the tombstone plumbing
+    (which tests/test_index_takedown.py pins at the store level).
+
+    Scale shape: identical to the streaming filter's per-trigger plan —
+    one band-key equi-join (batch side shuffles into the index
+    bucketing), agreement computed inside the join from the carried
+    signatures, per-doc min/max aggregation. No all-pairs term; the
+    erased-set exclusion is a filter pushed below the join (in
+    production an anti-join against the broadcast tombstone key set)."""
+    sig = _signatures(spark, sf_dir).filter(
+        F.element_at(F.col("minhash"), 1) < F.lit(hashing.MERSENNE_P)
+    )
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_no"),
+                    F.xxhash64(
+                        F.lit(b),
+                        F.slice("minhash", b * _LSH_ROWS + 1, _LSH_ROWS),
+                    ).alias("band_key"),
+                )
+                for b in range(_LSH_BANDS)
+            ]
+        )
+    )
+    bands = sig.select("doc_id", "minhash", band.alias("band")).select(
+        "doc_id", "minhash", "band.band_no", "band.band_key"
+    )
+    corpus = bands.filter(
+        (F.col("doc_id") % 2 == 0)
+        & (F.col("doc_id") % _TKD_ERASED_MOD != _TKD_ERASED_RES)
+    ).select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("minhash").alias("c_minhash"),
+        "band_no",
+        "band_key",
+    )
+    batch = bands.filter(F.col("doc_id") % 2 == 1)
+    est = hashing.signature_agreement(
+        F.col("minhash"), F.col("c_minhash"), _MINHASH_K
+    )
+    hits = (
+        batch.join(corpus, ["band_no", "band_key"])
+        .filter(est >= _TKD_TAU)
+        .groupBy("doc_id")
+        .agg(
+            F.min("c_doc").alias("match_doc_id"),
+            F.max(est).alias("max_est"),
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("match_doc_id").isNotNull(), "dropped")
+            .otherwise("kept")
+            .alias("status"),
+            "match_doc_id",
+            "max_est",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
