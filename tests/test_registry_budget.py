@@ -188,6 +188,12 @@ LOCAL_ONLY_FAMILY = {
     "emb_ivfpq_build",
     "emb_ivfpq_serve",
     "emb_ivfpq_serve_rerank",
+    # round 13 post-rotation birth: #163 docs_neardup_takedown_filter
+    # (the band-delta takedown face certification) landed AFTER rotation
+    # #10's pre-flight, so it stays local-only until rotation #11 — the
+    # same convention every post-pre-flight entry has followed; the
+    # never-checked backlog ceiling (20) tracks it until promoted
+    "docs_neardup_takedown_filter",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
