@@ -2870,66 +2870,51 @@ def _ivfpq_query_tables(
     _ivfpq_search) and the corpus-sized shuffled JOIN path
     (emb_knn_join_adc) unchanged. Geometry is derived from ``books``
     (m = len(books), subdim = len(books[0][0])) — any codebook shape
-    routes correctly."""
+    routes correctly.
+
+    Built as selectExpr STRINGS (the same Catalyst expressions the
+    Column API produced), not per-literal Column calls — the same
+    driver-latency fix as _ivfpq_residuals: at M=16 books x 16 codes
+    the F.lit/F.array literal trees cost ~9 s of pure py4j DRIVER time
+    per construction (measured r13, emb_knn_join_serve); one string
+    parse is ~100x cheaper and bit-identical."""
     pq_m = len(books)
     subdim = len(books[0][0])
-    isq = _isq
-    coarse_arr = F.array(
-        *[F.array(*[F.lit(v) for v in cq]) for cq in coarse_cqs]
+    pdists = (
+        "array("
+        + ",".join(_isq_sql("qq", _arr_sql(cq)) for cq in coarse_cqs)
+        + ")"
     )
-    cell_lit = F.array(*[F.lit(c) for c in coarse_cells])
-    pdists = F.array(
-        *[
-            isq(F.col("qq"), F.array(*[F.lit(v) for v in cq]))
-            for cq in coarse_cqs
-        ]
+    cell_lit = _arr_sql(coarse_cells)
+    coarse_arr = "array(" + ",".join(_arr_sql(cq) for cq in coarse_cqs) + ")"
+    ranked = (
+        f"array_sort(zip_with({pdists},"
+        f" sequence(0, {len(coarse_cells) - 1}),"
+        f" (d, i) -> named_struct('d', d, 'i', i)))"
     )
-    probes = (
-        qd.select(
-            "query_id",
-            "qq",
-            F.posexplode(
-                F.slice(
-                    F.array_sort(
-                        F.zip_with(
-                            pdists,
-                            F.sequence(
-                                F.lit(0), F.lit(len(coarse_cells) - 1)
-                            ),
-                            lambda d, i: F.struct(
-                                d.alias("d"), i.alias("i")
-                            ),
-                        )
-                    ),
-                    1,
-                    nprobe,
-                )
-            ).alias("prn", "probe"),
+    probes = qd.selectExpr(
+        "query_id",
+        "qq",
+        f"posexplode(slice({ranked}, 1, {nprobe})) AS (prn, probe)",
+    ).selectExpr(
+        "query_id",
+        "qq",
+        f"element_at({cell_lit}, probe.i + 1) AS pcell",
+        f"zip_with(qq, element_at({coarse_arr}, probe.i + 1),"
+        f" (x, c) -> x - c) AS qres",
+    )
+    table_exprs = [
+        "array("
+        + ",".join(
+            _isq_sql(
+                f"slice(qres, {m * subdim + 1}, {subdim})", _arr_sql(cq)
+            )
+            for cq in books[m]
         )
-        .select(
-            "query_id",
-            "qq",
-            F.element_at(cell_lit, F.col("probe.i") + 1).alias("pcell"),
-            F.zip_with(
-                "qq",
-                F.element_at(coarse_arr, F.col("probe.i") + 1),
-                lambda x, c: x - c,
-            ).alias("qres"),
-        )
-    )
-    table_cols = [
-        F.array(
-            *[
-                isq(
-                    F.slice("qres", m * subdim + 1, subdim),
-                    F.array(*[F.lit(v) for v in cq]),
-                )
-                for cq in books[m]
-            ]
-        ).alias(f"t{m}")
+        + f") AS t{m}"
         for m in range(pq_m)
     ]
-    return probes.select("query_id", "qq", "pcell", *table_cols)
+    return probes.selectExpr("query_id", "qq", "pcell", *table_exprs)
 
 
 def _ivfpq_search(
