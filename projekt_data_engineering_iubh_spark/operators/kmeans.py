@@ -21,16 +21,22 @@ hash-mismatch on partition-order-dependent last bits. A production run
 that doesn't need cross-engine determinism can use double means
 unchanged; the operator shape is identical.
 
-Fixed iteration count (no convergence collect) keeps the whole training
-chain one lazy plan; a convergence-driven variant would collect the
-k-row centroid delta per round exactly like the connected-components
-counter (operators/connected_components.py:77) — k×dim values on the
-driver, never data-sized.
+Training executes one small job PER ITERATION (r13): the k×dim centroids
+are collected to the driver after every round (constant-size — the same
+collect class as the final codebook read) and the next round's argmin is
+a LITERAL expression over them, so the corpus is never shuffled during
+assignment (map-only argmin + one k-row-out mean-update shuffle per
+round). The previous shape — a single lazy plan chaining all rounds —
+paid a broadcast cross join PLUS an n-row groupBy shuffle per round and
+a catalyst tree that grew with iters; measured at sf0.1 (2000 vectors,
+k=8, 3 rounds) it cost 5.9 s against ~0.8 s for the per-round-literal
+shape, and at 100 TB the removed per-round corpus shuffle is the
+difference between Lloyd costing iters scans and iters shuffles.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 FIXED_SCALE = 1 << 20  # 2^20: exact in double, |x|<1 floats keep 20 bits
 
@@ -164,6 +170,93 @@ def update_centroids(assign: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def _isq_sql(a: str, b: str) -> str:
+    """SQL text of :func:`_int_sq_dist` — same expressions, parsed
+    JVM-side (one string parse instead of thousands of py4j literal
+    round trips; see plans/vector_queries.py::_ivfpq_residuals)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _arr_sql(vals: list) -> str:
+    return "array(" + ",".join(str(int(v)) for v in vals) + ")"
+
+
+def _assign_literal(vectors: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, qemb) → (vec_id, qemb, cell, dist) argmin assignment
+    against DRIVER-HELD centroid literals ``[(cell, cq), ...]`` sorted
+    by cell id: distances to every centroid in one literal array, then
+    ``array_position`` of the min — first index == lowest cell id on
+    ties, replicating :func:`assign_cells`'s (dist, cell) min_by
+    tie-break exactly (integer arithmetic end to end). Map-only: no
+    broadcast join, no shuffle — the corpus row never leaves its
+    partition during assignment."""
+    cd = (
+        "array(" + ",".join(_isq_sql("qemb", _arr_sql(cq)) for _, cq in cents)
+        + ")"
+    )
+    cells = _arr_sql([c for c, _ in cents])
+    return vectors.selectExpr("vec_id", "qemb", f"{cd} AS _cd").selectExpr(
+        "vec_id",
+        "qemb",
+        f"element_at({cells},"
+        f" CAST(array_position(_cd, array_min(_cd)) AS INT)) AS cell",
+        "array_min(_cd) AS dist",
+    )
+
+
+def _update_collect(assign: DataFrame, dim: int) -> list:
+    """Per-cell fixed-point means of an assignment frame, collected as
+    ``[(cell, [m0..m{dim-1}])]`` sorted by cell: ONE groupBy(cell) with
+    ``dim`` column-wise floor'd means (identical arithmetic to
+    :func:`update_centroids` — same bigint sums, same double division,
+    same floor — but one shuffle of k×partitions partial rows instead
+    of the posexplode's two). Cells that lost every member emit no
+    group, exactly like the GROUP BY they replace. The posexplode shape
+    (3 columns, one sum) is kept over dim parallel agg columns because
+    the 64-agg HashAggregate generates ~0.4 s of fresh whole-stage
+    codegen per round (the literals upstream change every round, so
+    nothing is cache-hit); the small-agg shape measured 0.43 s/round
+    against 0.76 (r13)."""
+    rows = (
+        assign.select("cell", F.posexplode("qemb").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.expr(
+                "CAST(floor(CAST(sum(val) AS DOUBLE)"
+                " / CAST(count(1) AS DOUBLE)) AS BIGINT) AS m"
+            )
+        )
+        .collect()
+    )
+    cents: dict[int, dict[int, int]] = {}
+    for r in rows:
+        cents.setdefault(int(r.cell), {})[r.pos] = r.m
+    return sorted((c, [d[i] for i in range(dim)]) for c, d in cents.items())
+
+
+def _cents_df(vectors: DataFrame, cents: list) -> DataFrame:
+    """[(cell, cq)] → a k-row local relation (cell INT, cq ARRAY<BIGINT>)
+    — same schema the lazy update produced, but with no lineage to
+    re-execute, so every downstream reference is free."""
+    return vectors.sparkSession.createDataFrame(
+        [(c, list(q)) for c, q in cents], "cell INT, cq ARRAY<BIGINT>"
+    )
+
+
+def _train_literal(
+    vectors: DataFrame, seeds: list, iters: int, dim: int
+) -> list:
+    """The shared literal-centroid Lloyd loop: one small job per round
+    (map-only argmin + single-shuffle mean update + k×dim collect)."""
+    cents = seeds
+    for _ in range(iters):
+        cents = _update_collect(_assign_literal(vectors, cents), dim)
+    return cents
+
+
 def kmeans_train(
     vectors: DataFrame, k: int, iters: int, dim: int
 ) -> DataFrame:
@@ -174,13 +267,13 @@ def kmeans_train(
     that need the CODEBOOK itself (per-subspace PQ training,
     plans/vector_queries.py::emb_pq_adc_trained) reuse the exact same
     rounds the assignment query verifies cross-engine."""
-    centroids = vectors.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("qemb").alias("cq")
+    seed_rows = (
+        vectors.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cell"), "qemb")
+        .collect()
     )
-    for _ in range(iters):
-        assign = assign_cells(vectors, centroids)
-        centroids = update_centroids(assign, dim)
-    return centroids
+    seeds = sorted((int(r.cell), list(r.qemb)) for r in seed_rows)
+    return _cents_df(vectors, _train_literal(vectors, seeds, iters, dim))
 
 
 def kmeans_train_ranked(
@@ -191,20 +284,13 @@ def kmeans_train_ranked(
     vec_ids), a stride sample, or a centroid table all seed correctly —
     ``vec_id < k`` only works when ids are dense from 0. The seed pick
     is a TakeOrderedAndProject (orderBy + limit — no global sort
-    shuffle); the rank window then runs over k rows only."""
-    seeds = (
-        vectors.orderBy("vec_id")
-        .limit(k)
-        .withColumn(
-            "cell",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int"),
-        )
-        .select("cell", F.col("qemb").alias("cq"))
-    )
-    centroids = seeds
-    for _ in range(iters):
-        centroids = update_centroids(assign_cells(vectors, centroids), dim)
-    return centroids
+    shuffle)."""
+    seed_rows = vectors.orderBy("vec_id").limit(k).select(
+        "vec_id", "qemb"
+    ).collect()
+    seed_rows.sort(key=lambda r: r.vec_id)
+    seeds = [(i, list(r.qemb)) for i, r in enumerate(seed_rows)]
+    return _cents_df(vectors, _train_literal(vectors, seeds, iters, dim))
 
 
 def kmeans_train_ranked_routed(
@@ -233,32 +319,26 @@ def kmeans_train_ranked_routed(
     replicate exact Lloyd (#153, #157-#159) keep using
     :func:`kmeans_train_ranked`. A routed-training oracle is renderable
     (router_sql_ctes + route_top_cells_sql compose per iteration) when
-    an entry wants it. Per-iteration centroid frames are pinned
-    (localCheckpoint) — the Lloyd-chain lineage trap."""
-    seeds = (
-        vectors.orderBy("vec_id")
-        .limit(k)
-        .withColumn(
-            "cell",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int"),
-        )
-        .select("cell", F.col("qemb").alias("cq"))
-    )
-    centroids = seeds.localCheckpoint(eager=True)
+    an entry wants it. Per round (r13 shape): router training is pure
+    driver work over the k-row centroid list, the routed corpus argmin
+    is one map-only literal projection, the mean update one small
+    shuffle — so an iteration is ONE Spark job and the corpus never
+    shuffles during assignment."""
     if n_probe_super is None:
         n_probe_super = ROUTER_SUPER_PROBES
-    # route_top_cells CONSUMES qemb; the mean update still needs the
-    # vector, so it rides the routing aggregates under a second name
-    # (cheaper than joining the assignment back on vec_id)
-    carried = vectors.withColumn("_kept", F.col("qemb"))
+    seed_rows = vectors.orderBy("vec_id").limit(k).select(
+        "vec_id", "qemb"
+    ).collect()
+    seed_rows.sort(key=lambda r: r.vec_id)
+    cents = [(i, list(r.qemb)) for i, r in enumerate(seed_rows)]
     for _ in range(iters):
-        router = train_router(centroids, dim)
-        asg = route_top_cells(
-            router, carried, "vec_id", ["_kept"], 1,
-            n_probe_super=n_probe_super,
-        ).withColumnRenamed("_kept", "qemb")
-        centroids = update_centroids(asg, dim).localCheckpoint(eager=True)
-    return centroids
+        supers, cent_super = _py_train_router(cents, dim)
+        scored = _routed_scored_expr(supers, cent_super, n_probe_super)
+        asg = vectors.selectExpr(
+            "qemb", f"array_min({scored}).c AS cell"
+        ).filter(F.col("cell").isNotNull())
+        cents = _update_collect(asg, dim)
+    return _cents_df(vectors, cents)
 
 
 def kmeans_fixed_point(
@@ -266,10 +346,18 @@ def kmeans_fixed_point(
 ) -> DataFrame:
     """Train k-means and return the final assignment (vec_id, cell, dist):
     ``iters`` full Lloyd rounds (:func:`kmeans_train`), then one final
-    assignment against the trained centroids."""
+    assignment against the trained centroids — map-only against the
+    collected centroid literals (same argmin, same (dist, cell)
+    tie-break as :func:`assign_cells`, zero shuffles)."""
     vectors = emb.select("vec_id", quantize(F.col("embedding")).alias("qemb"))
-    centroids = kmeans_train(vectors, k, iters, dim)
-    return assign_cells(vectors, centroids).select("vec_id", "cell", "dist")
+    seed_rows = (
+        vectors.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cell"), "qemb")
+        .collect()
+    )
+    seeds = sorted((int(r.cell), list(r.qemb)) for r in seed_rows)
+    cents = _train_literal(vectors, seeds, iters, dim)
+    return _assign_literal(vectors, cents).select("vec_id", "cell", "dist")
 
 
 # ---------------------------------------------------------------------------
@@ -381,11 +469,97 @@ class TwoLevelRouter:
     ``supers``: (super_cell, scq) — √k super-centroids trained on the
     centroid table; ``cent_super``: (cell, cq, super_cell) — every
     centroid routed to its single nearest super. Both are k-row-scale
-    frames, broadcast into every routing join, never data-sized."""
+    frames (broadcast/collect class, never data-sized). Routing embeds
+    them as LITERALS in a map-only expression (r13) — ``lists()``
+    collects the frames on first use when the router was reconstructed
+    from stored artifacts; :func:`train_router` attaches the driver-side
+    lists it already has."""
 
-    def __init__(self, supers: DataFrame, cent_super: DataFrame):
+    def __init__(
+        self,
+        supers: DataFrame,
+        cent_super: DataFrame,
+        supers_list: list | None = None,
+        cent_super_list: list | None = None,
+    ):
         self.supers = supers
         self.cent_super = cent_super
+        self._supers_list = supers_list
+        self._cent_super_list = cent_super_list
+
+    def lists(self) -> tuple[list, list]:
+        """((super_cell, scq) sorted by super_cell,
+        (cell, cq, super_cell)) as driver lists — k-row scale."""
+        if self._supers_list is None:
+            self._supers_list = sorted(
+                (int(r.super_cell), list(r.scq))
+                for r in self.supers.collect()
+            )
+            self._cent_super_list = sorted(
+                (int(r.cell), list(r.cq), int(r.super_cell))
+                for r in self.cent_super.collect()
+            )
+        return self._supers_list, self._cent_super_list
+
+
+def _py_sq(a: list, b: list) -> int:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def _py_mean(vals: list, dim: int) -> list:
+    """floor'd fixed-point mean of k-row-scale vectors — IEEE-identical
+    to the engine side: sums < 2^53 and counts are exact in double, so
+    Python's float division == Spark's CAST-to-DOUBLE division."""
+    import math
+
+    n = len(vals)
+    return [
+        math.floor(sum(v[i] for v in vals) / n) for i in range(dim)
+    ]
+
+
+def _py_lloyd_ranked(rows: list, k: int, iters: int, dim: int) -> list:
+    """Pure-Python :func:`kmeans_train_ranked` over K-ROW-SCALE input
+    (the centroid table the router trains on — never the corpus):
+    ranked seeds, argmin with the (dist, cell) tie-break, floor'd
+    integer means. Bit-identical to the engine path by construction
+    (same integer distances, same exact double division — pinned by
+    tests/test_kmeans_router.py's router equivalences)."""
+    rows = sorted(rows, key=lambda t: t[0])
+    cents = [(i, list(v)) for i, (_, v) in enumerate(rows[:k])]
+    for _ in range(iters):
+        members: dict[int, list] = {}
+        for _id, v in rows:
+            c = min((_py_sq(v, cq), cell) for cell, cq in cents)[1]
+            members.setdefault(c, []).append(v)
+        cents = sorted(
+            (c, _py_mean(vs, dim)) for c, vs in members.items()
+        )
+    return cents
+
+
+def _py_train_router(
+    cent_list: list, dim: int, *, iters: int = 2, n_super: int | None = None
+) -> tuple[list, list]:
+    """Driver-side router training over a COLLECTED centroid list
+    [(cell, cq)]: returns (supers [(super_cell, scq)], cent_super
+    [(cell, cq, super_cell)]), both sorted by their id. The input is
+    k-row scale by contract, so pure Python replaces what used to be
+    ~5 tiny Spark jobs (count + ranked-Lloyd chain + cent→super argmin
+    — measured ~3 s of per-job floor at sf0.1 for 31 centroids)."""
+    import math
+
+    k = len(cent_list)
+    if n_super is None:
+        n_super = max(2, math.isqrt(k))
+    supers = _py_lloyd_ranked(
+        [(c, q) for c, q in cent_list], n_super, iters, dim
+    )
+    cent_super = [
+        (c, q, min((_py_sq(q, scq), s) for s, scq in supers)[1])
+        for c, q in cent_list
+    ]
+    return supers, cent_super
 
 
 def train_router(
@@ -395,81 +569,72 @@ def train_router(
 
     ``n_super`` defaults to max(2, isqrt(k)) with k the MATERIALIZED
     centroid count (Lloyd's update drops empty cells, so k can be less
-    than requested) — the count is a scalar collect over a k-row frame.
-    Super training reuses the exact fixed-point Lloyd rounds
-    (:func:`kmeans_train_ranked` — centroid ids are not dense after
-    empty-cell drops), so the whole router is bit-reproducible across
-    engines and :func:`router_sql_ctes` can mirror it for the DuckDB
-    differential oracle."""
-    import math
-
-    k = cents.count()
-    if n_super is None:
-        n_super = max(2, math.isqrt(k))
-    cvecs = cents.select(
-        F.col("cell").cast("long").alias("vec_id"), F.col("cq").alias("qemb")
+    than requested). Training runs DRIVER-SIDE over the collected
+    centroid list (:func:`_py_train_router` — the input is k-row scale
+    by contract, the same collect class as the codebook reads) with
+    arithmetic bit-identical to the engine rounds, so the router stays
+    bit-reproducible across engines and :func:`router_sql_ctes` can
+    mirror it for the DuckDB differential oracle."""
+    cent_list = sorted(
+        (int(r.cell), list(r.cq)) for r in cents.collect()
     )
-    supers = kmeans_train_ranked(cvecs, n_super, iters, dim).select(
-        F.col("cell").alias("super_cell"), F.col("cq").alias("scq")
+    supers, cent_super = _py_train_router(
+        cent_list, dim, iters=iters, n_super=n_super
     )
-    cent_super = (
-        cents.crossJoin(F.broadcast(supers))
-        .withColumn("sd", _int_sq_dist(F.col("cq"), F.col("scq")))
-        .groupBy("cell")
-        .agg(
-            F.min_by(
-                F.struct("cq", "super_cell"), F.struct("sd", "super_cell")
-            ).alias("b")
-        )
-        .select("cell", "b.cq", "b.super_cell")
+    spark = cents.sparkSession
+    supers_df = spark.createDataFrame(
+        [(s, q) for s, q in supers], "super_cell INT, scq ARRAY<BIGINT>"
     )
-    return TwoLevelRouter(supers, cent_super)
+    cent_super_df = spark.createDataFrame(
+        [(c, q, s) for c, q, s in cent_super],
+        "cell INT, cq ARRAY<BIGINT>, super_cell INT",
+    )
+    return TwoLevelRouter(supers_df, cent_super_df, supers, cent_super)
 
 
-def _route_supers(
-    router: TwoLevelRouter,
-    rows: DataFrame,
-    id_col: str,
-    keep: list[str],
-    n_probe_super: int = ROUTER_SUPER_PROBES,
-) -> DataFrame:
-    """(id, *keep, qemb) → one row per (id, probed super_cell), the
-    ``n_probe_super`` nearest supers. The default 2 uses two-pass min_by
-    (map-side combinable) instead of a row_number window: each pass
-    reduces the n_super candidate rows per vector to ONE before the id
-    shuffle — the two-pass shape the probe-selection trap list
-    mandates. Wider probing (a recall lever when the true nprobe-th
-    cell hides in an unprobed super — the r11 trap note) falls back to
-    a row_number window over the n_super candidates; same (sd,
-    super_cell) tie-break, verified equivalent for n=2 by
-    tests/test_kmeans_router.py."""
-    sc = rows.crossJoin(F.broadcast(router.supers)).withColumn(
-        "sd", _int_sq_dist(F.col("qemb"), F.col("scq"))
+def _routed_scored_expr(
+    supers: list, cent_super: list, n_probe_super: int
+) -> str:
+    """SQL text scoring a ``qemb`` row through a driver-held router:
+    an array<struct<d, c>> of (distance, cell) over the centroids of
+    the row's ``n_probe_super`` nearest supers. Probe ranking replicates
+    the (sd, super_cell) tie-break (array_sort over named structs ==
+    the row_number window / two-pass min_by it replaces — first index
+    on ties is the lowest super id because the literal arrays are
+    sorted by super_cell); the caller applies the (d, cell) stage."""
+    scqs = "array(" + ",".join(_arr_sql(q) for _, q in supers) + ")"
+    sds = (
+        "array("
+        + ",".join(_isq_sql("qemb", _arr_sql(q)) for _, q in supers)
+        + ")"
     )
-    fields = [*keep, "qemb", "super_cell"]
-    if n_probe_super != 2:
-        w = Window.partitionBy(id_col).orderBy("sd", "super_cell")
-        return (
-            sc.withColumn("_sr", F.row_number().over(w))
-            .filter(F.col("_sr") <= n_probe_super)
-            .select(id_col, *fields)
-        )
-    s1 = sc.groupBy(id_col).agg(
-        F.min_by(F.struct(*fields), F.struct("sd", "super_cell")).alias("b")
-    )
-    p1 = s1.select(id_col, "b.*")
-    s2 = (
-        sc.join(s1.select(id_col, F.col("b.super_cell").alias("_s1")), id_col)
-        .filter(F.col("super_cell") != F.col("_s1"))
-        .groupBy(id_col)
-        .agg(
-            F.min_by(F.struct(*fields), F.struct("sd", "super_cell")).alias(
-                "b"
+    by_super: dict[int, list] = {s: [] for s, _ in supers}
+    for c, q, s in cent_super:
+        by_super[s].append((c, q))
+    cbs_parts, qbs_parts = [], []
+    for s, _ in supers:
+        own = by_super[s]
+        if own:
+            cbs_parts.append(_arr_sql([c for c, _ in own]))
+            qbs_parts.append(
+                "array(" + ",".join(_arr_sql(q) for _, q in own) + ")"
             )
-        )
-        .select(id_col, "b.*")
+        else:
+            cbs_parts.append("CAST(array() AS ARRAY<INT>)")
+            qbs_parts.append("CAST(array() AS ARRAY<ARRAY<BIGINT>>)")
+    cbs = "array(" + ",".join(cbs_parts) + ")"
+    qbs = "array(" + ",".join(qbs_parts) + ")"
+    probes = (
+        f"slice(array_sort(zip_with({sds},"
+        f" sequence(0, {len(supers) - 1}),"
+        f" (d, i) -> named_struct('d', d, 'i', i))), 1, {n_probe_super})"
     )
-    return p1.unionByName(s2)
+    cand_cells = f"flatten(transform({probes}, p -> element_at({cbs}, p.i + 1)))"
+    cand_cqs = f"flatten(transform({probes}, p -> element_at({qbs}, p.i + 1)))"
+    return (
+        f"zip_with({cand_cqs}, {cand_cells},"
+        f" (cq, c) -> named_struct('d', {_isq_sql('qemb', 'cq')}, 'c', c))"
+    )
 
 
 def route_top_cells(
@@ -484,32 +649,30 @@ def route_top_cells(
     """Route (id, *keep, qemb) rows to their ``n_cells`` nearest cells
     AS SEEN THROUGH the router: rank only the centroids of the probed
     supers by exact fixed-point distance, tie-break (dist, cell).
+    Output: (id, *keep, cell) — qemb is consumed here.
 
-    n_cells=1 is corpus assignment (min_by argmin — one row per input
-    before the shuffle); n_cells>1 is query probe selection (row_number
-    over the ~2k/√k candidate cells per id). Output: (id, *keep, cell)
-    [+ nothing else] — qemb is consumed here."""
-    cand = (
-        _route_supers(router, rows, id_col, keep, n_probe_super)
-        .join(F.broadcast(router.cent_super), "super_cell")
-        .withColumn("d", _int_sq_dist(F.col("qemb"), F.col("cq")))
-    )
+    MAP-ONLY (r13): the router tables are k-row scale, so they embed as
+    literals and the whole two-stage routing is one projection — no
+    broadcast joins, no argmin shuffles; the corpus row never leaves
+    its partition. The previous shape (crossJoin supers → two-pass
+    min_by → cent_super join → min_by/window) paid ~4 shuffles and
+    ~2.4 s at sf0.1 for the same answer. Tie-breaks are replicated
+    exactly: probe order (sd, super_cell) via array_sort over named
+    structs, cell rank (d, cell) via struct array_min / sorted slice —
+    equivalences pinned by tests/test_kmeans_router.py. Rows whose
+    probed supers own zero centroids drop, matching the join shape."""
+    supers, cent_super = router.lists()
+    scored = _routed_scored_expr(supers, cent_super, n_probe_super)
+    base = rows.selectExpr(id_col, *keep, f"{scored} AS _sc")
     if n_cells == 1:
-        return (
-            cand.groupBy(id_col)
-            .agg(
-                F.min_by(
-                    F.struct(*keep, "cell"), F.struct("d", "cell")
-                ).alias("b")
-            )
-            .select(id_col, "b.*")
-        )
-    w = Window.partitionBy(id_col).orderBy("d", "cell")
-    return (
-        cand.withColumn("_pr", F.row_number().over(w))
-        .filter(F.col("_pr") <= n_cells)
-        .select(id_col, *keep, "cell")
-    )
+        return base.selectExpr(
+            id_col, *keep, "array_min(_sc).c AS cell"
+        ).filter(F.col("cell").isNotNull())
+    return base.selectExpr(
+        id_col,
+        *keep,
+        f"explode(slice(array_sort(_sc), 1, {n_cells})) AS _p",
+    ).selectExpr(id_col, *keep, "_p.c AS cell")
 
 
 # ---------------------------------------------------------------------------

@@ -2728,6 +2728,88 @@ def _isq(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def _train_books(
+    res: DataFrame, pq_m: int, pq_codes: int, iters: int, subdim: int
+) -> tuple[list, list]:
+    """Train ALL ``pq_m`` residual sub-codebooks in ONE stacked Lloyd
+    loop (r13): the per-subspace trainings are independent, so instead
+    of pq_m sequential km.kmeans_train calls (each paying its own seed
+    job + per-round jobs — measured 6.4 s for M=4 at sf0.1), the
+    subspace slices stack under an ``m`` column (posexplode of the M
+    slices) and every round is one job: a map-only per-(m, row) argmin
+    against that subspace's CURRENT codebook literals, then one
+    groupBy(m, cell) mean update. Arithmetic per (m, cell) group is
+    exactly km.kmeans_train's — same seeds (vec_id < pq_codes), same
+    integer distances, same floor'd means, same lowest-cell tie-break —
+    so the codebooks are bit-identical to the sequential path (pinned
+    by tests/test_pq_books_stacked.py). Returns (book_cells, books)
+    sorted by cell within each m."""
+    slices = ",".join(
+        f"slice(remb, {m * subdim + 1}, {subdim})" for m in range(pq_m)
+    )
+    stacked = res.selectExpr(
+        "vec_id", f"posexplode(array({slices})) AS (m, qemb)"
+    )
+    seed_rows = (
+        stacked.filter(F.col("vec_id") < pq_codes)
+        .selectExpr("m", "CAST(vec_id AS INT) AS cell", "qemb")
+        .collect()
+    )
+    # cents[m] = [(cell, cq)] sorted by cell — mirrors each book's own
+    # kmeans_train seed set
+    cents: list[list] = [[] for _ in range(pq_m)]
+    for r in seed_rows:
+        cents[r.m].append((int(r.cell), list(r.qemb)))
+    for m in range(pq_m):
+        cents[m].sort()
+    for _ in range(iters):
+        books_arr = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(_arr_sql(cq) for _, cq in cents[m]) + ")"
+                for m in range(pq_m)
+            )
+            + ")"
+        )
+        cells_arr = (
+            "array("
+            + ",".join(_arr_sql([c for c, _ in cents[m]]) for m in range(pq_m))
+            + ")"
+        )
+        asg = stacked.selectExpr(
+            "m",
+            "qemb",
+            f"transform(element_at({books_arr}, m + 1),"
+            f" cq -> {_isq_sql('qemb', 'cq')}) AS _cd",
+            f"element_at({cells_arr}, m + 1) AS _cells",
+        ).selectExpr(
+            "m",
+            "qemb",
+            "element_at(_cells,"
+            " CAST(array_position(_cd, array_min(_cd)) AS INT)) AS cell",
+        )
+        rows = asg.groupBy("m", "cell").agg(
+            *[
+                F.expr(
+                    f"CAST(floor(CAST(sum(element_at(qemb, {i + 1}))"
+                    f" AS DOUBLE) / CAST(count(1) AS DOUBLE)) AS BIGINT)"
+                    f" AS m{i}"
+                )
+                for i in range(subdim)
+            ]
+        ).collect()
+        cents = [[] for _ in range(pq_m)]
+        for r in rows:
+            cents[r.m].append(
+                (int(r.cell), [r[f"m{i}"] for i in range(subdim)])
+            )
+        for m in range(pq_m):
+            cents[m].sort()
+    book_cells = [[c for c, _ in cents[m]] for m in range(pq_m)]
+    books = [[q for _, q in cents[m]] for m in range(pq_m)]
+    return book_cells, books
+
+
 def _ivfpq_train(
     spark: SparkSession,
     sf_dir: str,
@@ -2758,22 +2840,8 @@ def _ivfpq_train(
         eager=True
     )
 
-    # residual codebooks (k x dim literals per subspace)
     subdim = EMB_DIM // pq_m
-    book_cells: list[list[int]] = []
-    books: list[list[list[int]]] = []
-    for m in range(pq_m):
-        subv = res.select(
-            "vec_id",
-            F.slice("remb", m * subdim + 1, subdim).alias("qemb"),
-        )
-        cents = (
-            km.kmeans_train(subv, pq_codes, _PQT_ITERS, subdim)
-            .orderBy("cell")
-            .collect()
-        )
-        book_cells.append([r.cell for r in cents])
-        books.append([list(r.cq) for r in cents])
+    book_cells, books = _train_books(res, pq_m, pq_codes, _PQT_ITERS, subdim)
 
     codes = _ivfpq_encode_residuals(res, books, subdim)
     asg = res.select("vec_id", "cell")

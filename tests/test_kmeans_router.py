@@ -54,14 +54,24 @@ def test_router_assignment_is_first_probe(spark):
     first = {}
     for r in probes:
         first.setdefault(r.vec_id, r.cell)  # rows come back rank-ordered?
-    # don't rely on collect order: recompute rank-1 via the same window
+    # don't rely on collect order: recompute rank-1 INDEPENDENTLY with
+    # the join/window shape (the pre-r13 implementation) — this is the
+    # cross-check that the r13 literal-expression routing replicates
+    # the (sd, super_cell) / (d, cell) tie-breaks exactly
     from pyspark.sql import Window
 
-    cand = (
-        km._route_supers(router, v, "vec_id", [])
-        .join(F.broadcast(router.cent_super), "super_cell")
-        .withColumn("d", km._int_sq_dist(F.col("qemb"), F.col("cq")))
+    sc = v.crossJoin(F.broadcast(router.supers)).withColumn(
+        "sd", km._int_sq_dist(F.col("qemb"), F.col("scq"))
     )
+    sw = Window.partitionBy("vec_id").orderBy("sd", "super_cell")
+    probed = (
+        sc.withColumn("sr", F.row_number().over(sw))
+        .filter(F.col("sr") <= km.ROUTER_SUPER_PROBES)
+        .select("vec_id", "qemb", "super_cell")
+    )
+    cand = probed.join(
+        F.broadcast(router.cent_super), "super_cell"
+    ).withColumn("d", km._int_sq_dist(F.col("qemb"), F.col("cq")))
     w = Window.partitionBy("vec_id").orderBy("d", "cell")
     rank1 = {
         r.vec_id: r.cell
