@@ -146,11 +146,38 @@ def curate(
 
     # transitive near-dup removal over the SURVIVING docs (graph edges
     # come from the full-corpus LSH pairs; restricting components to the
-    # quality lane keeps a quality doc that duplicated a filtered one)
-    edges = _lsh_pairs(spark, sf_dir, max_bucket=LSH_MAX_BUCKET).filter(
+    # quality lane keeps a quality doc that duplicated a filtered one).
+    # Occupancy probe (r13, same gate as docs_dedup_apply): when no band
+    # bucket exceeds the cap, the capped plan's row_number window and its
+    # eager banded-signature materialization are output-neutral — the
+    # edge SET is identical — and are skipped.
+    from projekt_data_engineering_iubh_spark.plans.text_queries import (
+        _max_band_occupancy,
+    )
+
+    cap = (
+        LSH_MAX_BUCKET
+        if _max_band_occupancy(spark, sf_dir) > LSH_MAX_BUCKET
+        else None
+    )
+    edges = _lsh_pairs(spark, sf_dir, max_bucket=cap).filter(
         F.col("est_jaccard") >= NEAR_DUP_JACCARD
     )
-    qdocs = quality.select("doc_id")
+    if _quality is None:
+        # the scorer's fit+score is the pipeline's most expensive stage
+        # and the lane is referenced by BOTH edge semi-joins, the CC
+        # vertex set, and the survivor join — materialize the id-sized
+        # lane ONCE (r13: the trained scorer was re-fit per reference,
+        # ~4x) and re-derive survivor ROWS from the raw table by id
+        # (quality's columns are exactly d's, so the semi-join is
+        # row-identical to filtering the scored frame)
+        qdocs = quality.select("doc_id").localCheckpoint(eager=True)
+        quality = d.join(qdocs, "doc_id", "left_semi")
+        materialize_vertices = False
+    else:
+        # run() passes a persisted lane — rescans are already cheap
+        qdocs = quality.select("doc_id")
+        materialize_vertices = True
     qedges = (
         edges.join(qdocs.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
         .join(qdocs.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
@@ -158,6 +185,7 @@ def curate(
     comp = connected_components(
         qdocs, qedges, id_col="doc_id", src_col="doc_a", dst_col="doc_b",
         component_col="cluster_id",
+        materialize_vertices=materialize_vertices,
     )
     keep = comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     deduped = quality.join(keep, "doc_id", "left_semi")

@@ -677,7 +677,14 @@ def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine (native stddev_samp is summation-order dependent). Spark
     `percentile` and DuckDB `quantile_cont` share the linear-interpolation
     definition, so they tie out bit-identically on identical doubles.
-    (The 100 TB percentile variant is `percentile_approx`.)"""
+    (The 100 TB percentile variant is `percentile_approx`.)
+
+    The three quantiles come from ONE array-percentile aggregate
+    (r13): `median` / three scalar `percentile` calls each keep their
+    own sorted-values buffer per group — three sorts of the same column
+    — where `percentile(col, array(...))` sorts once and interpolates
+    all three positions from it, element-wise identical by definition
+    (measured 3.6 -> 1.85 s at sf0.1, values bit-equal)."""
     l = load_table(spark, sf_dir, "lineitem")
     g = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -688,9 +695,15 @@ def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .cast("double")
         .alias("sum_sq"),
-        F.median("l_extendedprice").alias("median_price"),
-        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
-        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+        F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.95])).alias(
+            "_pcts"
+        ),
+    ).withColumns(
+        {
+            "median_price": F.element_at("_pcts", 2),
+            "p25_price": F.element_at("_pcts", 1),
+            "p95_price": F.element_at("_pcts", 3),
+        }
     )
     n = F.col("n")
     return g.select(
