@@ -4004,13 +4004,36 @@ def write_index_meta(
     ).coalesce(1).write.parquet(os.path.join(data_dir, "meta"))
 
 
+def _pq_local_rows(path: str) -> list[dict]:
+    """Rows of a k-row-scale parquet ARTIFACT directory, read with
+    pyarrow on the driver (r13): the snapshot client state (meta, coarse
+    centroids, codebooks, router tables) is constant-size driver state
+    by contract, and reading it through spark.read.parquet().collect()
+    paid one Spark job + scheduler round trip PER ARTIFACT — measured
+    ~1.2 s of the IVF-PQ serve wall (3 artifacts) for data a local
+    footer read returns in milliseconds. Data-sized artifacts (codes,
+    tombstones) stay DataFrames — this helper is for what was already
+    being collected."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        rows.extend(pq.read_table(f).to_pylist())
+    return rows
+
+
 def read_index_meta(spark: SparkSession, snapshot_dir: str):
-    """Return the meta row of a snapshot, or None for legacy roots."""
+    """Return the meta row of a snapshot (attribute access), or None for
+    legacy roots."""
+    import types
+
     path = os.path.join(snapshot_dir, "meta")
     if not os.path.isdir(path):
         return None
-    rows = spark.read.parquet(path).collect()
-    return rows[0] if rows else None
+    rows = _pq_local_rows(path)
+    return types.SimpleNamespace(**rows[0]) if rows else None
 
 
 def _link_or_copy_parquet(src_dir: str, dst_dir: str) -> None:
@@ -4064,6 +4087,28 @@ def _root_is_routed(cur: str) -> bool:
     persisted router map and no PQ books."""
     return os.path.isdir(os.path.join(cur, "cent_super")) and not (
         os.path.isdir(os.path.join(cur, "books"))
+    )
+
+
+def _load_router(spark: SparkSession, cur: str) -> "km.TwoLevelRouter":
+    """Reconstruct a snapshot's frozen TwoLevelRouter with the k-row
+    router tables read locally (pyarrow — see _pq_local_rows) so routing
+    embeds them as literals without a collect job per table. The
+    DataFrame fields stay lazy parquet reads for any join-shaped
+    consumer."""
+    supers = sorted(
+        (int(r["super_cell"]), list(r["scq"]))
+        for r in _pq_local_rows(os.path.join(cur, "supers"))
+    )
+    cent_super = sorted(
+        (int(r["cell"]), list(r["cq"]), int(r["super_cell"]))
+        for r in _pq_local_rows(os.path.join(cur, "cent_super"))
+    )
+    return km.TwoLevelRouter(
+        spark.read.parquet(os.path.join(cur, "supers")),
+        spark.read.parquet(os.path.join(cur, "cent_super")),
+        supers,
+        cent_super,
     )
 
 
@@ -4134,11 +4179,11 @@ def ivfpq_append_generation(
         # but re-reading them is k x dim — free).
         cur = store.resolve(root)
         coarse = sorted(
-            spark.read.parquet(os.path.join(cur, "coarse")).collect(),
-            key=lambda r: r.cell,
+            _pq_local_rows(os.path.join(cur, "coarse")),
+            key=lambda r: r["cell"],
         )
-        cells = [r.cell for r in coarse]
-        cqs = [list(r.cq) for r in coarse]
+        cells = [r["cell"] for r in coarse]
+        cqs = [list(r["cq"]) for r in coarse]
         # geometry + metric from the snapshot's meta artifact, NOT the
         # module constants: roots built with any (pq_m, pq_codes) append
         # correctly, and roots built over RAW (unnormalized) vectors are
@@ -4152,10 +4197,10 @@ def ivfpq_append_generation(
                 "encodes with quantize_normalized)"
             )
         pq_m, pq_codes = meta.pq_m, meta.pq_codes
-        brows = spark.read.parquet(os.path.join(cur, "books")).collect()
+        brows = _pq_local_rows(os.path.join(cur, "books"))
         books = [[None] * pq_codes for _ in range(pq_m)]
         for r in brows:
-            books[r.m][r.code] = list(r.cq)
+            books[r["m"]][r["code"]] = list(r["cq"])
         books = [[cq for cq in bk if cq is not None] for bk in books]
         subdim = len(books[0][0])
         if subdim * pq_m != EMB_DIM or meta.emb_dim != EMB_DIM:
@@ -4543,15 +4588,15 @@ def _load_snapshot_client_state(
     pq_m = meta.pq_m if meta is not None else _PQ_COS_M
     pq_codes = meta.pq_codes if meta is not None else _PQ_CODES
     coarse = sorted(
-        spark.read.parquet(os.path.join(cur, "coarse")).collect(),
-        key=lambda r: r.cell,
+        _pq_local_rows(os.path.join(cur, "coarse")),
+        key=lambda r: r["cell"],
     )
-    cells = [r.cell for r in coarse]
-    cqs = [list(r.cq) for r in coarse]
-    brows = spark.read.parquet(os.path.join(cur, "books")).collect()
+    cells = [r["cell"] for r in coarse]
+    cqs = [list(r["cq"]) for r in coarse]
+    brows = _pq_local_rows(os.path.join(cur, "books"))
     books = [[None] * pq_codes for _ in range(pq_m)]
     for r in brows:
-        books[r.m][r.code] = list(r.cq)
+        books[r["m"]][r["code"]] = list(r["cq"])
     books = [[cq for cq in bk if cq is not None] for bk in books]
     return pq_m, cells, cqs, books
 
@@ -4904,10 +4949,7 @@ def _routed_serve_from_dir(
     scan when the version carries no tombstones (zero cost on the
     undeleted path — #158/#159 plans unchanged), one anti-join against
     the broadcast-sized key set when it does (r12 delete tier)."""
-    router = km.TwoLevelRouter(
-        spark.read.parquet(os.path.join(cur, "supers")),
-        spark.read.parquet(os.path.join(cur, "cent_super")),
-    )
+    router = _load_router(spark, cur)
     codes = read_live_codes(spark, cur)
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
@@ -4987,10 +5029,7 @@ def ivfr_append_generation(
 
     for _ in range(_APPEND_RETRIES):
         cur = store.resolve(root)
-        router = km.TwoLevelRouter(
-            spark.read.parquet(os.path.join(cur, "supers")),
-            spark.read.parquet(os.path.join(cur, "cent_super")),
-        )
+        router = _load_router(spark, cur)
         if vectors is not None:
             late = vectors
         else:
