@@ -250,10 +250,17 @@ def _train_literal(
     vectors: DataFrame, seeds: list, iters: int, dim: int
 ) -> list:
     """The shared literal-centroid Lloyd loop: one small job per round
-    (map-only argmin + single-shuffle mean update + k×dim collect)."""
+    (map-only argmin + single-shuffle mean update + k×dim collect).
+    Centroid tables past ROUTER_LITERAL_MAX_VALUES embedded values
+    assign through the broadcast crossJoin shape instead (same integer
+    argmin, same (dist, cell) tie-break via min_by)."""
     cents = seeds
     for _ in range(iters):
-        cents = _update_collect(_assign_literal(vectors, cents), dim)
+        if len(cents) * dim > ROUTER_LITERAL_MAX_VALUES:
+            asg = assign_cells(vectors, _cents_df(vectors, cents))
+        else:
+            asg = _assign_literal(vectors, cents)
+        cents = _update_collect(asg, dim)
     return cents
 
 
@@ -333,10 +340,34 @@ def kmeans_train_ranked_routed(
     cents = [(i, list(r.qemb)) for i, r in enumerate(seed_rows)]
     for _ in range(iters):
         supers, cent_super = _py_train_router(cents, dim)
-        scored = _routed_scored_expr(supers, cent_super, n_probe_super)
-        asg = vectors.selectExpr(
-            "qemb", f"array_min({scored}).c AS cell"
-        ).filter(F.col("cell").isNotNull())
+        if (len(cent_super) + len(supers)) * dim > ROUTER_LITERAL_MAX_VALUES:
+            # production-k round: route through the broadcast-join shape
+            # (same answer; the literal string would be MBs of parse)
+            spark = vectors.sparkSession
+            router = TwoLevelRouter(
+                spark.createDataFrame(
+                    list(supers), "super_cell INT, scq ARRAY<BIGINT>"
+                ),
+                spark.createDataFrame(
+                    [(c, q, s) for c, q, s in cent_super],
+                    "cell INT, cq ARRAY<BIGINT>, super_cell INT",
+                ),
+                supers,
+                cent_super,
+            )
+            asg = _route_top_cells_join(
+                router,
+                vectors.withColumn("_kept", F.col("qemb")),
+                "vec_id",
+                ["_kept"],
+                1,
+                n_probe_super,
+            ).withColumnRenamed("_kept", "qemb")
+        else:
+            scored = _routed_scored_expr(supers, cent_super, n_probe_super)
+            asg = vectors.selectExpr(
+                "qemb", f"array_min({scored}).c AS cell"
+            ).filter(F.col("cell").isNotNull())
         cents = _update_collect(asg, dim)
     return _cents_df(vectors, cents)
 
@@ -637,6 +668,59 @@ def _routed_scored_expr(
     )
 
 
+# above this many embedded router values (cells×dim), the literal
+# expression stops being free to build/parse/fold (a 15.6k-cell router at
+# dim 64 would be ~1M integer literals) and routing goes through the
+# broadcast-join shape instead — a size dial, not a core-count dial
+ROUTER_LITERAL_MAX_VALUES = 262_144
+
+
+def _route_top_cells_join(
+    router: TwoLevelRouter,
+    rows: DataFrame,
+    id_col: str,
+    keep: list[str],
+    n_cells: int,
+    n_probe_super: int,
+) -> DataFrame:
+    """The broadcast-join routing shape (pre-r13 implementation), kept
+    for routers too large to embed as literals: probed supers by a
+    (sd, super_cell) window over the supers crossJoin, cells by a
+    (d, cell) window/min_by over the cent_super equi-join. Bit-identical
+    to the literal path (tests/test_kmeans_router.py pins the
+    equivalence through the independent recomputation)."""
+    from pyspark.sql import Window
+
+    sc = rows.crossJoin(F.broadcast(router.supers)).withColumn(
+        "sd", _int_sq_dist(F.col("qemb"), F.col("scq"))
+    )
+    sw = Window.partitionBy(id_col).orderBy("sd", "super_cell")
+    probed = (
+        sc.withColumn("_sr", F.row_number().over(sw))
+        .filter(F.col("_sr") <= n_probe_super)
+        .select(id_col, *keep, "qemb", "super_cell")
+    )
+    cand = probed.join(F.broadcast(router.cent_super), "super_cell").withColumn(
+        "d", _int_sq_dist(F.col("qemb"), F.col("cq"))
+    )
+    if n_cells == 1:
+        return (
+            cand.groupBy(id_col)
+            .agg(
+                F.min_by(
+                    F.struct(*keep, "cell"), F.struct("d", "cell")
+                ).alias("b")
+            )
+            .select(id_col, "b.*")
+        )
+    w = Window.partitionBy(id_col).orderBy("d", "cell")
+    return (
+        cand.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_cells)
+        .select(id_col, *keep, "cell")
+    )
+
+
 def route_top_cells(
     router: TwoLevelRouter,
     rows: DataFrame,
@@ -660,8 +744,15 @@ def route_top_cells(
     exactly: probe order (sd, super_cell) via array_sort over named
     structs, cell rank (d, cell) via struct array_min / sorted slice —
     equivalences pinned by tests/test_kmeans_router.py. Rows whose
-    probed supers own zero centroids drop, matching the join shape."""
+    probed supers own zero centroids drop, matching the join shape.
+    Routers past ROUTER_LITERAL_MAX_VALUES embedded values take the
+    broadcast-join shape instead (same answer, join-sized plan)."""
     supers, cent_super = router.lists()
+    dim = len(cent_super[0][1]) if cent_super else 0
+    if (len(cent_super) + len(supers)) * dim > ROUTER_LITERAL_MAX_VALUES:
+        return _route_top_cells_join(
+            router, rows, id_col, keep, n_cells, n_probe_super
+        )
     scored = _routed_scored_expr(supers, cent_super, n_probe_super)
     base = rows.selectExpr(id_col, *keep, f"{scored} AS _sc")
     if n_cells == 1:

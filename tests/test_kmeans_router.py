@@ -169,6 +169,43 @@ def test_wide_super_probing_recovers_exact_argmin(spark):
     assert all(len(s) <= 3 for s in per_vec.values())
 
 
+def test_join_fallback_equals_literal_path(spark, monkeypatch):
+    """Routers past ROUTER_LITERAL_MAX_VALUES embedded values route
+    through the broadcast-join shape; forcing the gate to 0 must give
+    the literal path's exact answer for both corpus assignment
+    (n_cells=1) and query probing (n_cells>1) — and the routed trainer's
+    gated round must reproduce the literal round bit-for-bit."""
+    v, cents, router = _trained_router(spark)
+    lit1 = sorted(
+        (r.vec_id, r.cell)
+        for r in km.route_top_cells(router, v, "vec_id", [], 1).collect()
+    )
+    lit3 = sorted(
+        (r.vec_id, r.cell)
+        for r in km.route_top_cells(router, v, "vec_id", [], 3).collect()
+    )
+    trained_lit = {
+        r.cell: list(r.cq)
+        for r in km.kmeans_train_ranked_routed(v, 24, 2, DIM).collect()
+    }
+    monkeypatch.setattr(km, "ROUTER_LITERAL_MAX_VALUES", 0)
+    join1 = sorted(
+        (r.vec_id, r.cell)
+        for r in km.route_top_cells(router, v, "vec_id", [], 1).collect()
+    )
+    join3 = sorted(
+        (r.vec_id, r.cell)
+        for r in km.route_top_cells(router, v, "vec_id", [], 3).collect()
+    )
+    trained_join = {
+        r.cell: list(r.cq)
+        for r in km.kmeans_train_ranked_routed(v, 24, 2, DIM).collect()
+    }
+    assert join1 == lit1
+    assert join3 == lit3
+    assert trained_join == trained_lit
+
+
 def test_routed_trainer_equals_exact_when_probes_cover_all_supers(spark):
     """kmeans_train_ranked_routed (r12 — router-assisted Lloyd, the
     trainer that makes cells ∝ n affordable at 1M+ vectors): when the
