@@ -110,22 +110,30 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
-                (F.col("nmin") < F.col("comp")).alias("changed"),
-            )
-        ).localCheckpoint(eager=True)
+        new_labels = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            (F.col("nmin") < F.col("comp")).alias("changed"),
+        )
+        # convergence test BEFORE materializing (r13): on the converged
+        # round new_labels == labels row-for-row (no comp moved), so the
+        # old materialize-then-count shape paid a localCheckpoint job for
+        # a frame it immediately discarded. Near-dup graphs converge on
+        # round 1 (the min(self ∪ neighbors) init is the fixpoint for
+        # quasi-cliques), so the common path now runs ONE job per query
+        # here instead of two; a continuing round re-executes the
+        # label join once into its checkpoint — both inputs are already
+        # materialized, so that re-run is the cheap part of the round.
         n_changed = new_labels.filter(F.col("changed")).count()
-        labels = new_labels.drop("changed")
         if stats is not None:
             stats["rounds"] = round_no
         if n_changed == 0:
             return labels.unionByName(singletons).select(
                 F.col("id").alias(id_col), F.col("comp").alias(component_col)
             )
+        labels = new_labels.drop("changed").localCheckpoint(eager=True)
     raise RuntimeError(
         f"connected_components did not converge in {MAX_ROUNDS} rounds; "
         "graph diameter too large — use large-star/small-star"
