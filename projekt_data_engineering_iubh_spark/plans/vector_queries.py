@@ -3103,16 +3103,25 @@ def emb_knn_join_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv, _asg, cells, cqs, _bcells, books, codes = _ivfpq_train(
         spark, sf_dir, normalized=True
     )
+    # candidates carry ONLY (ids, cell, adc_dist) into the shortlist
+    # window (r13, guide §2.3 project-before-the-exchange): the exact
+    # 64-dim integer fold was previously computed for EVERY candidate
+    # (~526k at sf0.1) and both vectors rode the window shuffle, though
+    # exact_dist is consumed only by the per-query top-{_ADCJ_SHORTLIST}
+    # refine — the same fetch-for-rerank shape emb_knn_join_serve ships:
+    # shortlist first, then two id-keyed joins attach the vectors and
+    # the fold runs on queries x {_ADCJ_SHORTLIST} rows only.
     corp = (
         codes.filter(F.col("vec_id") % 2 == 1)
         .withColumn("slice", (F.col("vec_id") % _ADCJ_SLICES).cast("int"))
+        .drop("qemb")
     )
     qd = qv.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("qemb").alias("qq")
     )
     qtables = _ivfpq_query_tables(
         qd, cells, cqs, books, _IVFPQ_NPROBE
-    ).withColumn(
+    ).drop("qq").withColumn(
         "qslice",
         F.explode(F.array(*[F.lit(i) for i in range(_ADCJ_SLICES)])),
     )
@@ -3131,10 +3140,6 @@ def emb_knn_join_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         "cell",
         (adc.cast("double") / F.lit(_PQT_SCALE2)).alias("adc_dist"),
-        (
-            _isq(F.col("qq"), F.col("qemb")).cast("double")
-            / F.lit(_PQT_SCALE2)
-        ).alias("exact_dist"),
     )
     aw = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     short = (
@@ -3142,9 +3147,27 @@ def emb_knn_join_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") <= _ADCJ_SHORTLIST)
         .drop("arn")
     )
+    xvecs = qv.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("_nid"), F.col("qemb").alias("_xemb")
+    )
+    refined = (
+        short.join(qd.withColumnRenamed("query_id", "_qid"),
+                   F.col("query_id") == F.col("_qid"))
+        .join(xvecs, F.col("neighbor_id") == F.col("_nid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            "adc_dist",
+            (
+                _isq(F.col("qq"), F.col("_xemb")).cast("double")
+                / F.lit(_PQT_SCALE2)
+            ).alias("exact_dist"),
+        )
+    )
     ew = Window.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
     return (
-        short.withColumn("rn", F.row_number().over(ew).cast("int"))
+        refined.withColumn("rn", F.row_number().over(ew).cast("int"))
         .filter(F.col("rn") <= _ADCJ_K)
         .select(
             "query_id", "neighbor_id", "cell", "adc_dist", "exact_dist",

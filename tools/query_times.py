@@ -69,9 +69,17 @@ def main() -> None:
 
     pre = canary()
     out: dict[str, dict] = {}
+    import gc
+
     for name in names:
         rs = []
         for _ in range(args.n):
+            # drop the previous run's py4j plan references BEFORE timing:
+            # uncollected Python-side handles pin JVM-side plan/RDD state
+            # alive, and for the training-chain queries that measured as
+            # monotonically GROWING run times (16 -> 33 -> 57 s) that
+            # vanish entirely with a collect between runs
+            gc.collect()
             spark.sparkContext.setJobDescription(f"time:{name}")
             t0 = time.perf_counter()
             _force(aq[name].fn(spark, args.sf_dir))
