@@ -174,13 +174,29 @@ class TestVectorIndexTakedown:
 
 
 class TestBucketedBandIndexTakedown:
+    def _fresh_table(self, spark, table):
+        """DROP + clear any ORPHANED warehouse location: a crashed prior
+        run can leave the managed-table directory on disk while a fresh
+        metastore has forgotten the table, and saveAsTable then fails
+        LOCATION_ALREADY_EXISTS (observed r13 after an interrupted
+        session)."""
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        for pref in ("file://", "file:"):
+            if wh.startswith(pref):
+                wh = wh[len(pref):]
+                break
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+
     def _matches(self, spark, table, batch):
         hits = corpus_store.near_matches(spark, batch, table)
         return {r.doc_id: r.match_doc_id for r in hits.collect()}
 
     def test_delete_compact_resurrect(self, spark, tmp_path):
         table = "takedown_bands"
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        self._fresh_table(spark, table)
         corpus_store.write_band_index(
             _docs(spark, [(5, _ANCHOR), (6, _OTHER)]), table
         )
@@ -210,7 +226,7 @@ class TestBucketedBandIndexTakedown:
 
     def test_resurrect_before_compaction(self, spark, tmp_path):
         table = "takedown_bands2"
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        self._fresh_table(spark, table)
         corpus_store.write_band_index(
             _docs(spark, [(5, _ANCHOR), (6, _OTHER)]), table
         )

@@ -595,16 +595,20 @@ def test_routed_serve_plan_reads_stored_router_no_training(spark):
     """emb_ivf_routed_serve (#157/#158): the stored-router serve
     contract. No Lloyd lineage on the serve path — training lineage
     shows up as localCheckpoint scars (Scan ExistingRDD) and per-round
-    centroid-update aggregates; serve must read the committed router +
-    codes artifacts instead. The routing joins' build sides (supers,
-    cent_super) and the probe join are broadcasts; no scan may read the
-    raw embeddings with a code column attached (candidates come from
-    the stored codes join, not a recomputed assignment)."""
+    centroid-update aggregates; serve must use the committed router +
+    codes artifacts instead. Since r13 the k-row router tables are read
+    driver-side and embedded as LITERAL routing expressions (map-only —
+    no router FileScan, no routing joins in the plan), so the pin is:
+    candidates come from the stored codes artifact (a codes scan with
+    cell but no embedding), the probe join side is a broadcast, and no
+    training scars or router-table scans appear anywhere."""
     plan = plan_of(spark, "emb_ivf_routed_serve")
     assert "Scan ExistingRDD" not in plan, plan
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert any(
         "cell#" in ln and "embedding#" not in ln for ln in scans
     ), plan  # the stored codes artifact
-    assert any("super_cell#" in ln for ln in scans), plan  # stored router
+    # the router is driver-embedded: its tables must NOT be rescanned
+    # per routing join (the pre-r13 shape), and nothing may retrain it
+    assert not any("super_cell#" in ln for ln in scans), plan
     assert "BroadcastExchange" in plan, plan
