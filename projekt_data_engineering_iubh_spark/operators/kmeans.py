@@ -300,15 +300,21 @@ def kmeans_train_ranked(
     return _cents_df(vectors, _train_literal(vectors, seeds, iters, dim))
 
 
-def kmeans_train_ranked_routed(
+def _train_ranked_routed_list(
     vectors: DataFrame,
     k: int,
     iters: int,
     dim: int,
-    *,
-    n_probe_super: int | None = None,  # default ROUTER_SUPER_PROBES
-) -> DataFrame:
-    """:func:`kmeans_train_ranked` with ROUTER-ASSISTED Lloyd assignment
+    n_probe_super: int | None = None,
+) -> list:
+    """The :func:`kmeans_train_ranked_routed` Lloyd loop, returning the
+    trained centroids as the driver-held ``[(cell, cq), ...]`` list —
+    callers that immediately need a LITERAL final assignment
+    (plans/vector_queries.py::emb_kmeans_routed_train) take this form so
+    the assignment is a gated map-only projection instead of the
+    broadcast crossJoin + min_by shuffle over a local relation.
+
+    :func:`kmeans_train_ranked` with ROUTER-ASSISTED Lloyd assignment
     (r12): exact Lloyd's per-iteration assignment is O(n·k) folds, which
     at production geometry (cells ∝ n, so k = n/64) makes TRAINING the
     quadratic term — at 1M vectors / 15.6k cells that is ~47B folds,
@@ -369,7 +375,27 @@ def kmeans_train_ranked_routed(
                 "qemb", f"array_min({scored}).c AS cell"
             ).filter(F.col("cell").isNotNull())
         cents = _update_collect(asg, dim)
-    return _cents_df(vectors, cents)
+    return cents
+
+
+def kmeans_train_ranked_routed(
+    vectors: DataFrame,
+    k: int,
+    iters: int,
+    dim: int,
+    *,
+    n_probe_super: int | None = None,  # default ROUTER_SUPER_PROBES
+) -> DataFrame:
+    """Router-assisted ranked-seed Lloyd as a (cell, cq) frame — see
+    :func:`_train_ranked_routed_list` for the algorithm and its scale
+    rationale; this wrapper packs the trained list into the local
+    relation the index builders persist."""
+    return _cents_df(
+        vectors,
+        _train_ranked_routed_list(
+            vectors, k, iters, dim, n_probe_super
+        ),
+    )
 
 
 def kmeans_fixed_point(
@@ -379,7 +405,13 @@ def kmeans_fixed_point(
     ``iters`` full Lloyd rounds (:func:`kmeans_train`), then one final
     assignment against the trained centroids — map-only against the
     collected centroid literals (same argmin, same (dist, cell)
-    tie-break as :func:`assign_cells`, zero shuffles)."""
+    tie-break as :func:`assign_cells`, zero shuffles). The final
+    assignment honors the same ROUTER_LITERAL_MAX_VALUES gate as the
+    training rounds (r14, ADVICE r13 #1): past the threshold the k×dim
+    literal expression would be MBs of driver build/parse, so it falls
+    back to the broadcast-join shape. Precondition either way: unique
+    ``vec_id`` input (table-PK contract — the literal path is map-only
+    while assign_cells' groupBy would collapse duplicates)."""
     vectors = emb.select("vec_id", quantize(F.col("embedding")).alias("qemb"))
     seed_rows = (
         vectors.filter(F.col("vec_id") < k)
@@ -388,6 +420,10 @@ def kmeans_fixed_point(
     )
     seeds = sorted((int(r.cell), list(r.qemb)) for r in seed_rows)
     cents = _train_literal(vectors, seeds, iters, dim)
+    if len(cents) * dim > ROUTER_LITERAL_MAX_VALUES:
+        return assign_cells(vectors, _cents_df(vectors, cents)).select(
+            "vec_id", "cell", "dist"
+        )
     return _assign_literal(vectors, cents).select("vec_id", "cell", "dist")
 
 
@@ -746,7 +782,14 @@ def route_top_cells(
     equivalences pinned by tests/test_kmeans_router.py. Rows whose
     probed supers own zero centroids drop, matching the join shape.
     Routers past ROUTER_LITERAL_MAX_VALUES embedded values take the
-    broadcast-join shape instead (same answer, join-sized plan)."""
+    broadcast-join shape instead (same answer, join-sized plan).
+
+    Precondition (r14, ADVICE r13 #3): ``id_col`` values must be unique
+    per input row — the literal path is map-only (one output row per
+    input row at n_cells=1) while the join fallback's groupBy/min_by
+    would collapse duplicate ids, so the two gated shapes only agree on
+    unique-id input. Every caller routes table-PK ids (vec_id/query_id;
+    the append path dropDuplicates first)."""
     supers, cent_super = router.lists()
     dim = len(cent_super[0][1]) if cent_super else 0
     if (len(cent_super) + len(supers)) * dim > ROUTER_LITERAL_MAX_VALUES:

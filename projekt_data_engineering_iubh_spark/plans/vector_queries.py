@@ -886,14 +886,15 @@ def emb_knn_join_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-sized driver state (same collect class as the codebook reads)
     n = corpus.count()
     k = max(_KJT_MIN_CELLS, n // _KJT_TARGET_CELL)
-    # localCheckpoint pins the k-row training/router artifacts so the
-    # three consumers below don't each re-execute the Lloyd chain
+    # No localCheckpoint on the trainer/router artifacts (r14): since
+    # the r13 eager literal trainer they are LOCAL RELATIONS with no
+    # lineage to re-execute — pinning them paid three checkpoint jobs
+    # per build and turned train_router's k-row collect into a cluster
+    # job instead of the LocalTableScan driver fast-path.
     cents = km.kmeans_train_ranked(
         corpus.select("vec_id", "qemb"), k, _KJT_ITERS, EMB_DIM
-    ).localCheckpoint(eager=True)
+    )
     router = km.train_router(cents, EMB_DIM)
-    router.supers = router.supers.localCheckpoint(eager=True)
-    router.cent_super = router.cent_super.localCheckpoint(eager=True)
     corp = km.route_top_cells(
         router, corpus, "vec_id", ["embedding", "nrm"], 1
     ).withColumn("slice", (F.col("vec_id") % _KJT_SLICES).cast("int"))
@@ -1395,8 +1396,18 @@ def emb_kmeans_routed_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd chain — plan state, not data)."""
     e = spread(load_table(spark, sf_dir, "embeddings"))
     qv = e.select("vec_id", km.quantize(F.col("embedding")).alias("qemb"))
-    cents = km.kmeans_train_ranked_routed(qv, _KMR_K, _KMR_ITERS, EMB_DIM)
-    return km.assign_cells(qv, cents).select("vec_id", "cell", "dist")
+    # final exact assignment against the trained list as a gated
+    # map-only literal projection (r14): _assign_literal replicates
+    # assign_cells' argmin/(dist, cell) tie-break bit-for-bit on the
+    # unique-vec_id corpus, without the broadcast crossJoin + min_by
+    # shuffle; past ROUTER_LITERAL_MAX_VALUES the join shape returns
+    # (the same gate the training rounds apply).
+    cents = km._train_ranked_routed_list(qv, _KMR_K, _KMR_ITERS, EMB_DIM)
+    if len(cents) * EMB_DIM > km.ROUTER_LITERAL_MAX_VALUES:
+        asg = km.assign_cells(qv, km._cents_df(qv, cents))
+    else:
+        asg = km._assign_literal(qv, cents)
+    return asg.select("vec_id", "cell", "dist")
 
 
 # ---------------------------------------------------------------------------
@@ -1563,12 +1574,12 @@ def emb_ivf_ann_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = e.count()
     k = max(_IVFR_MIN_CELLS, n // _IVFR_TARGET_CELL)
+    # local-relation artifacts: no checkpoint jobs needed (see
+    # emb_knn_join_trained's r14 note)
     cents = km.kmeans_train_ranked(
         e.select("vec_id", "qemb"), k, 2, EMB_DIM
-    ).localCheckpoint(eager=True)
+    )
     router = km.train_router(cents, EMB_DIM)
-    router.supers = router.supers.localCheckpoint(eager=True)
-    router.cent_super = router.cent_super.localCheckpoint(eager=True)
     corp = km.route_top_cells(
         router, e, "vec_id", ["embedding", "nrm"], 1
     )
@@ -2729,7 +2740,12 @@ def _isq(a: F.Column, b: F.Column) -> F.Column:
 
 
 def _train_books(
-    res: DataFrame, pq_m: int, pq_codes: int, iters: int, subdim: int
+    res: DataFrame,
+    pq_m: int,
+    pq_codes: int,
+    iters: int,
+    subdim: int,
+    seeds: list | None = None,
 ) -> tuple[list, list]:
     """Train ALL ``pq_m`` residual sub-codebooks in ONE stacked Lloyd
     loop (r13): the per-subspace trainings are independent, so instead
@@ -2743,25 +2759,35 @@ def _train_books(
     integer distances, same floor'd means, same lowest-cell tie-break —
     so the codebooks are bit-identical to the sequential path (pinned
     by tests/test_pq_books_stacked.py). Returns (book_cells, books)
-    sorted by cell within each m."""
+    sorted by cell within each m.
+
+    ``seeds`` (r14): the per-m seed lists ``[[(cell, cq), ...], ...]``
+    when the caller already derived them driver-side (_ivfpq_train
+    computes the pq_codes seed residuals from its one widened seed
+    collect — pure python, bit-identical arithmetic, one fewer Spark
+    job); None keeps the self-collecting path (pinned equivalent by
+    tests/test_pq_books_stacked.py)."""
     slices = ",".join(
         f"slice(remb, {m * subdim + 1}, {subdim})" for m in range(pq_m)
     )
     stacked = res.selectExpr(
         "vec_id", f"posexplode(array({slices})) AS (m, qemb)"
     )
-    seed_rows = (
-        stacked.filter(F.col("vec_id") < pq_codes)
-        .selectExpr("m", "CAST(vec_id AS INT) AS cell", "qemb")
-        .collect()
-    )
-    # cents[m] = [(cell, cq)] sorted by cell — mirrors each book's own
-    # kmeans_train seed set
-    cents: list[list] = [[] for _ in range(pq_m)]
-    for r in seed_rows:
-        cents[r.m].append((int(r.cell), list(r.qemb)))
-    for m in range(pq_m):
-        cents[m].sort()
+    if seeds is None:
+        seed_rows = (
+            stacked.filter(F.col("vec_id") < pq_codes)
+            .selectExpr("m", "CAST(vec_id AS INT) AS cell", "qemb")
+            .collect()
+        )
+        # cents[m] = [(cell, cq)] sorted by cell — mirrors each book's
+        # own kmeans_train seed set
+        cents: list[list] = [[] for _ in range(pq_m)]
+        for r in seed_rows:
+            cents[r.m].append((int(r.cell), list(r.qemb)))
+        for m in range(pq_m):
+            cents[m].sort()
+    else:
+        cents = [sorted(s) for s in seeds]
     for _ in range(iters):
         books_arr = (
             "array("
@@ -2828,20 +2854,49 @@ def _ivfpq_train(
     e = spread(load_table(spark, sf_dir, "embeddings"))
     q = km.quantize_normalized if normalized else km.quantize
     qv = e.select("vec_id", q(F.col("embedding")).alias("qemb"))
-    coarse = (
-        km.kmeans_train(qv, _KM_K, _KM_ITERS, EMB_DIM)
-        .orderBy("cell")
+    # ONE widened seed collect (r14): the coarse trainer needs the
+    # vec_id < _KM_K rows, the M sub-codebooks need the vec_id <
+    # pq_codes residuals — both constant-size. Collect the union once;
+    # the book seeds' coarse assignment + residual are re-derived in
+    # pure python with the same integer arithmetic/tie-break as
+    # _ivfpq_residuals (pinned by tests/test_pq_books_stacked.py), so
+    # the stacked trainer's own seed job disappears.
+    seed_rows = (
+        qv.filter(F.col("vec_id") < max(_KM_K, pq_codes))
+        .select("vec_id", "qemb")
         .collect()
     )
-    coarse_cells = [r.cell for r in coarse]
-    coarse_cqs = [list(r.cq) for r in coarse]
+    seed_rows.sort(key=lambda r: r.vec_id)
+    coarse_seeds = sorted(
+        (int(r.vec_id), list(r.qemb))
+        for r in seed_rows
+        if r.vec_id < _KM_K
+    )
+    cents = km._train_literal(qv, coarse_seeds, _KM_ITERS, EMB_DIM)
+    coarse_cells = [c for c, _ in cents]
+    coarse_cqs = [list(cq) for _, cq in cents]
 
     res = _ivfpq_residuals(qv, coarse_cells, coarse_cqs).localCheckpoint(
         eager=True
     )
 
     subdim = EMB_DIM // pq_m
-    book_cells, books = _train_books(res, pq_m, pq_codes, _PQT_ITERS, subdim)
+    book_seeds: list[list] = [[] for _ in range(pq_m)]
+    for r in seed_rows:
+        if r.vec_id >= pq_codes:
+            continue
+        qemb = list(r.qemb)
+        ds = [km._py_sq(qemb, cq) for cq in coarse_cqs]
+        remb = [
+            x - c for x, c in zip(qemb, coarse_cqs[ds.index(min(ds))])
+        ]
+        for m in range(pq_m):
+            book_seeds[m].append(
+                (int(r.vec_id), remb[m * subdim:(m + 1) * subdim])
+            )
+    book_cells, books = _train_books(
+        res, pq_m, pq_codes, _PQT_ITERS, subdim, seeds=book_seeds
+    )
 
     codes = _ivfpq_encode_residuals(res, books, subdim)
     asg = res.select("vec_id", "cell")
@@ -3291,35 +3346,55 @@ def emb_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
 
-    def hits(approx: DataFrame, tag: str) -> DataFrame:
-        a = approx.filter(F.col("query_id") < _KJR_QUERY_CAP).select(
-            "query_id", F.col("neighbor_id").alias("a_neighbor")
-        )
-        return (
-            truth.join(
-                a,
-                (truth.query_id == a.query_id)
-                & (truth.neighbor_id == a.a_neighbor),
-                "left",
-            )
-            .drop(a.query_id)
-            .groupBy("query_id")
-            .agg(
-                F.count("a_neighbor").cast("int").alias("n_hits"),
-                (F.count("a_neighbor") / F.lit(float(_ADCJ_K))).alias(
-                    "recall"
-                ),
-            )
-            .select(
-                F.lit(tag).alias("variant"), "query_id", "n_hits", "recall"
-            )
+    # Build the two approximate arms CONCURRENTLY (r14, guide §2.6):
+    # each join's construction runs its own eager training chain
+    # (driver-built plans + small sequential Spark jobs), the chains are
+    # independent, and job submission from driver threads overlaps the
+    # idle gaps — recall's construction wall drops from sum(chains) to
+    # ~max(chains). Plans and results are unchanged (same two frames).
+    from concurrent.futures import ThreadPoolExecutor
+
+    tag_tj = f"join_trained_nprobe{_KJT_NPROBE}"
+    tag_adc = f"join_adc_short{_ADCJ_SHORTLIST}"
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_tj = pool.submit(emb_knn_join_trained, spark, sf_dir)
+        fut_adc = pool.submit(emb_knn_join_adc, spark, sf_dir)
+        tj, adc = fut_tj.result(), fut_adc.result()
+
+    # ONE hits plan for both variants (r14, guide §2.2): the panel truth
+    # previously sat under each arm's own left join + aggregate (two
+    # window subtrees, two SMJs, two aggs, union); tagging the approx
+    # rows and keying the join/group by (variant, query_id) computes the
+    # truth subtree once and halves the join/agg stages. Row-for-row the
+    # same output: per (variant, truth query) the count of matching
+    # approximate neighbors, zero-count queries kept by the left join.
+    def tagged(approx: DataFrame, tag: str) -> DataFrame:
+        return approx.filter(F.col("query_id") < _KJR_QUERY_CAP).select(
+            F.lit(tag).alias("a_variant"),
+            F.col("query_id").alias("a_query"),
+            F.col("neighbor_id").alias("a_neighbor"),
         )
 
-    return hits(
-        emb_knn_join_trained(spark, sf_dir),
-        f"join_trained_nprobe{_KJT_NPROBE}",
-    ).unionByName(
-        hits(emb_knn_join_adc(spark, sf_dir), f"join_adc_short{_ADCJ_SHORTLIST}")
+    a_all = tagged(tj, tag_tj).unionByName(tagged(adc, tag_adc))
+    tx = truth.withColumn(
+        "variant", F.explode(F.array(F.lit(tag_tj), F.lit(tag_adc)))
+    )
+    return (
+        tx.join(
+            a_all,
+            (tx.variant == a_all.a_variant)
+            & (tx.query_id == a_all.a_query)
+            & (tx.neighbor_id == a_all.a_neighbor),
+            "left",
+        )
+        .groupBy("variant", "query_id")
+        .agg(
+            F.count("a_neighbor").cast("int").alias("n_hits"),
+            (F.count("a_neighbor") / F.lit(float(_ADCJ_K))).alias(
+                "recall"
+            ),
+        )
+        .select("variant", "query_id", "n_hits", "recall")
     )
 
 
@@ -4027,7 +4102,7 @@ def write_index_meta(
     ).coalesce(1).write.parquet(os.path.join(data_dir, "meta"))
 
 
-def _pq_local_rows(path: str) -> list[dict]:
+def _pq_local_rows(path: str, *, allow_missing: bool = False) -> list[dict]:
     """Rows of a k-row-scale parquet ARTIFACT directory, read with
     pyarrow on the driver (r13): the snapshot client state (meta, coarse
     centroids, codebooks, router tables) is constant-size driver state
@@ -4036,13 +4111,25 @@ def _pq_local_rows(path: str) -> list[dict]:
     ~1.2 s of the IVF-PQ serve wall (3 artifacts) for data a local
     footer read returns in milliseconds. Data-sized artifacts (codes,
     tombstones) stay DataFrames — this helper is for what was already
-    being collected."""
+    being collected.
+
+    A directory with no part files raises FileNotFoundError (r14,
+    ADVICE r13 #2) — the spark.read.parquet this replaced failed loudly
+    on missing artifacts, and a silent ``[]`` here would surface far
+    from the cause (e.g. as a degenerate literal router). Callers with
+    a legitimately-absent artifact (read_index_meta's legacy roots)
+    pass ``allow_missing=True``."""
     import glob
 
     import pyarrow.parquet as pq
 
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files and not allow_missing:
+        raise FileNotFoundError(
+            f"_pq_local_rows: no parquet part files under {path!r}"
+        )
     rows: list[dict] = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    for f in files:
         rows.extend(pq.read_table(f).to_pylist())
     return rows
 
@@ -4055,7 +4142,7 @@ def read_index_meta(spark: SparkSession, snapshot_dir: str):
     path = os.path.join(snapshot_dir, "meta")
     if not os.path.isdir(path):
         return None
-    rows = _pq_local_rows(path)
+    rows = _pq_local_rows(path, allow_missing=True)
     return types.SimpleNamespace(**rows[0]) if rows else None
 
 
@@ -4799,12 +4886,11 @@ def routed_train_and_write(spark: SparkSession, e: DataFrame, data_dir: str) -> 
     fork between them."""
     n = e.count()
     k = max(_IVFR_MIN_CELLS, n // _IVFR_TARGET_CELL)
-    cents = km.kmeans_train_ranked(
-        e, k, _IVFR_ITERS, EMB_DIM
-    ).localCheckpoint(eager=True)
+    # local-relation artifacts: no checkpoint jobs needed (see
+    # emb_knn_join_trained's r14 note); the parquet writes below
+    # serialize the local rows directly
+    cents = km.kmeans_train_ranked(e, k, _IVFR_ITERS, EMB_DIM)
     router = km.train_router(cents, EMB_DIM)
-    router.supers = router.supers.localCheckpoint(eager=True)
-    router.cent_super = router.cent_super.localCheckpoint(eager=True)
     cents.coalesce(1).write.parquet(os.path.join(data_dir, "centroids"))
     router.supers.coalesce(1).write.parquet(
         os.path.join(data_dir, "supers")
