@@ -332,7 +332,10 @@ JOIN sig sb ON sb.doc_id = doc_b
 
 
 def _lsh_pairs(
-    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int | None = None,
+    with_shsets: bool = False,
 ) -> DataFrame:
     """Candidate pairs with signature-estimated Jaccard (see the registered
     query below for the design notes).
@@ -348,11 +351,69 @@ def _lsh_pairs(
     within that bucket's cap, so "earlier band agrees" no longer implies
     "already emitted"); duplicates are harmless for the CC consumer
     (min-label propagation over a multigraph) and est_jaccard is
-    identical per emission."""
+    identical per emission.
+
+    ``with_shsets`` (r14, VERDICT r13 #3): ONE tokenization feeds both
+    the MinHash signatures and the exact shingle sets — the per-doc
+    ``shset`` (array_distinct of the shingles) is computed first, the
+    signature explodes IT (min over the distinct set == min over the
+    shingle multiset, since every hash is a pure function of the
+    shingle — signatures are bit-identical, pinned by
+    tests/test_signature_cache.py::test_shset_signatures_identical),
+    and the set rides the band rows into the self-join, so the pair
+    rows come out carrying (set_a, set_b) with NO second tokenization
+    pass and NO id-joins to re-attach sets (docs_ngram_jaccard
+    previously tokenized+shingled the corpus two more times). The band
+    shuffle carries each doc's set once per band — bounded by
+    _LSH_BANDS× the set bytes — against two whole corpus scans +
+    tokenizations + two join shuffles removed; only the uncapped path
+    supports it (the capped path's localCheckpoint would materialize
+    the sets)."""
     # sentinel exclusion: see _bands_branches_sql. Docs with empty
     # shingle sets never enter candidate generation (they'd otherwise
     # share one band bucket and pair quadratically with est_jaccard 1.0).
-    sig = _signatures(spark, sf_dir).filter(
+    if with_shsets:
+        assert max_bucket is None, "with_shsets: uncapped path only"
+        d = spread(load_table(spark, sf_dir, "documents"))
+        s = d.select(
+            "doc_id",
+            F.array_distinct(
+                tx.shingles(tx.tokens(F.col("text")))
+            ).alias("shset"),
+        )
+        # only the pos==0 row carries the set bytes into the partial
+        # aggregate (every other exploded row ships a null), so the
+        # agg input is sets×1, not sets×|shset|
+        exploded = s.select(
+            "doc_id",
+            "shset",
+            F.posexplode_outer("shset").alias("pos", "sh"),
+        ).select(
+            "doc_id",
+            (hashing.md5_hash60(F.col("sh")) % F.lit(hashing.MERSENNE_P)).alias("h"),
+            F.when(F.col("pos") == 0, F.col("shset")).alias("shset0"),
+        )
+        p = F.lit(hashing.MERSENNE_P).cast("long")
+        mins = [
+            F.coalesce(
+                F.min((F.lit(ca) * F.col("h") + F.lit(cb)) % p), p
+            ).alias(f"mh{i}")
+            for i, (ca, cb) in enumerate(hashing.MINHASH_COEFFS[:_MINHASH_K])
+        ]
+        sig = (
+            exploded.groupBy("doc_id")
+            .agg(*mins, F.first("shset0", ignorenulls=True).alias("shset"))
+            .select(
+                "doc_id",
+                F.array(*[f"mh{i}" for i in range(_MINHASH_K)]).alias(
+                    "minhash"
+                ),
+                "shset",
+            )
+        )
+    else:
+        sig = _signatures(spark, sf_dir)
+    sig = sig.filter(
         F.element_at(F.col("minhash"), 1) < F.lit(hashing.MERSENNE_P)
     )
     # band_key is xxhash64(band_no, slice) — a single bigint join key
@@ -375,8 +436,9 @@ def _lsh_pairs(
             ]
         )
     )
-    bands = sig.select("doc_id", "minhash", band.alias("band")).select(
-        "doc_id", "minhash", "band.band_no", "band.band_key"
+    carry = ["shset"] if with_shsets else []
+    bands = sig.select("doc_id", "minhash", *carry, band.alias("band")).select(
+        "doc_id", "minhash", *carry, "band.band_no", "band.band_key"
     )
     if max_bucket is not None:
         # Materialize the banded signature rows ONCE (eager localCheckpoint;
@@ -423,6 +485,14 @@ def _lsh_pairs(
     joined = a.join(b, cond)
     if max_bucket is None:
         joined = joined.filter(earlier_bands_disagree())
+    carry_pairs = (
+        [
+            F.col("a.shset").alias("set_a"),
+            F.col("b.shset").alias("set_b"),
+        ]
+        if with_shsets
+        else []
+    )
     return (
         joined
         .select(
@@ -430,11 +500,13 @@ def _lsh_pairs(
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.minhash").alias("sig_a"),
             F.col("b.minhash").alias("sig_b"),
+            *carry_pairs,
         )
         .select(
             "doc_a",
             "doc_b",
             (overlap / F.lit(float(_MINHASH_K))).alias("est_jaccard"),
+            *(["set_a", "set_b"] if with_shsets else []),
         )
     )
 
@@ -817,23 +889,17 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-word shingle set) Jaccard over the MinHash-LSH
     candidate pairs — the verification stage of the near-dup pipeline.
     Linear in corpus size: the only pair-producing join is the banded
-    LSH equi-join; the shingle sets are then attached to the (small)
-    candidate list by two id equi-joins. Docs with <3 tokens (empty
-    shingle set, undefined Jaccard) are excluded."""
-    cand = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    d = spread(load_table(spark, sf_dir, "documents"))
-    t = d.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
-    s = t.select(
-        "doc_id", F.array_distinct(tx.shingles(F.col("toks"))).alias("shset")
-    )
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+    LSH equi-join, and the shingle sets arrive ON the pair rows
+    (_lsh_pairs with_shsets — one tokenization feeds signatures AND
+    sets, r14; previously the corpus was tokenized+shingled two more
+    times and the sets re-attached by two id equi-joins). Docs with <3
+    tokens (empty shingle set, undefined Jaccard) are excluded."""
+    pairs = _lsh_pairs(spark, sf_dir, with_shsets=True)
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     union = F.size("set_a") + F.size("set_b") - inter
     jaccard = inter.cast("double") / union
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs
         .filter((F.size("set_a") > 0) & (F.size("set_b") > 0))
         .filter(jaccard >= _JACCARD_MIN)
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))

@@ -88,3 +88,35 @@ def test_sharing_off_by_default(spark):
     s2 = tq._signatures(spark, SF_BASE)
     assert s1 is not s2
     assert tq._SIG_SHARE_CACHE == {}
+
+
+def test_shset_signatures_identical(spark):
+    """The with_shsets signature build (r14: minhash over the DISTINCT
+    shingle set, sets riding the band rows) must produce bit-identical
+    minhash values to the shared pipeline (_signatures hashes the
+    shingle MULTISET — min is unaffected by duplicates), and the carried
+    sets must equal a from-scratch array_distinct(shingles(tokens))."""
+    from projekt_data_engineering_iubh_spark.catalog import spread
+    from projekt_data_engineering_iubh_spark.functions import text as tx
+
+    for sf_dir in (SF_BASE, "/root/testdata/sf0.01"):
+        base = sorted(
+            (r.doc_a, r.doc_b, r.est_jaccard)
+            for r in tq._lsh_pairs(spark, sf_dir).collect()
+        )
+        withs = tq._lsh_pairs(spark, sf_dir, with_shsets=True).collect()
+        assert sorted((r.doc_a, r.doc_b, r.est_jaccard) for r in withs) == base
+        # carried sets == from-scratch shingle sets for the pair docs
+        d = spread(load_table(spark, sf_dir, "documents"))
+        shs = {
+            r.doc_id: list(r.shset)
+            for r in d.select(
+                "doc_id",
+                F.array_distinct(
+                    tx.shingles(tx.tokens(F.col("text")))
+                ).alias("shset"),
+            ).collect()
+        }
+        for r in withs:
+            assert list(r.set_a) == shs[r.doc_a]
+            assert list(r.set_b) == shs[r.doc_b]

@@ -1,4 +1,4 @@
-"""Dump ``explain("formatted")`` for registry queries to plans/r13/.
+"""Dump ``explain("formatted")`` for registry queries to plans/r14/.
 
 Optimization-round evidence artifact: one ``<query>_<tag>.txt`` per query
 (tag = before/after), at the bench scale so the plan matches what the
@@ -50,7 +50,7 @@ def main() -> None:
     else:
         names = [n for n, q in aq.items() if q.headline] + list(SERVE_LANE)
 
-    out_dir = Path(args.out or Path(__file__).resolve().parent.parent / "plans" / "r13")
+    out_dir = Path(args.out or Path(__file__).resolve().parent.parent / "plans" / "r14")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark("dump-plans")
