@@ -88,9 +88,19 @@ def _quantized_weight(cg: F.Column, cb: F.Column, ng, nb, v) -> F.Column:
 
 
 def fit_predict(d: DataFrame) -> DataFrame:
-    """Self-bootstrap fit + full-corpus predict in ONE lazy plan →
-    (doc_id, score_micro, pred)."""
-    lab = _labeled(d)
+    """Self-bootstrap fit + full-corpus predict →
+    (doc_id, score_micro, pred).
+
+    The labeled/tokenized frame is materialized ONCE (r14, guide §2.2):
+    three consumers read it — the per-token class counts, the corpus
+    scalars, and the predict scoring — and as lazy subtrees each re-ran
+    the tokenizer + heuristic labeling over the corpus (the tokenize
+    passes, not the aggregates, dominated the fit: measured 2.43 →
+    1.35 s for the model quality lane at sf0.1). One corpus-sized
+    checkpoint write buys back two full tokenization scans; at cluster
+    scale configure a checkpoint dir (same note as
+    operators/connected_components.py)."""
+    lab = _labeled(d).localCheckpoint(eager=True)
     occur = lab.select("doc_id", "label", F.explode("toks").alias("token"))
     fit_occur = occur.filter(F.col("label").isNotNull())
 

@@ -1266,9 +1266,19 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate docs_dedup_apply acts on, exposed for corpus analysis
     (duplication-rate histograms, cluster inspection). Candidate
     generation carries the LSH_MAX_BUCKET hot-bucket guard (mirrored in
-    the oracle) — see docs_dedup_apply."""
+    the oracle) — see docs_dedup_apply, including the occupancy probe
+    (r14: the gate docs_dedup_apply has carried since r7 applies
+    verbatim here — the edges feed ONLY min-label CC, which is
+    multigraph-safe, so when no bucket exceeds the cap the uncapped
+    exchange-reuse path is edge-set-identical and the capped plan's
+    row_number window + eager banded materialization are skipped)."""
     d = load_table(spark, sf_dir, "documents")
-    edges = _lsh_pairs(spark, sf_dir, max_bucket=LSH_MAX_BUCKET).filter(
+    cap = (
+        LSH_MAX_BUCKET
+        if _max_band_occupancy(spark, sf_dir) > LSH_MAX_BUCKET
+        else None
+    )
+    edges = _lsh_pairs(spark, sf_dir, max_bucket=cap).filter(
         F.col("est_jaccard") >= 0.5
     )
     comp = connected_components(
@@ -1340,10 +1350,16 @@ def docs_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     two exact bigints, so the value hash is cross-engine deterministic
     (the r6 rounding-boundary lesson: no ROUND-of-double chains).
     Composes the capped transitive cluster map (docs_dedup_clusters —
-    same CC, same LSH_MAX_BUCKET rule, oracle CTEs shared) with a
+    same CC, same LSH_MAX_BUCKET rule, oracle CTEs shared, same r14
+    occupancy-probe gate: edges feed only multigraph-safe CC) with a
     per-source rollup; registry query #100."""
     d = load_table(spark, sf_dir, "documents")
-    edges = _lsh_pairs(spark, sf_dir, max_bucket=LSH_MAX_BUCKET).filter(
+    cap = (
+        LSH_MAX_BUCKET
+        if _max_band_occupancy(spark, sf_dir) > LSH_MAX_BUCKET
+        else None
+    )
+    edges = _lsh_pairs(spark, sf_dir, max_bucket=cap).filter(
         F.col("est_jaccard") >= 0.5
     )
     comp = connected_components(
