@@ -143,7 +143,7 @@ UNION ALL SELECT * FROM thresh
 """
 
 
-@register("docs_sample", oracle=_SAMPLE_SQL)
+@register("docs_sample", oracle=_SAMPLE_SQL, driver=False)
 def docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling, three variants tag-unioned (registry
     curation): exact stratified (keep ceil(20%) of each language by hash
@@ -219,7 +219,7 @@ FROM starts
 """
 
 
-@register("docs_chunk", oracle=_CHUNK_SQL)
+@register("docs_chunk", oracle=_CHUNK_SQL, driver=False)
 def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking: 32-token chunks every 24 tokens (8-token
     overlap), the context-window prep step before tokenizer sharding.

@@ -854,7 +854,7 @@ FROM agg JOIN top USING (event_type)
 """
 
 
-@register("events_key_skew_profile", oracle=_SKEW_PROFILE_SQL)
+@register("events_key_skew_profile", oracle=_SKEW_PROFILE_SQL, driver=False)
 def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-distribution skew profiler — the diagnostic that DECIDES the
     salting question events_salted_agg answers: per grouping key
@@ -1475,7 +1475,7 @@ GROUP BY 1
 """
 
 
-@register("events_rolling_wau", oracle=_WAU_SQL)
+@register("events_rolling_wau", oracle=_WAU_SQL, driver=False)
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling engagement: per day, the exact trailing-7-day distinct
     actives (WAU), same-day actives (DAU), and the DAU/WAU stickiness

@@ -1032,7 +1032,7 @@ GROUP BY c_mktsegment
 """
 
 
-@register("pivot_status_by_segment", oracle=_PIVOT_SQL, driver=False)
+@register("pivot_status_by_segment", oracle=_PIVOT_SQL)
 def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long→wide pivot with an explicit value list (one pass, no second
     scan for value discovery — required at scale), over an inner fact→dim
@@ -1080,7 +1080,7 @@ SELECT l_orderkey, l_linenumber, measure, val FROM (
 """
 
 
-@register("unpivot_lineitem", oracle=_UNPIVOT_SQL, driver=False)
+@register("unpivot_lineitem", oracle=_UNPIVOT_SQL)
 def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (melt) of three measures."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -1106,7 +1106,7 @@ WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
 """
 
 
-@register("orders_month_slice", oracle=_MONTH_SLICE_SQL)
+@register("orders_month_slice", oracle=_MONTH_SLICE_SQL, driver=False)
 def orders_month_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: time-slice scan — prunes to one partition when the table is
     stored partitioned by month. Locally verified only: the driver entry

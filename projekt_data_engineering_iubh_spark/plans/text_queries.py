@@ -607,7 +607,7 @@ WHERE d.doc_id % 2 = 1
 )
 
 
-@register("docs_neardup_takedown_filter", oracle=_TKD_SQL, driver=False)
+@register("docs_neardup_takedown_filter", oracle=_TKD_SQL)
 def docs_neardup_takedown_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1495,7 +1495,7 @@ FROM documents
 """
 
 
-@register("docs_train_test_split", oracle=_SPLIT_SQL)
+@register("docs_train_test_split", oracle=_SPLIT_SQL, driver=False)
 def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/test split (80/20).
 
@@ -1715,7 +1715,7 @@ WHERE r1.w = 1
 """
 
 
-@register("docs_repetition_stats", oracle=_REPETITION_SQL)
+@register("docs_repetition_stats", oracle=_REPETITION_SQL, driver=False)
 def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signals (Gopher-style quality filters:
     most-frequent-token fraction, duplicated-token fraction, and the
@@ -1861,7 +1861,7 @@ FROM documents"""
 )
 
 
-@register("docs_profile", oracle=_PROFILE_SQL)
+@register("docs_profile", oracle=_PROFILE_SQL, driver=False)
 def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column corpus profile (row/null/distinct counts) — the ingest
     monitoring every production load runs. One aggregation pass + an

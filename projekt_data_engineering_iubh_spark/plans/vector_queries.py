@@ -513,7 +513,7 @@ SELECT query_id, neighbor_id, cell, cos_sim, rn FROM r WHERE rn <= {_IVF_K}
 """
 
 
-@register("emb_ivf_ann", oracle=_IVF_SQL, driver=False)
+@register("emb_ivf_ann", oracle=_IVF_SQL)
 def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: coarse-quantize every vector to its nearest centroid,
     then search only the query's own cell (nprobe=1) with exact cosine +
@@ -595,7 +595,7 @@ SELECT query_id, neighbor_id, cell, cos_sim, rn FROM r WHERE rn <= {_IVF_K}
 """
 
 
-@register("emb_ivf_ann_multiprobe", oracle=_IVF_MP_SQL, driver=False)
+@register("emb_ivf_ann_multiprobe", oracle=_IVF_MP_SQL)
 def emb_ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with nprobe={_IVF_NPROBE}: each query searches its
     nprobe NEAREST cells instead of only its own — the standard recall
@@ -843,7 +843,7 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM tjrank WHERE rn <= {_KJT_K}
 """
 
 
-@register("emb_knn_join_trained", oracle=_kjt_sql(), driver=False)
+@register("emb_knn_join_trained", oracle=_kjt_sql())
 def emb_knn_join_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kNN JOIN in its PRODUCTION geometry (r11): emb_knn_join_shuffled
     proved the shuffled sort-merge shape but kept the oracle-dictated
@@ -3644,7 +3644,7 @@ def emb_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_ivfpq_serve", oracle=_IVFPQ_SQL, driver=False)
+@register("emb_ivfpq_serve", oracle=_IVFPQ_SQL)
 def emb_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERVE half of the IVF-PQ residual split: read coarse centroids +
     residual codebooks (k×dim literal-sized collects, same budget as
@@ -3918,7 +3918,7 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM (
 """
 
 
-@register("emb_ivfpq_serve_rerank", oracle=_IVFPQ_RERANK_SQL, driver=False)
+@register("emb_ivfpq_serve_rerank", oracle=_IVFPQ_RERANK_SQL)
 def emb_ivfpq_serve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lean IVF-PQ serve + EXACT re-rank (the FAISS refine stage): the
     codes-only cosine-faithful plan produces an ADC top-{_RR_SHORTLIST}

@@ -177,23 +177,28 @@ LOCAL_ONLY_FAMILY = {
     "docs_bpe_one_round",
     "docs_bpe_train3",
     "docs_bpe_tokenize",
-    "emb_ivf_ann",
-    "emb_ivf_ann_multiprobe",
     "emb_knn_join_shuffled",
-    "emb_knn_join_trained",
     "emb_ann_recall",
     "emb_ann_recall_trained",
     "emb_cluster_stats",
     "emb_ivf_build",
     "emb_ivfpq_build",
-    "emb_ivfpq_serve",
-    "emb_ivfpq_serve_rerank",
     # round 13 post-rotation birth: #163 docs_neardup_takedown_filter
     # (the band-delta takedown face certification) landed AFTER rotation
     # #10's pre-flight, so it stays local-only until rotation #11 — the
     # same convention every post-pre-flight entry has followed; the
     # never-checked backlog ceiling (20) tracks it until promoted
-    "docs_neardup_takedown_filter",
+    # round 14 rotation #11: promoted #163 + the two staleness-8
+    # entries + the five r13-changed-module vector entries the r13
+    # VERDICT named; demoted these two-round-green entries whose
+    # implementations r14 did NOT touch (an optimization round must
+    # never rotate out a query it just optimized) — all remain
+    # locally oracle-verified via test_oracle_differential
+    "docs_train_test_split",
+    "docs_repetition_stats",
+    "docs_profile",
+    "docs_sample",
+    "docs_chunk",
 }
 
 # non-docs/emb r7 local-only additions (#106 events_attribution_join,
