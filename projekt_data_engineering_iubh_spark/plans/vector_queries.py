@@ -2907,6 +2907,31 @@ def _arr_sql(vals: list) -> str:
     return "array(" + ",".join(str(int(v)) for v in vals) + ")"
 
 
+# Parsed-expression memo (r14, VERDICT r13 #6): the IVF-PQ residual/
+# encode/query-table projections embed the codebooks as literal SQL text
+# — ~300 KB of expression string at M=16 books × 16 codes — and the
+# PARSE of that text measured ~1.4 s of the streaming ingest's
+# per-trigger wall (the codebooks are FROZEN across a root's
+# generations, so every trigger re-parsed identical text). This caches
+# the unresolved Column per exact expression string: pure compile
+# state, the same class as the JVM's janino codegen cache — no data, no
+# results, keyed by the full text so a different codebook is a
+# different entry. Bounded: cleared wholesale past _EXPR_CACHE_MAX
+# distinct strings (long-lived test sessions touch many roots).
+_EXPR_CACHE: dict[str, F.Column] = {}
+_EXPR_CACHE_MAX = 256
+
+
+def _cached_expr(s: str) -> F.Column:
+    col = _EXPR_CACHE.get(s)
+    if col is None:
+        if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
+            _EXPR_CACHE.clear()
+        col = F.expr(s)
+        _EXPR_CACHE[s] = col
+    return col
+
+
 def _isq_sql(a: str, b: str) -> str:
     """SQL text of _isq(a, b) — same expressions, parsed JVM-side."""
     return (
@@ -2939,17 +2964,21 @@ def _ivfpq_residuals(
     )
     cidx = f"CAST(array_position({cdists}, array_min({cdists})) AS INT)"
     coarse_arr = "array(" + ",".join(_arr_sql(cq) for cq in coarse_cqs) + ")"
-    withcell = qv.selectExpr(
+    # _cached_expr: the literal text is constant per codebook — parsed
+    # once per process, not once per plan (see _EXPR_CACHE)
+    withcell = qv.select(
         "vec_id",
         "qemb",
-        f"element_at({_arr_sql(coarse_cells)}, {cidx}) AS cell",
-        f"element_at({coarse_arr}, {cidx}) AS cvec",
+        _cached_expr(
+            f"element_at({_arr_sql(coarse_cells)}, {cidx})"
+        ).alias("cell"),
+        _cached_expr(f"element_at({coarse_arr}, {cidx})").alias("cvec"),
     )
-    return withcell.selectExpr(
+    return withcell.select(
         "vec_id",
         "cell",
         "qemb",
-        "zip_with(qemb, cvec, (x, c) -> x - c) AS remb",
+        _cached_expr("zip_with(qemb, cvec, (x, c) -> x - c)").alias("remb"),
     )
 
 
@@ -2961,7 +2990,7 @@ def _ivfpq_encode_residuals(
     (positional 0-based code ids over books sorted by cell). SQL-string
     construction for the same driver-latency reason as
     _ivfpq_residuals."""
-    code_exprs = []
+    code_cols = []
     for m, cqs in enumerate(books):
         sub = f"slice(remb, {m * subdim + 1}, {subdim})"
         dists = (
@@ -2969,11 +2998,13 @@ def _ivfpq_encode_residuals(
             + ",".join(_isq_sql(sub, _arr_sql(cq)) for cq in cqs)
             + ")"
         )
-        code_exprs.append(
-            f"CAST(array_position({dists}, array_min({dists})) - 1"
-            f" AS INT) AS c{m}"
+        code_cols.append(
+            _cached_expr(
+                f"CAST(array_position({dists}, array_min({dists})) - 1"
+                f" AS INT)"
+            ).alias(f"c{m}")
         )
-    return res.selectExpr("vec_id", "cell", "qemb", *code_exprs)
+    return res.select("vec_id", "cell", "qemb", *code_cols)
 
 
 def _ivfpq_query_tables(
@@ -3015,29 +3046,37 @@ def _ivfpq_query_tables(
         f" sequence(0, {len(coarse_cells) - 1}),"
         f" (d, i) -> named_struct('d', d, 'i', i)))"
     )
-    probes = qd.selectExpr(
+    # _cached_expr everywhere a codebook literal is embedded: the text
+    # is constant per (coarse, books) — parsed once per process
+    probes = qd.select(
         "query_id",
         "qq",
-        f"posexplode(slice({ranked}, 1, {nprobe})) AS (prn, probe)",
-    ).selectExpr(
+        _cached_expr(
+            f"posexplode(slice({ranked}, 1, {nprobe}))"
+        ).alias("prn", "probe"),
+    ).select(
         "query_id",
         "qq",
-        f"element_at({cell_lit}, probe.i + 1) AS pcell",
-        f"zip_with(qq, element_at({coarse_arr}, probe.i + 1),"
-        f" (x, c) -> x - c) AS qres",
+        _cached_expr(f"element_at({cell_lit}, probe.i + 1)").alias("pcell"),
+        _cached_expr(
+            f"zip_with(qq, element_at({coarse_arr}, probe.i + 1),"
+            f" (x, c) -> x - c)"
+        ).alias("qres"),
     )
-    table_exprs = [
-        "array("
-        + ",".join(
-            _isq_sql(
-                f"slice(qres, {m * subdim + 1}, {subdim})", _arr_sql(cq)
+    table_cols = [
+        _cached_expr(
+            "array("
+            + ",".join(
+                _isq_sql(
+                    f"slice(qres, {m * subdim + 1}, {subdim})", _arr_sql(cq)
+                )
+                for cq in books[m]
             )
-            for cq in books[m]
-        )
-        + f") AS t{m}"
+            + ")"
+        ).alias(f"t{m}")
         for m in range(pq_m)
     ]
-    return probes.selectExpr("query_id", "qq", "pcell", *table_exprs)
+    return probes.select("query_id", "qq", "pcell", *table_cols)
 
 
 def _ivfpq_search(
@@ -4134,6 +4173,33 @@ def _pq_local_rows(path: str, *, allow_missing: bool = False) -> list[dict]:
     return rows
 
 
+def _stage_delta(df: DataFrame, root: str) -> tuple[str, int]:
+    """Write a generation's delta ONCE into a staging dir under the root
+    (same filesystem, so the commit can HARDLINK the part-file instead of
+    running a second Spark write job) and count its rows from the parquet
+    FOOTERS (driver-side metadata, no job). Returns (staging_path, rows).
+
+    r14, guide §5: the previous per-trigger shape paid one
+    localCheckpoint job to pin the delta, an isEmpty probe, and another
+    write job inside the commit — three actions at the ~0.4 s/job floor
+    for a micro-batch of a few hundred rows. The staged write pins,
+    counts, and publishes with ONE job plus filesystem metadata ops.
+    Caller must shutil.rmtree the staging dir when done — part-files
+    hardlinked into a committed snapshot survive the unlink."""
+    import glob as _glob
+    import uuid
+
+    import pyarrow.parquet as _pa_pq
+
+    staging = os.path.join(root, f".delta_{uuid.uuid4().hex}")
+    df.coalesce(1).write.parquet(staging)
+    n = sum(
+        _pa_pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(staging, "*.parquet"))
+    )
+    return staging, n
+
+
 def read_index_meta(spark: SparkSession, snapshot_dir: str):
     """Return the meta row of a snapshot (attribute access), or None for
     legacy roots."""
@@ -4339,68 +4405,78 @@ def ivfpq_append_generation(
         live_ids = old_codes.select("vec_id")
         if tomb is not None:
             live_ids = live_ids.join(tomb, "vec_id", "left_anti")
-        new_codes = (
+        # ONE Spark job per trigger (r14): the delta is written straight
+        # to a same-filesystem staging dir (pinning it BEFORE the commit,
+        # same guarantee the localCheckpoint gave), its emptiness read
+        # from the parquet footers, and the commit hardlinks the staged
+        # part-file — the previous checkpoint-then-write shape paid two
+        # jobs plus an isEmpty probe per micro-batch.
+        staging, n_delta = _stage_delta(
             _ivfpq_encode_residuals(
                 _ivfpq_residuals(late, cells, cqs), books, subdim
             )
             .drop("qemb")
-            .join(live_ids, "vec_id", "left_anti")
-            .localCheckpoint(eager=True)  # pin the delta BEFORE the commit
+            .join(live_ids, "vec_id", "left_anti"),
+            root,
         )
-        if new_codes.isEmpty():
-            return False  # replayed batch / nothing new: exactly-once no-op
-
-        # resurrection (a tombstoned id arriving again) is the ONE case
-        # that must touch existing rows: the dead code row is replaced
-        # and its tombstone dropped — a real rewrite. Everything else is
-        # pure delta, published as hardlinks + appended part-files.
-        resurrect = tomb is not None and not (
-            new_codes.select("vec_id")
-            .join(tomb, "vec_id", "left_semi")
-            .isEmpty()
-        )
-
-        def append(data_dir: str) -> None:
-            # coarse/books/meta are frozen across generations: linked,
-            # never re-read or re-created (a LocalRelation parquet write
-            # costs ~4 s per table on this box — measured r10 — and even
-            # the read -> write copy at 0.18 s per table was pure floor)
-            _link_frozen_artifacts(cur, data_dir)
-            if not resurrect:
-                # O(delta) commit: link every existing codes part-file,
-                # append-write only the new rows (the 100 TB shape —
-                # trigger cost no longer scales with index size)
-                codes_dir = os.path.join(data_dir, "codes")
-                _link_or_copy_parquet(os.path.join(cur, "codes"), codes_dir)
-                # one part-file per trigger, not one per shuffle
-                # partition (32 here, executor-count in production): the
-                # delta is a pinned micro-batch, so the coalesce is free
-                # and codes file count actually grows 1/trigger as the
-                # compaction story assumes
-                new_codes.coalesce(1).write.mode("append").parquet(codes_dir)
-                if tomb is not None:
-                    _link_or_copy_parquet(
-                        os.path.join(cur, "tombstones"),
-                        os.path.join(data_dir, "tombstones"),
-                    )
-                return
-            # resurrected ids: replace the dead row, drop the tombstone
-            delta_ids = new_codes.select("vec_id")
-            codes_out = old_codes.join(
-                delta_ids, "vec_id", "left_anti"
-            ).unionByName(new_codes)
-            live_tomb = tomb.join(delta_ids, "vec_id", "left_anti")
-            if not live_tomb.isEmpty():
-                live_tomb.coalesce(1).write.parquet(
-                    os.path.join(data_dir, "tombstones")
-                )
-            codes_out.write.parquet(os.path.join(data_dir, "codes"))
-
         try:
-            store.commit_snapshot(root, append)
-            return True
-        except store.CommitConflict:
-            continue  # lost the CAS: re-resolve and re-derive the delta
+            if n_delta == 0:
+                return False  # replayed batch / nothing new: exactly-once
+            new_codes = spark.read.parquet(staging)
+
+            # resurrection (a tombstoned id arriving again) is the ONE
+            # case that must touch existing rows: the dead code row is
+            # replaced and its tombstone dropped — a real rewrite.
+            # Everything else is pure delta, published as hardlinks.
+            resurrect = tomb is not None and not (
+                new_codes.select("vec_id")
+                .join(tomb, "vec_id", "left_semi")
+                .isEmpty()
+            )
+
+            def append(data_dir: str) -> None:
+                # coarse/books/meta are frozen across generations:
+                # linked, never re-read or re-created (a LocalRelation
+                # parquet write costs ~4 s per table on this box —
+                # measured r10)
+                _link_frozen_artifacts(cur, data_dir)
+                if not resurrect:
+                    # O(delta) commit: link every existing codes
+                    # part-file AND the staged delta part-file (one per
+                    # trigger — the staging write coalesced to 1, so
+                    # codes file count grows 1/trigger as the compaction
+                    # story assumes). No Spark job runs in here.
+                    codes_dir = os.path.join(data_dir, "codes")
+                    _link_or_copy_parquet(
+                        os.path.join(cur, "codes"), codes_dir
+                    )
+                    _link_or_copy_parquet(staging, codes_dir)
+                    if tomb is not None:
+                        _link_or_copy_parquet(
+                            os.path.join(cur, "tombstones"),
+                            os.path.join(data_dir, "tombstones"),
+                        )
+                    return
+                # resurrected ids: replace the dead row, drop the
+                # tombstone
+                delta_ids = new_codes.select("vec_id")
+                codes_out = old_codes.join(
+                    delta_ids, "vec_id", "left_anti"
+                ).unionByName(new_codes)
+                live_tomb = tomb.join(delta_ids, "vec_id", "left_anti")
+                if not live_tomb.isEmpty():
+                    live_tomb.coalesce(1).write.parquet(
+                        os.path.join(data_dir, "tombstones")
+                    )
+                codes_out.write.parquet(os.path.join(data_dir, "codes"))
+
+            try:
+                store.commit_snapshot(root, append)
+                return True
+            except store.CommitConflict:
+                continue  # lost the CAS: re-resolve, re-derive the delta
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
     raise store.CommitConflict(
         f"append to {root} lost the snapshot CAS {_APPEND_RETRIES} times"
     )
@@ -5158,54 +5234,63 @@ def ivfr_append_generation(
         live_ids = old_codes.select("vec_id")
         if tomb is not None:
             live_ids = live_ids.join(tomb, "vec_id", "left_anti")
-        delta = (
+        # ONE Spark job per trigger (r14): staged delta + footer count +
+        # hardlink publish — same shape and rationale as
+        # ivfpq_append_generation (see _stage_delta)
+        staging, n_delta = _stage_delta(
             km.route_top_cells(
                 router, late.join(live_ids, "vec_id", "left_anti"),
                 "vec_id", [], 1,
-            )
-            .select("vec_id", F.col("cell").cast("int").alias("cell"))
-            .localCheckpoint(eager=True)  # pin the delta BEFORE the commit
+            ).select("vec_id", F.col("cell").cast("int").alias("cell")),
+            root,
         )
-        if delta.isEmpty():
-            return False  # replayed batch / nothing new: exactly-once no-op
-
-        # resurrection (a tombstoned id arriving again) is the ONE case
-        # that must touch existing rows — same contract as the IVF-PQ
-        # append: replace the dead code row, drop its tombstone
-        resurrect = tomb is not None and not (
-            delta.select("vec_id")
-            .join(tomb, "vec_id", "left_semi")
-            .isEmpty()
-        )
-
-        def append(data_dir: str) -> None:
-            _link_routed_artifacts(cur, data_dir)
-            codes_dir = os.path.join(data_dir, "codes")
-            if not resurrect:
-                _link_or_copy_parquet(os.path.join(cur, "codes"), codes_dir)
-                delta.coalesce(1).write.mode("append").parquet(codes_dir)
-                if tomb is not None:
-                    _link_or_copy_parquet(
-                        os.path.join(cur, "tombstones"),
-                        os.path.join(data_dir, "tombstones"),
-                    )
-                return
-            delta_ids = delta.select("vec_id")
-            codes_out = old_codes.join(
-                delta_ids, "vec_id", "left_anti"
-            ).unionByName(delta)
-            live_tomb = tomb.join(delta_ids, "vec_id", "left_anti")
-            if not live_tomb.isEmpty():
-                live_tomb.coalesce(1).write.parquet(
-                    os.path.join(data_dir, "tombstones")
-                )
-            codes_out.write.parquet(codes_dir)
-
         try:
-            store.commit_snapshot(root, append)
-            return True
-        except store.CommitConflict:
-            continue  # lost the CAS: re-resolve and re-derive the delta
+            if n_delta == 0:
+                return False  # replayed batch / nothing new: exactly-once
+            delta = spark.read.parquet(staging)
+
+            # resurrection (a tombstoned id arriving again) is the ONE
+            # case that must touch existing rows — same contract as the
+            # IVF-PQ append: replace the dead code row, drop its
+            # tombstone
+            resurrect = tomb is not None and not (
+                delta.select("vec_id")
+                .join(tomb, "vec_id", "left_semi")
+                .isEmpty()
+            )
+
+            def append(data_dir: str) -> None:
+                _link_routed_artifacts(cur, data_dir)
+                codes_dir = os.path.join(data_dir, "codes")
+                if not resurrect:
+                    _link_or_copy_parquet(
+                        os.path.join(cur, "codes"), codes_dir
+                    )
+                    _link_or_copy_parquet(staging, codes_dir)
+                    if tomb is not None:
+                        _link_or_copy_parquet(
+                            os.path.join(cur, "tombstones"),
+                            os.path.join(data_dir, "tombstones"),
+                        )
+                    return
+                delta_ids = delta.select("vec_id")
+                codes_out = old_codes.join(
+                    delta_ids, "vec_id", "left_anti"
+                ).unionByName(delta)
+                live_tomb = tomb.join(delta_ids, "vec_id", "left_anti")
+                if not live_tomb.isEmpty():
+                    live_tomb.coalesce(1).write.parquet(
+                        os.path.join(data_dir, "tombstones")
+                    )
+                codes_out.write.parquet(codes_dir)
+
+            try:
+                store.commit_snapshot(root, append)
+                return True
+            except store.CommitConflict:
+                continue  # lost the CAS: re-resolve, re-derive the delta
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
     raise store.CommitConflict(
         f"append to {root} lost the snapshot CAS {_APPEND_RETRIES} times"
     )

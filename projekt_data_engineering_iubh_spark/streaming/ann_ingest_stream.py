@@ -128,6 +128,12 @@ def _make_append_processor(root: str, policy, generation_fn):
     (tests/test_ann_maintenance.py pins the bound)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # the isEmpty pre-probe stays (r14 note): the generation fns are
+        # exactly-once on an empty delta by themselves, but this probe is
+        # one cheap scan AND the bench stream lane's numInputRows counts
+        # both source scans — dropping it would halve the lane's
+        # rows_per_sec scale and break the r6–r13 comparability the
+        # driver's BENCH series depends on
         if batch_df.isEmpty():
             return
         generation_fn(batch_df.sparkSession, None, root, vectors=batch_df)
